@@ -1,0 +1,68 @@
+"""Parquet catalog over the driver-generated tables (TESTDATA.md).
+
+Replaces the reference's driver-side directory scans
+(`loadFilesPartial.py:5-40` — os.walk + open per file, all data through
+driver memory) with distributed columnar scans: `spark.read.parquet`
+gets predicate pushdown, column pruning, and vectorized decoding from
+Catalyst for free, and scales to any number of files/executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Filters/projections applied by callers are pushed
+    into this scan by Catalyst (verify with .explain: PushedFilters)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan `events` with its nanosecond timestamp normalized to a real
+    TimestampType column.
+
+    The parquet stores ts as TIMESTAMP(NANOS) which Spark 4 rejects
+    outright (PARQUET_TYPE_ILLEGAL); we read it as raw nanos via the
+    legacy conf and truncate ns→µs with integer `div` — exactly what
+    DuckDB does when it reads the same file, so oracle parity holds to
+    the microsecond. (Float division would round, not truncate: epoch
+    nanos exceed double's 2^53 mantissa.)
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def load_labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `loadLabeled` (loadFilesPartial.py:5-26) rebuilt:
+    corpus rows with a derived double label, no driver round-trip.
+
+    The reference labels by source subdirectory (pos/neg); here the
+    synthetic stand-in labels by `source` parity — deterministic and
+    computed as a Catalyst expression, not np.ones/np.zeros concat.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 2).cast("double")
+    return docs.withColumn("label", label)
