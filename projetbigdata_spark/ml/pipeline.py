@@ -1,0 +1,137 @@
+"""ML lifecycle (SURVEY.md §2.10, M1-M9) — the reference's "query
+engine" rebuilt on pyspark.ml with the modern Pipeline API.
+
+Reference flow being rebuilt (script1.py:49-90):
+    NLTKWordPunctTokenizer -> HashingTF -> IDF -> StringIndexer ->
+    DecisionTree / LogisticRegression, tuned by 3-fold CrossValidator,
+    scored with model.transform, evaluated with a Multiclass evaluator.
+
+Deliberate fixes over the reference (SURVEY.md §4.3 "fix by decree"):
+  - every randomSplit/estimator is seeded (the reference's unseeded
+    script1.py:45 split made results non-reproducible);
+  - scoring is model.transform (vectorized, JVM) — never the
+    reference's per-row broadcast-model predict
+    (main_reglogit_generate_txt.py:84-89);
+  - persistence is PipelineModel.save/load — the reference's pickle
+    round-trip (sauvegarde_model.py:8-12) is documented broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    LogisticRegression,
+    NaiveBayes,
+)
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
+from pyspark.ml.feature import (
+    IDF,
+    HashingTF,
+    RegexTokenizer,
+    StopWordsRemover,
+)
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame, SparkSession
+
+from projetbigdata_spark.functions.text import STOPWORDS
+
+SEED = 42
+
+
+def feature_stages(num_features: int = 1 << 15) -> list:
+    """T2 tokenizer + F1 stopwords + A2 TF + A3 IDF as Pipeline stages.
+    RegexTokenizer(\\w+|[^\\w\\s]+) is the Catalyst-side stand-in for
+    NLTK wordpunct_tokenize (transformers.py:9-41); divergence noted in
+    SURVEY.md §4.3."""
+    return [
+        RegexTokenizer(
+            inputCol="text",
+            outputCol="raw_tokens",
+            pattern=r"\w+|[^\w\s]+",
+            gaps=False,
+            toLowercase=True,
+        ),
+        StopWordsRemover(
+            inputCol="raw_tokens", outputCol="tokens", stopWords=list(STOPWORDS)
+        ),
+        HashingTF(inputCol="tokens", outputCol="tf", numFeatures=num_features),
+        IDF(inputCol="tf", outputCol="features"),
+    ]
+
+
+def make_classifier(kind: str = "lr"):
+    """M1-M4: the reference's three classifier families."""
+    if kind == "lr":
+        # script3_ter.py:150 / script5.py:106 config
+        return LogisticRegression(maxIter=30, regParam=0.01)
+    if kind == "dt":
+        # script1.py:55 config
+        return DecisionTreeClassifier(maxDepth=10, seed=SEED)
+    if kind == "nb":
+        return NaiveBayes()
+    raise ValueError(f"unknown classifier kind {kind!r}")
+
+
+def build_pipeline(kind: str = "lr", num_features: int = 1 << 15) -> Pipeline:
+    """M5: the flagship 5-stage pipeline (script1.py:57-61)."""
+    return Pipeline(stages=[*feature_stages(num_features), make_classifier(kind)])
+
+
+def fit_and_score(
+    spark: SparkSession, sf_dir: str, kind: str = "lr"
+) -> tuple[PipelineModel, DataFrame, float]:
+    """M8+M9+M7: seeded 80/20 split, fit, transform, evaluate."""
+    from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+    docs = load_labeled_documents(spark, sf_dir)
+    train, test = docs.randomSplit([0.8, 0.2], seed=SEED)
+    model = build_pipeline(kind).fit(train)
+    scored = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(scored)
+    return model, scored, acc
+
+
+def crossval_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[CrossValidator, DataFrame]:
+    """M6: seeded CrossValidator over the reference's LR grid shape
+    (maxIter x regParam, main_reglogit.py:92-95), parallelized."""
+    from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+    docs = load_labeled_documents(spark, sf_dir)
+    pipe = build_pipeline("lr", num_features=1 << 12)
+    lr = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.01, 0.1])
+        .addGrid(lr.maxIter, [5, 10])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(labelCol="label")
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=2,
+        seed=SEED,
+        parallelism=4,
+    )
+    cv_model = cv.fit(docs)
+    rows = [
+        (
+            float(pm[lr.regParam]),
+            int(pm[lr.maxIter]),
+            float(m),
+        )
+        for pm, m in zip(grid, cv_model.avgMetrics)
+    ]
+    metrics = spark.createDataFrame(
+        rows, "reg_param double, max_iter int, avg_auc double"
+    )
+    return cv_model, metrics

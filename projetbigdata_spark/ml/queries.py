@@ -1,0 +1,171 @@
+"""Registered ML queries: the χ² feature-selection flow (SURVEY.md
+§3.3) with a full SQL oracle, plus rows-only entries for the estimator
+lifecycle (fits are not SQL-expressible; the driver records weaker
+checks, the judge sees which — tests/test_ml.py adds behavioral
+assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.functions.text import tokenize
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+CHI2_TOP_K = 20
+
+
+def ml_chisq_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² statistic per token against the document label — the
+    reference's Statistics.chiSqTest flow (script3_bis.py:143-150)
+    re-expressed as contingency-table aggregation, so it never
+    materializes feature vectors or collects to the driver:
+
+        token presence per doc  (explode + distinct)
+      ⋈ labels                  (column, free)
+      -> groupBy(token): a = docs with token & label1, b = & label0
+      -> chi2 from (a, b, n1, n0) — Pearson, matching mllib's formula.
+
+    This is how you'd χ²-select features at 100 TB: one shuffle, top-k.
+    """
+    tune(spark)
+    docs = load_labeled_documents(spark, sf_dir)
+    totals = docs.agg(
+        F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("label") == 0.0, 1).otherwise(0)).alias("n0"),
+    )
+    tok = docs.select(
+        "doc_id", "label", F.explode(F.array_distinct(tokenize("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("label") == 0.0, 1).otherwise(0)).alias("b"),
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    c = (F.col("n1") - F.col("a")).alias("c")
+    d = (F.col("n0") - F.col("b")).alias("d")
+    with_cells = joined.select("token", "a", "b", "n1", "n0", c, d)
+    n = F.col("n1") + F.col("n0")
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    denom = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    chi2 = F.round((n.cast("double") * det * det) / denom, 6)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("chi2").desc(), F.col("token"))
+    return (
+        with_cells.select("token", "a", "b", chi2.alias("chi2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= CHI2_TOP_K)
+    )
+
+
+CHISQ_SQL = f"""
+WITH labeled AS (
+    SELECT doc_id,
+           CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2
+                AS DOUBLE) AS label,
+           text
+    FROM documents
+),
+totals AS (
+    SELECT sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN label = 0.0 THEN 1 ELSE 0 END) AS n0
+    FROM labeled
+),
+tok AS (
+    SELECT DISTINCT doc_id, label,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS token
+    FROM labeled
+),
+counts AS (
+    SELECT token,
+           sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN label = 0.0 THEN 1 ELSE 0 END) AS b
+    FROM tok GROUP BY token
+),
+cells AS (
+    SELECT token, a, b, n1 - a AS c, n0 - b AS d, n1, n0
+    FROM counts, totals
+),
+scored AS (
+    SELECT token, a, b,
+           round(CAST(n1 + n0 AS DOUBLE) * (a * d - b * c) * (a * d - b * c)
+                 / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+    FROM cells
+)
+SELECT token, a, b, chi2,
+       CAST(row_number() OVER (ORDER BY chi2 DESC, token) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {CHI2_TOP_K}
+"""
+
+
+def ml_sentiment_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5+M9: fit the flagship pipeline on a seeded 80/20 split and
+    score the held-out set. Rows-only check (estimator fits are not
+    SQL-expressible); behavioral assertions in tests/test_ml.py."""
+    tune(spark)
+    from projetbigdata_spark.ml.pipeline import fit_and_score
+
+    _, scored, _ = fit_and_score(spark, sf_dir, kind="lr")
+    return scored.select(
+        "doc_id", "label", F.col("prediction").cast("double").alias("prediction")
+    )
+
+
+def ml_crossval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: seeded 2-fold CV over the LR grid; returns the grid-point
+    metric table. Rows-only."""
+    tune(spark)
+    from projetbigdata_spark.ml.pipeline import crossval_fit
+
+    _, metrics = crossval_fit(spark, sf_dir)
+    return metrics
+
+
+def ml_chisq_select_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/T7: the vectorized χ² path the reference actually ran —
+    CountVectorizer(binary=True) (T5) -> ChiSquareTest (A5) ->
+    p-value threshold filter (F3, script3_bis.py:157). Rows-only
+    (CountVectorizer's vocabulary order breaks ties arbitrarily);
+    the SQL-checkable twin is ml_chisq_tokens."""
+    tune(spark)
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.stat import ChiSquareTest
+
+    docs = load_labeled_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "label", F.array_distinct(tokenize("text")).alias("tokens")
+    )
+    cv = CountVectorizer(inputCol="tokens", outputCol="features", binary=True)
+    model = cv.fit(toks)
+    vec = model.transform(toks)
+    res = ChiSquareTest.test(vec, "features", "label", flatten=True)
+    vocab = spark.createDataFrame(
+        list(enumerate(model.vocabulary)), "featureIndex int, token string"
+    )
+    return (
+        res.join(F.broadcast(vocab), "featureIndex")
+        .where(F.col("pValue") <= 0.3)
+        .select("token", F.round("statistic", 6).alias("statistic"))
+    )
+
+
+QUERIES = {
+    "ml_chisq_tokens": ml_chisq_tokens,
+    "ml_sentiment_predictions": ml_sentiment_predictions,
+    "ml_crossval_metrics": ml_crossval_metrics,
+    "ml_chisq_select_vectors": ml_chisq_select_vectors,
+}
+
+ORACLE_SQL = {
+    "ml_chisq_tokens": CHISQ_SQL,
+}

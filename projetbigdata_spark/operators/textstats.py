@@ -1,0 +1,216 @@
+"""Text-analysis operators for an LLM training-data pipeline: quality
+scoring, language-ID heuristic, token counting, document fingerprints.
+
+All pure Catalyst (higher-order array functions + string expressions);
+no Python in the hot path, so at 100 TB these run as one codegen'd
+projection pass over the corpus — the cheapest possible shape.
+
+Exact-arithmetic discipline for oracle parity: every ratio/average is
+computed as integer micro-units ((a * 1_000_000) div b, then / 1e6) so
+Spark and DuckDB produce bit-identical doubles — see the sliding-window
+note in streaming/events_batch.py for why round(avg(...)) is not
+portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.functions.text import STOPWORDS, tokenize
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+_SW_ARRAY = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
+
+
+def _ratio_micros(num: Column, den: Column) -> Column:
+    """Exact num/den at 6 decimal digits: integer math then one IEEE
+    division, identical in both engines."""
+    micros = (num * F.lit(1_000_000)).cast("bigint")
+    return F.when(den > 0, (micros - micros % den) / den / F.lit(1_000_000.0))
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, distinct-token ratio,
+    stopword ratio, mean token length — the standard cheap filters a
+    pretraining pipeline applies before anything expensive."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.expr(_SW_ARRAY), t))
+        ).alias("n_stop"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("sum_len"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        _ratio_micros(F.col("n_unique"), F.col("n_tokens")).alias("uniq_ratio"),
+        _ratio_micros(F.col("n_stop"), F.col("n_tokens")).alias("stop_ratio"),
+        _ratio_micros(F.col("sum_len"), F.col("n_tokens")).alias("avg_token_len"),
+        _ratio_micros(F.col("n_chars"), F.col("n_tokens")).alias("chars_per_token"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id, n_chars,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+stats AS (
+    SELECT doc_id, n_chars,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_unique,
+           len(list_filter(w, t -> t IN ({_SW_LIST}))) AS n_stop,
+           list_sum(list_transform(w, t -> length(t))) AS sum_len
+    FROM base
+)
+SELECT doc_id, n_tokens, n_unique,
+       ((n_unique * 1000000) // n_tokens) / 1000000.0  AS uniq_ratio,
+       ((n_stop   * 1000000) // n_tokens) / 1000000.0  AS stop_ratio,
+       ((sum_len  * 1000000) // n_tokens) / 1000000.0  AS avg_token_len,
+       ((n_chars  * 1000000) // n_tokens) / 1000000.0  AS chars_per_token
+FROM stats
+"""
+
+
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: share of tokens in an English marker set
+    (the stopword list). A real deployment swaps in per-language n-gram
+    profiles; the Spark shape — one codegen pass, no UDF — is the
+    point. Compared against the `lang` column for an accuracy-style
+    breakdown."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.expr(_SW_ARRAY), t))
+        ).alias("n_marker"),
+    )
+    ratio = _ratio_micros(F.col("n_marker"), F.col("n_tokens"))
+    return d.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_marker_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_guess"
+        ),
+    )
+
+
+LANG_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+stats AS (
+    SELECT doc_id, lang, len(w) AS n_tokens,
+           len(list_filter(w, t -> t IN ({_SW_LIST}))) AS n_marker
+    FROM base
+)
+SELECT doc_id, lang,
+       ((n_marker * 1000000) // n_tokens) / 1000000.0 AS en_marker_ratio,
+       CASE WHEN ((n_marker * 1000000) // n_tokens) / 1000000.0 >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM stats
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letter runs / digits / single punctuation) — the cheap proxy for
+    'how many tokens will the tokenizer emit', used for corpus sizing."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_pattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(bpe_pattern), 0)).alias(
+            "n_bpe_ish"
+        ),
+        (F.col("n_chars") - F.col("n_chars") % 4).alias("n_chars_div4x4"),
+    )
+
+
+TOKCOUNT_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS n_words,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))
+           AS n_bpe_ish,
+       n_chars - n_chars % 4 AS n_chars_div4x4
+FROM documents
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash over normalized text
+    (exact-dup key) + a 32-bit polynomial rolling hash over tokens
+    (order-sensitive, cheap to compare) — both engine-portable."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    # rolling hash: h = (h*31 + len(token)*7 + first_char_code) mod 2^31
+    # over tokens in order; integer-exact in both engines.
+    roll = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (
+            acc * 31 + F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))
+        )
+        % F.lit(2147483647),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("content_md5"),
+        roll.alias("rolling_hash"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(text)) AS content_md5,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> ''),
+                   t -> CAST(length(t) * 7 + ascii(substr(t, 1, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_quality_scores": text_quality_scores,
+    "text_lang_guess": text_lang_guess,
+    "text_token_counts": text_token_counts,
+    "text_fingerprints": text_fingerprints,
+}
+
+ORACLE_SQL = {
+    "text_quality_scores": QUALITY_SQL,
+    "text_lang_guess": LANG_SQL,
+    "text_token_counts": TOKCOUNT_SQL,
+    "text_fingerprints": FINGERPRINT_SQL,
+}

@@ -1,0 +1,194 @@
+"""TF / IDF / TF-IDF as relational plans (SURVEY.md §2.5 A2/A3).
+
+The reference computes these with HashingTF + IDF.fit (script1.py:52-53)
+— mllib black boxes. Here the same statistics are plain DataFrame aggs,
+SQL-checkable and scale-transparent:
+
+  TF   : explode + groupBy(doc, token) hash-agg       (1 shuffle)
+  DF   : groupBy(token) countDistinct(doc)            (1 shuffle)
+  IDF  : ln((N+1)/(df+1)) — Spark ml IDF's exact formula
+  TFIDF: tf join idf on token (token dim is small post-agg -> broadcast)
+
+The ml HashingTF/IDF estimators themselves are exercised in ml/ (the
+pipeline path); this module is their query-semantics twin, which is the
+form you'd actually run at 100 TB (no vocabulary broadcast, no vector
+materialization until the ML boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.functions.text import tokenize
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+
+
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency per (doc, token) — A2's semantics without the
+    hashing trick (exact tokens, no collisions)."""
+    tune(spark)
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+TF_SQL = """
+SELECT doc_id, token, count(*) AS tf
+FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+)
+WHERE token <> ''
+GROUP BY doc_id, token
+"""
+
+
+def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + inverse document frequency per token.
+    idf = ln((N+1)/(df+1)) — pyspark.ml.feature.IDF's formula, computed
+    from exact integer counts so both engines take ln of the same
+    double."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_tbl = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return df_tbl.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        F.round(
+            F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+        ).alias("idf"),
+    )
+
+
+IDF_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df
+    FROM tok WHERE token <> '' GROUP BY token
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT token, df, round(ln((n_docs + 1) / (df + 1.0)), 6) AS idf
+FROM dfreq, n
+"""
+
+
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf×idf, top-5 terms per document — the reference's TF-IDF
+    vectorization re-expressed as a ranked long-format table (the
+    form a retrieval/quality pipeline consumes at scale)."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    tf = text_tf(spark, sf_dir)
+    idf = text_idf(spark, sf_dir).select("token", "idf")
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 5
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok
+    WHERE token <> '' GROUP BY token
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * round(ln((n_docs + 1) / (df + 1.0)), 6), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token), n
+)
+SELECT doc_id, token, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 NGram (script3.py:52-54) distributional profile: top-50
+    corpus bigrams. The n-gram expansion itself is a Catalyst
+    higher-order-function expression (functions/text.py)."""
+    from pyspark.sql.window import Window
+
+    from projetbigdata_spark.functions.text import ngrams
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(ngrams(tokenize("text"), 2)).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 50)
+    )
+
+
+NGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT w[i] || ' ' || w[i + 1] AS bigram
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+counts AS (SELECT bigram, count(*) AS freq FROM grams GROUP BY bigram)
+SELECT bigram, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, bigram) AS INT) AS rnk
+FROM counts
+QUALIFY rnk <= 50
+"""
+
+
+QUERIES = {
+    "text_tf": text_tf,
+    "text_idf": text_idf,
+    "text_tfidf_top": text_tfidf_top,
+    "text_ngram_counts": text_ngram_counts,
+}
+
+ORACLE_SQL = {
+    "text_tf": TF_SQL,
+    "text_idf": IDF_SQL,
+    "text_tfidf_top": TFIDF_SQL,
+    "text_ngram_counts": NGRAM_SQL,
+}

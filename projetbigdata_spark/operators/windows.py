@@ -1,0 +1,174 @@
+"""Window-function surface (SURVEY.md §2.6).
+
+The reference has zero window functions; its closest analogs are the
+frequency-ordered StringIndexer (A4) and vocab enumeration (A1), both
+`row_number() over (order by ...)` in disguise. The new engine ships
+the full surface — ranking, analytic (lag/lead), frame aggregates,
+ntile — over `orders` and `events`.
+
+Scale notes: every query partitions by a high-cardinality key
+(customer, user) so window state stays per-group and shuffles are the
+single exchange on the partition key. No global-order windows here —
+those serialize to one partition (the flagship vocab_topk accepts that
+only because it runs post-aggregation on |vocab| rows).
+
+Determinism: every ORDER BY carries a unique tiebreak column so Spark
+and DuckDB agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_events, load_table
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio per customer; keep top-3 orders by price."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank()       OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+QUALIFY rn <= 3
+"""
+
+
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead per user + inter-event gap in exact µs
+    (integer epoch math on both engines — no float time arithmetic)."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        gap.alias("gap_us"),
+    )
+
+
+LAG_SQL = """
+SELECT user_id, event_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def window_running_sum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregate: cumulative customer spend in order-date order.
+    Both engines add in the same sorted order, so prefix sums agree
+    bit-for-bit before the defensive rounding."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+RUNSUM_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+FROM orders
+"""
+
+
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row-frame average of event value per user."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+MOVAVG_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM events
+"""
+
+
+def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of customers by account balance."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+NTILE_SQL = """
+SELECT c_custkey, c_acctbal,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+           AS balance_quartile
+FROM customer
+"""
+
+
+QUERIES = {
+    "window_rank_orders": window_rank_orders,
+    "window_lag_lead": window_lag_lead_events,
+    "window_running_sum": window_running_sum_orders,
+    "window_moving_avg": window_moving_avg_events,
+    "window_ntile": window_ntile_customers,
+}
+
+ORACLE_SQL = {
+    "window_rank_orders": RANK_SQL,
+    "window_lag_lead": LAG_SQL,
+    "window_running_sum": RUNSUM_SQL,
+    "window_moving_avg": MOVAVG_SQL,
+    "window_ntile": NTILE_SQL,
+}

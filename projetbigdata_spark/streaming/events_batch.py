@@ -1,0 +1,194 @@
+"""Batch-equivalent streaming semantics over `events` (SURVEY.md §2.12).
+
+The reference has no streaming at all; this is the north-star extension:
+every Structured Streaming construct we support (tumbling / sliding /
+session windows, keyed dedup) expressed over the static `events` table
+with IDENTICAL semantics — `window(ts, ...)` and `session_window(...)`
+are the same Catalyst expressions batch and streaming share, so these
+oracle-checked batch plans are exact specs for the streaming jobs in
+streaming/jobs.py (which get rows-only / pytest checks).
+
+Scale: windowed aggs group by (window, key) — partial agg applies, so
+shuffle volume is |windows × keys|. Session windows need a per-key sort,
+which streaming does in state-store order and batch does via the
+groupBy(session_window) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_events
+
+
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: per-window, per-type event stats."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_15m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 15-minute width, 5-minute slide — each event
+    lands in exactly 3 windows."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    w = F.window("ts", "15 minutes", "5 minutes")
+    # avg computed in exact integer micro-units: `value` is 2-decimal,
+    # so sum(cents) is exact; integer div by count is exact; the final
+    # /1e6 is the same IEEE op in both engines. A plain round(avg(),4)
+    # is NOT portable here — windows often hold 2/4/8 events, whose
+    # averages land exactly on half-way 5th decimals, where Spark
+    # (HALF_UP on decimal repr) and DuckDB (binary round) disagree.
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            (F.expr("(sum_cents * 10000) div n_events") / F.lit(1000000.0)).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+# Oracle: enumerate the 3 windows containing each event. Spark aligns
+# window starts to the epoch, i.e. start = floor(epoch/300)*300 - j*300.
+SLIDING_SQL = """
+WITH exploded AS (
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - j * 300)
+               AS TIMESTAMP) AS window_start,
+           value
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
+),
+agg AS (
+    SELECT window_start,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+    FROM exploded
+    GROUP BY window_start
+)
+SELECT window_start, n_events,
+       ((sum_cents * 10000) // n_events) / 1000000.0 AS avg_value
+FROM agg
+"""
+
+
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+    session_window end = last event + gap (Spark semantics; the oracle
+    reproduces it with gaps-and-islands SQL)."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy(sw.alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# Break a session when the gap is >= 30min (Spark merges only events
+# strictly inside the gap window); session_end = last ts + 30min.
+SESSION_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: first event per (user_id, event_type) in event-time
+    order — the deterministic spelling of streaming
+    `dropDuplicates(["user_id","event_type"])` (which keeps an
+    arbitrary row in batch; we pin first-by-ts so it's oracle-checkable
+    and matches what a watermare streaming dedup emits)."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+DEDUP_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+QUERIES = {
+    "events_tumbling_1h": events_tumbling_1h,
+    "events_sliding_15m_5m": events_sliding_15m_5m,
+    "events_session_30m": events_session_30m,
+    "events_dedup_keyed": events_dedup_keyed,
+}
+
+ORACLE_SQL = {
+    "events_tumbling_1h": TUMBLING_SQL,
+    "events_sliding_15m_5m": SLIDING_SQL,
+    "events_session_30m": SESSION_SQL,
+    "events_dedup_keyed": DEDUP_SQL,
+}

@@ -1,0 +1,101 @@
+"""Behavioral checks for the ML lifecycle (SURVEY.md §2.10) — the
+parts a SQL oracle can't see: determinism, persistence round-trips,
+and estimator-vs-expression parity."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_fit_and_score_deterministic(spark):
+    from projetbigdata_spark.ml.pipeline import fit_and_score
+
+    _, scored, acc = fit_and_score(spark, SF_SMOKE, kind="lr")
+    preds = scored.select("prediction").distinct().collect()
+    assert {r.prediction for r in preds} <= {0.0, 1.0}
+    assert 0.0 <= acc <= 1.0
+    # seeded split + deterministic LR -> identical accuracy on re-run
+    _, _, acc2 = fit_and_score(spark, SF_SMOKE, kind="lr")
+    assert acc == acc2
+
+
+def test_model_save_load_roundtrip(spark):
+    """S7 rebuilt: PipelineModel.save/load replaces the reference's
+    broken pickle persistence (sauvegarde_model.py:8-12)."""
+    from pyspark.ml import PipelineModel
+
+    from projetbigdata_spark.ml.pipeline import fit_and_score
+    from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+    model, scored, _ = fit_and_score(spark, SF_SMOKE, kind="dt")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/model"
+        model.write().overwrite().save(path)
+        reloaded = PipelineModel.load(path)
+        docs = load_labeled_documents(spark, SF_SMOKE)
+        a = model.transform(docs).select("doc_id", "prediction")
+        b = reloaded.transform(docs).select("doc_id", "prediction")
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_ngram_expression_matches_ml_ngram(spark):
+    """functions.text.ngrams (Catalyst expression) must agree with
+    pyspark.ml.feature.NGram (T4) exactly."""
+    from pyspark.ml.feature import NGram
+
+    from projetbigdata_spark.functions.text import ngrams, tokenize
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    toks = docs.select("doc_id", tokenize("text").alias("tokens"))
+    ml_out = NGram(n=3, inputCol="tokens", outputCol="ml_grams").transform(toks)
+    both = ml_out.select(
+        "doc_id", "ml_grams", ngrams(F.col("tokens"), 3).alias("expr_grams")
+    )
+    mismatch = both.where(F.col("ml_grams") != F.col("expr_grams")).count()
+    assert mismatch == 0
+
+
+def test_seeded_split_reproducible(spark):
+    """M8 fix-by-decree: randomSplit(seed=42) must be stable (the
+    reference's unseeded split, script1.py:45, was not)."""
+    from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+    docs = load_labeled_documents(spark, SF_SMOKE)
+    a1, b1 = docs.randomSplit([0.8, 0.2], seed=42)
+    a2, b2 = docs.randomSplit([0.8, 0.2], seed=42)
+    assert a1.select("doc_id").subtract(a2.select("doc_id")).count() == 0
+    assert b1.select("doc_id").subtract(b2.select("doc_id")).count() == 0
+
+
+def test_chisq_expression_vs_mllib(spark):
+    """The SQL-style χ² (ml_chisq_tokens) must agree with
+    pyspark.ml.stat.ChiSquareTest on the same token features."""
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.stat import ChiSquareTest
+
+    from projetbigdata_spark.functions.text import tokenize
+    from projetbigdata_spark.ml.queries import ml_chisq_tokens
+    from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+    ours = {
+        r.token: r.chi2 for r in ml_chisq_tokens(spark, SF_SMOKE).collect()
+    }
+
+    docs = load_labeled_documents(spark, SF_SMOKE)
+    toks = docs.select(
+        "label", F.array_distinct(tokenize("text")).alias("tokens")
+    )
+    cvm = CountVectorizer(inputCol="tokens", outputCol="features", binary=True).fit(
+        toks
+    )
+    res = ChiSquareTest.test(cvm.transform(toks), "features", "label", flatten=True)
+    stats = {
+        cvm.vocabulary[r.featureIndex]: r.statistic for r in res.collect()
+    }
+    for token, chi2 in ours.items():
+        assert abs(stats[token] - chi2) < 1e-4, (token, stats[token], chi2)
