@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel, load_table
 
 # Shingles occurring in more than this many documents are dropped from
 # candidate generation (they pair everything with everything). Mirrored
@@ -53,11 +53,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's single-file parquet gives a 1-task scan locally, and at
     100 TB the same explicit repartition bounds per-task explode width.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     from projetbigdata_spark.functions.text import ngrams
 
-    par = spark.sparkContext.defaultParallelism
-    return docs.repartition(par).select(
+    return docs.select(
         "doc_id",
         F.explode(F.array_distinct(ngrams(tokenize("text"), 2))).alias("sh"),
     )
@@ -115,15 +114,15 @@ GROUP BY 1
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact bigram-shingle Jaccard >= 0.3.
 
-    100 TB-shaped plan (one corpus scan, two shuffles before the pair agg):
-      1. per-row: shingle set -> carry |set| as n_sh -> explode -> xxhash64
-         each shingle to an 8-byte join key (strings never shuffle);
-      2. shingle document-frequency via a COUNT window over the hash —
-         same shuffle the self-join needs, so the partitioning is reused;
-         keep 2 <= df <= cap (df=1 can't pair; df>cap pairs everything);
-      3. self-join on the hash + doc_a < doc_b, count intersections with
-         n_a/n_b riding along as group keys — no per-doc size re-join,
-         no second corpus scan.
+    Plan (one corpus scan via the persisted posting list):
+      1. postings (doc_id, h): shingles hashed to 8-byte keys — strings
+         never shuffle (see _hashed_shingles);
+      2. per-doc sizes and shingle document-frequency are two skinny
+         hash-aggs over the same postings; keep 2 <= df <= cap (df=1
+         can't pair, df>cap pairs everything with everything);
+      3. self-join on h + doc_a < doc_b, count intersections, then join
+         the per-doc sizes onto the (small) pair set — AQE broadcasts
+         them at low sf, falls back to shuffle join at scale.
     Jaccard stays exact integer arithmetic until one final division ->
     bit-identical across engines. Hash collisions (2^-64-scale) are the
     only divergence risk vs the string-keyed oracle.
@@ -262,7 +261,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hamming-ball bucketing); emitted here per doc with its prefix.
     """
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
     )

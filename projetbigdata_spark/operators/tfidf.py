@@ -22,11 +22,11 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel, load_table
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     return docs.select(
         "doc_id", F.explode(tokenize("text")).alias("token")
     )
@@ -149,7 +149,7 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetbigdata_spark.functions.text import ngrams
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     grams = docs.select(
         F.explode(ngrams(tokenize("text"), 2)).alias("bigram")
     )

@@ -32,13 +32,13 @@ from projetbigdata_spark.functions.text import (
     tokenize,
 )
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token -> corpus frequency. One shuffle (the groupBy); everything
     else is embarrassingly parallel codegen."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(
         F.explode(filter_stopwords(tokenize("text"))).alias("token")
     )

@@ -53,6 +53,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan `documents` and spread rows across all cores before a
+    compute-heavy explode (tokenize/ngram/hash pipelines).
+
+    A single parquet file scans as one task, serializing the whole
+    Python-free-but-CPU-heavy text pipeline onto one core locally; at
+    100 TB the same explicit repartition bounds per-task explode width
+    and evens out document-size skew. Round-robin (no key) — token
+    pipelines need no co-location, so this is a pure width exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `loadLabeled` (loadFilesPartial.py:5-26) rebuilt:
     corpus rows with a derived double label, no driver round-trip.
