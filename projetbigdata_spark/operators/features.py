@@ -1,0 +1,286 @@
+"""Feature-engineering operators — the reference's vectorization core
+(SURVEY.md §2.9) re-expressed as relational plans.
+
+  bow_vectorize   — T5 `vectorizeBi` (script3.py:73-78) + J1 broadcast
+                    dictionary probe (main_reglogit.py:72-77): binary
+                    bag-of-words as (doc_id, vocab_id) pairs via a real
+                    broadcast join against a distributed vocab table,
+                    instead of a driver-built Python dict. Unseen tokens
+                    drop via the inner join — exactly `if w in dico`
+                    (F2, script3.py:76).
+  label_index     — A4 StringIndexer.fit semantics (script1.py:54):
+                    frequency-descending dense index, ties alphabetical
+                    (matching StringIndexer's frequencyDesc ordering),
+                    as row_number over a count agg.
+  pos_trigrams    — F4 POS-pattern trigram filter (script4.py:124-137
+                    `authorizedTrigrams`/`retrieveTrigrams`): tag each
+                    token, zip word-trigrams with tag-trigrams, keep
+                    only authorized tag patterns. The reference tags
+                    with NLTK (non-reproducible in SQL — SURVEY.md
+                    §4.3); here a deterministic rule tagger keeps the
+                    operator oracle-checkable. The zip-filter shape is
+                    identical.
+  embed_l2norm    — A8 `Normalizer` p=2 (main_firstTry_cluster.py:
+                    281-285) over embeddings, emitted long-format
+                    (vec_id, dim, val) so every value is a scalar the
+                    oracle can hash.
+
+All pure Catalyst expressions — no UDFs, no collect, vocab stays a
+DataFrame (broadcast by the optimizer, not by hand at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projetbigdata_spark.functions.text import (
+    filter_stopwords,
+    sql_stopword_list,
+    tokenize,
+)
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import (
+    load_documents_parallel,
+    load_table,
+)
+
+VOCAB_SIZE = 1000
+
+# Rule tagger over the fixture's closed vocabulary: word class -> tag.
+# Stands in for NLTK's universal tagset (script4_bis.py:49-56) with
+# deterministic, SQL-portable rules.
+TAG_DET = ("a", "an", "the")
+TAG_VERB = ("scan", "sort", "merge", "join", "filter", "group", "agg")
+TAG_ADJ = ("slow", "fast", "big", "small")
+
+# Authorized tag-trigram patterns (the reference authorizes 11 POS
+# patterns, script4.py:124-130; same mechanism, rule-tagger alphabet).
+AUTHORIZED_PATTERNS = (
+    "ADJ NOUN NOUN",
+    "DET NOUN NOUN",
+    "NOUN VERB NOUN",
+    "ADJ ADJ NOUN",
+    "VERB DET NOUN",
+)
+
+
+def _vocab(spark: SparkSession, sf_dir: str, k: int = VOCAB_SIZE) -> DataFrame:
+    """Top-k token vocabulary with dense ids (A1 made distributed —
+    same shape as vocabulary.vocab_topk, sized for vectorization)."""
+    toks = load_documents_parallel(spark, sf_dir).select(
+        F.explode(filter_stopwords(tokenize("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w))
+        .where(F.col("vocab_id") <= k)
+        .select("token", "vocab_id")
+    )
+
+
+def bow_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary BoW as long-format (doc_id, vocab_id): distinct doc
+    tokens inner-joined to the vocab table. The join side is bounded
+    (|vocab| = 1000) so Catalyst broadcasts it — the honest version of
+    the reference's sc.broadcast(dictionary) probe; at a 10^8-term
+    vocab the same plan degrades gracefully to a shuffle join.
+    Equivalent to CountVectorizer(binary=True) in long form."""
+    tune(spark)
+    doc_toks = load_documents_parallel(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
+    )
+    return doc_toks.join(_vocab(spark, sf_dir), "token").select(
+        "doc_id", "vocab_id"
+    )
+
+
+BOW_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT token, count(*) AS freq FROM toks
+    WHERE token <> '' AND token NOT IN ({sql_stopword_list()})
+    GROUP BY token
+),
+vocab AS (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT)
+               AS vocab_id
+    FROM counts
+    QUALIFY vocab_id <= {VOCAB_SIZE}
+),
+doc_toks AS (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> '')) AS token
+          FROM documents)
+)
+SELECT doc_id, vocab_id
+FROM doc_toks JOIN vocab USING (token)
+"""
+
+
+def label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 StringIndexer semantics on documents.lang: 0-based dense
+    index by descending frequency, alphabetical tiebreak. The index map
+    is |distinct labels| rows — broadcast back onto the corpus."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("lang"))
+    idx = counts.withColumn(
+        "lang_index", (F.row_number().over(w) - 1).cast("double")
+    ).select("lang", "lang_index")
+    return docs.join(F.broadcast(idx), "lang").select(
+        "doc_id", "lang", "lang_index"
+    )
+
+
+LABEL_INDEX_SQL = """
+WITH counts AS (SELECT lang, count(*) AS freq FROM documents GROUP BY lang),
+idx AS (
+    SELECT lang,
+           CAST(row_number() OVER (ORDER BY freq DESC, lang) - 1 AS DOUBLE)
+               AS lang_index
+    FROM counts
+)
+SELECT doc_id, lang, lang_index
+FROM documents JOIN idx USING (lang)
+"""
+
+
+def _tag_sql_case(var: str) -> str:
+    det = ", ".join(f"'{w}'" for w in TAG_DET)
+    verb = ", ".join(f"'{w}'" for w in TAG_VERB)
+    adj = ", ".join(f"'{w}'" for w in TAG_ADJ)
+    return (
+        f"CASE WHEN {var} IN ({det}) THEN 'DET' "
+        f"WHEN {var} IN ({verb}) THEN 'VERB' "
+        f"WHEN {var} IN ({adj}) THEN 'ADJ' ELSE 'NOUN' END"
+    )
+
+
+def _tag(col: Column) -> Column:
+    return (
+        F.when(col.isin(*TAG_DET), F.lit("DET"))
+        .when(col.isin(*TAG_VERB), F.lit("VERB"))
+        .when(col.isin(*TAG_ADJ), F.lit("ADJ"))
+        .otherwise(F.lit("NOUN"))
+    )
+
+
+def pos_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: keep word trigram i iff its tag trigram is authorized.
+
+    Pure Catalyst: tokenize -> explode token trigram positions with a
+    single Generate (posexplode over the token array), tag via CASE,
+    window-free: trigrams built by self-zipping the array with slice
+    inside ONE generator expression (no repeated-subtree blowup — the
+    trigram struct is assembled inside the lambda), then filter on the
+    authorized pattern set and count occurrences corpus-wide."""
+    tune(spark)
+    docs = load_documents_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("w"))
+    # one generator: index sequence -> struct(word_trigram, tag_trigram)
+    tri = F.expr(
+        """
+        transform(
+            CASE WHEN size(w) >= 3
+                 THEN sequence(1, size(w) - 2)
+                 ELSE CAST(array() AS array<int>) END,
+            i -> concat_ws(' ', w[i-1], w[i], w[i+1])
+        )
+        """
+    )
+    grams = toks.select(F.explode(tri).alias("trigram"))
+    parts = F.split(F.col("trigram"), " ")
+    pattern = F.concat_ws(
+        " ",
+        _tag(parts.getItem(0)),
+        _tag(parts.getItem(1)),
+        _tag(parts.getItem(2)),
+    )
+    return (
+        grams.withColumn("tag_pattern", pattern)
+        .where(F.col("tag_pattern").isin(*AUTHORIZED_PATTERNS))
+        .groupBy("trigram", "tag_pattern")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+_patterns_sql = ", ".join(f"'{p}'" for p in AUTHORIZED_PATTERNS)
+
+POS_TRIGRAM_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS trigram,
+           {_tag_sql_case('w[i]')} || ' ' ||
+           {_tag_sql_case('w[i + 1]')} || ' ' ||
+           {_tag_sql_case('w[i + 2]')} AS tag_pattern
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+)
+SELECT trigram, tag_pattern, count(*) AS freq
+FROM grams
+WHERE tag_pattern IN ({_patterns_sql})
+GROUP BY trigram, tag_pattern
+"""
+
+
+def embed_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 Normalizer(p=2), long format. The norm is computed once per
+    row inside the same generator output (posexplode of the scaled
+    array), all within codegen. Zero-vector guard: norm 0 -> 0s."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # single-reference rule: the whole normalize-then-explode is ONE
+    # expression feeding ONE generator (cf. dedup._shingles).
+    normalized = F.expr(
+        """
+        transform(
+            embedding,
+            x -> CAST(x AS DOUBLE) /
+                 sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                                (acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))
+        )
+        """
+    )
+    return emb.select(
+        "vec_id", F.posexplode(normalized).alias("dim", "val")
+    ).select("vec_id", "dim", F.round("val", 6).alias("val"))
+
+
+L2NORM_SQL = """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v
+)
+SELECT vec_id, dim - 1 AS dim, round(x / norm, 6) AS val
+FROM n, LATERAL (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS dim)
+"""
+
+
+QUERIES = {
+    "bow_vectorize": bow_vectorize,
+    "label_index": label_index,
+    "pos_trigrams": pos_trigrams,
+    "embed_l2norm": embed_l2norm,
+}
+
+ORACLE_SQL = {
+    "bow_vectorize": BOW_SQL,
+    "label_index": LABEL_INDEX_SQL,
+    "pos_trigrams": POS_TRIGRAM_SQL,
+    "embed_l2norm": L2NORM_SQL,
+}

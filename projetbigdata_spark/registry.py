@@ -17,6 +17,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "projetbigdata_spark.operators.vocabulary",
     "projetbigdata_spark.operators.relational",
+    "projetbigdata_spark.operators.relational2",
+    "projetbigdata_spark.operators.features",
     "projetbigdata_spark.operators.windows",
     "projetbigdata_spark.operators.tfidf",
     "projetbigdata_spark.operators.textstats",
