@@ -58,6 +58,62 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_windows_stream(events: DataFrame) -> DataFrame:
+    """Watermarked session windows (30-minute gap) per user — the
+    streaming twin of events_batch.events_session_30m. Append mode
+    emits a session only once its window can no longer grow (watermark
+    passed session end) — the late-data-drop semantics the batch twin
+    can't show."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, state carried across triggers.
+
+    This is the applyInPandasWithState escape hatch for operators the
+    built-in windowed aggs can't express (arbitrary per-key state
+    machines). Arrow-batched: each trigger hands the group's new rows
+    to pandas, state is a tiny tuple — at scale, state lives in the
+    executor state store partitioned by user_id (one shuffle)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(df: DataFrame, name: str, mode: str = "append"):
     """Drain a stream with availableNow into an in-memory table;
     returns the finished StreamingQuery."""

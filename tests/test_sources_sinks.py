@@ -1,0 +1,72 @@
+"""Source/sink coverage (SURVEY.md §2.1 S5/S6/S7-adjacent):
+
+  S6 — the reference's prediction sink (`classifications_*.txt`,
+       script3.py:206-210: collect() + driver loop) rebuilt as a
+       DISTRIBUTED tab-separated write: df.write.csv(sep='\\t'), no
+       driver materialization, any number of output parts.
+  S5 — libsvm source (`MLUtils.loadLibSVMFile`,
+       test_pickle.zip!test_regression_pickle_dumping.py:12) rebuilt
+       as spark.read.format('libsvm').
+  Partitioned parquet sink — the 100 TB sink posture: write
+       partitioned by a dim column, verify partition pruning on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_prediction_sink_tab_separated(spark, tmp_path):
+    """S6: docid<TAB>label rows, golden-file format
+    (classifications_script1.txt: `00000\\t1.0`), written distributed."""
+    from projetbigdata_spark.ml.pipeline import fit_and_score
+
+    _, scored, _ = fit_and_score(spark, SF_SMOKE, kind="lr")
+    out = str(tmp_path / "classifications")
+    (
+        scored.select(
+            F.format_string("%05d", F.col("doc_id")).alias("docid"),
+            F.col("prediction").cast("string").alias("label"),
+        )
+        .write.option("sep", "\t")
+        .mode("overwrite")
+        .csv(out)
+    )
+    back = spark.read.option("sep", "\t").schema("docid string, label string").csv(out)
+    assert back.count() == scored.count() > 0
+    row = back.orderBy("docid").first()
+    assert len(row.docid) == 5 and row.label in ("0.0", "1.0")
+
+
+def test_libsvm_source_roundtrip(spark, tmp_path):
+    """S5: libsvm write+read — (label, features sparse vector)."""
+    p = str(tmp_path / "sample.libsvm")
+    with open(p, "w") as f:
+        f.write("1.0 1:0.5 3:1.5\n0.0 2:2.0\n1.0 1:1.0 2:1.0 3:1.0\n")
+    df = spark.read.format("libsvm").option("numFeatures", "4").load(p)
+    assert df.columns == ["label", "features"]
+    rows = df.orderBy("label").collect()
+    assert len(rows) == 3
+    # libsvm indices are 1-based: `2:2.0` lands at 0-based position 1
+    assert rows[0].features.toArray().tolist() == [0.0, 2.0, 0.0, 0.0]
+    assert {r.label for r in rows} == {0.0, 1.0}
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    """Distributed sink partitioned by `lang`; a lang-filtered read
+    must touch only that partition (partition pruning)."""
+    from projetbigdata_spark.sources.catalog import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    en = back.where(F.col("lang") == "en")
+    expected = docs.where(F.col("lang") == "en").count()
+    assert en.count() == expected > 0
+    # pruning is visible in the physical plan's PartitionFilters
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
