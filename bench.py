@@ -21,8 +21,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q18_large_orders",
+    "join_asof_purchase_click",
     "window_rank_orders",
     "text_tfidf_top",
+    "bow_vectorize",
     "dedup_jaccard_pairs",
     "dedup_minhash_buckets",
     "sim_topk_bruteforce",
