@@ -1,0 +1,90 @@
+"""Plan-shape regression tests: the scale properties we designed each
+operator around (SURVEY.md §4) must be visible in the physical plan —
+pushdown at the scan, broadcast for dims, no cartesian blowups, and
+the single-window as-of shape. If a refactor silently loses one of
+these, correctness tests stay green but 100 TB behavior regresses;
+these tests make that a CI failure instead."""
+
+from __future__ import annotations
+
+import pytest
+
+from projetbigdata_spark import registry
+from projetbigdata_spark.plans import introspect as pi
+from tests.conftest import SF_CHECK
+
+QUERIES, _ = registry.collect()
+
+# every registered query must avoid accidental cartesian products,
+# except the ones that legitimately cross-join a 1-row/virtual side
+CARTESIAN_OK = {
+    "text_idf",  # crossJoin with a 1-row count aggregate (broadcast)
+    "text_tfidf_top",
+    "ml_chisq_tokens",
+    "sim_lsh_buckets",  # 8x64 plane grid build
+    # brute-force all-pairs baselines: the non-equi condition makes a
+    # (broadcast) nested-loop the intended plan; the scale path is the
+    # LSH-bucketed variant (sim_lsh_buckets)
+    "sim_topk_bruteforce",
+    "sim_neardup_pairs",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if n not in CARTESIAN_OK)
+)
+def test_no_cartesian_product(spark, name):
+    df = QUERIES[name](spark, SF_CHECK)
+    pi.assert_no_cartesian(df, name)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_CHECK)
+    assert pi.has_pushed_filter(df, "l_shipdate")
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF_CHECK)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert pi.has_pushed_filter(df, frag), frag
+
+
+def test_q3_dims_broadcast(spark):
+    df = QUERIES["q3_shipping_priority"](spark, SF_CHECK)
+    pi.assert_broadcast_join(df, "q3", at_least=1)
+
+
+def test_q5_star_broadcasts_all_dims(spark):
+    df = QUERIES["q5_local_supplier"](spark, SF_CHECK)
+    pi.assert_broadcast_join(df, "q5", at_least=3)
+
+
+def test_q18_aggregates_before_join(spark):
+    """The lineitem pre-aggregation must sit BELOW the joins."""
+    plan = pi.physical_plan(QUERIES["q18_large_orders"](spark, SF_CHECK))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # plan text is top-down: the join appears before (above) the agg
+    assert join_pos < agg_pos
+
+
+def test_asof_is_single_window_no_join(spark):
+    """The as-of join must be the union+window plan: zero joins, one
+    window, one shuffle on user_id."""
+    df = QUERIES["join_asof_purchase_click"](spark, SF_CHECK)
+    plan = pi.physical_plan(df)
+    assert "Join" not in plan
+    assert pi.count_op(df, "Window") == 1
+    assert pi.has_pushed_filter(df, "event_type")
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning: the tokenize pipeline must read only the text
+    and doc_id columns, not the whole documents schema."""
+    df = QUERIES["text_tf"](spark, SF_CHECK)
+    plan = pi.physical_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, "no parquet scan found"
+    for line in scan_lines:
+        assert "lang" not in line and "n_chars" not in line, line
