@@ -404,7 +404,44 @@ ON p.user_id = c.user_id AND c.ts <= p.ts
 """
 
 
+# --------------------------------------------------------------------------
+# sql_frontend — the same engine through the SQL front-end: temp views +
+# spark.sql. Identical Catalyst plan as the DataFrame spelling; proves
+# the full surface is reachable from pure SQL (the API the reference
+# never had).
+# --------------------------------------------------------------------------
+def sql_frontend_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderpriority,
+               count(DISTINCT o_orderkey) AS n_orders,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM v_lineitem
+        JOIN v_orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+SQL_FRONTEND_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       o_orderpriority,
+       count(DISTINCT o_orderkey) AS n_orders,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "sql_frontend_yearly_revenue": sql_frontend_yearly_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
@@ -417,6 +454,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sql_frontend_yearly_revenue": SQL_FRONTEND_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
     "q10_returned_items": Q10_SQL,

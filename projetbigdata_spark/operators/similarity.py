@@ -206,14 +206,152 @@ WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
 """
 
 
+def _banded_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, bucket): the 8 sign bits split into 4 bands of 2
+    — standard banded LSH; a pair is a candidate iff it collides in AT
+    LEAST one band. Band width tunes the recall/candidate trade: the
+    fixture embeddings are uniform-random (LSH's worst case — true
+    top-k neighbors sit near 90 deg), so narrow 2-bit bands buy recall
+    at the cost of a denser candidate set; clustered real-world
+    embeddings would use wider bands. Recall floor pinned in
+    tests/test_similarity_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    joined = emb.join(F.broadcast(_plane_values(spark)), "dim")
+    dots = joined.groupBy("vec_id", "plane").agg(
+        F.sum(F.col("x") * F.col("pv")).alias("dot")
+    )
+    bit = F.when(F.col("dot") > 0, F.lit(1).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        dots.select(
+            "vec_id",
+            (F.col("plane") - F.col("plane") % 2).alias("band2"),
+            (
+                bit
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane % 2 AS INT))")
+            ).alias("bitval"),
+        )
+        .groupBy("vec_id", (F.col("band2") / 2).cast("int").alias("band"))
+        .agg(F.sum("bitval").alias("bucket"))
+    )
+
+
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN (the 100 TB path): banded-LSH candidate
+    generation + exact cosine rerank, top-5 per query vector.
+
+    Candidates come from equi-joins on (band, bucket) — shuffle volume
+    is |bucket collisions|, never all pairs. The exact rerank touches
+    candidates only. Recall vs sim_topk_bruteforce is asserted in
+    tests/test_similarity_recall.py; missing a true neighbor whose
+    signatures never collide is inherent to LSH (that's the trade)."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    bb = _banded_buckets(spark, sf_dir)
+    qb = bb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        bb.join(qb, ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
+ANN_SQL = f"""
+WITH cell AS (
+    SELECT p.plane, d.dim,
+           ((CAST('0x' || substr(md5(p.plane || '|' || d.dim), 1, 4)
+                  AS BIGINT) - 32768) / 32768.0) AS pv
+    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+),
+vec AS (
+    SELECT vec_id, dim - 1 AS dim, CAST(x AS DOUBLE) AS x
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+dots AS (
+    SELECT vec_id, plane, sum(x * pv) AS dot
+    FROM vec JOIN cell USING (dim)
+    GROUP BY 1, 2
+),
+bb AS (
+    SELECT vec_id, CAST(plane // 2 AS INT) AS band,
+           sum(CASE WHEN dot > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(plane % 2 AS INT))
+                    ELSE 0 END) AS bucket
+    FROM dots GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, v.vec_id
+    FROM bb v JOIN bb q USING (band, bucket)
+    WHERE q.vec_id < {N_QUERIES} AND v.vec_id <> q.vec_id
+),
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, v.e) / (q.norm * v.norm), 6) AS cosine
+    FROM cand
+    JOIN nv v ON v.vec_id = cand.vec_id
+    JOIN nv q ON q.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
+    "sim_ann_lsh_topk": sim_ann_lsh_topk,
 }
 
 ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
     "sim_lsh_buckets": LSH_SQL,
     "sim_neardup_pairs": NEARDUP_SQL,
+    "sim_ann_lsh_topk": ANN_SQL,
 }
