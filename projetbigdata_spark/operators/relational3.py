@@ -1,0 +1,203 @@
+"""Relational operator surface, part 3 — pivot, grouping sets, exact
+percentiles, datetime scalar breadth, and an explicit salted two-phase
+aggregation (the skew-mitigation pattern spelled out as a plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_events, load_table
+
+ORDER_STATUSES = ("F", "O", "P")
+
+
+# --------------------------------------------------------------------------
+# agg_pivot — groupBy().pivot(): one hash-agg producing a column per
+# pivoted value (Catalyst rewrites to conditional aggregation — exactly
+# what the oracle spells out). Pivot values pinned, so the schema is
+# static and 100 TB-safe (no driver-side distinct scan).
+# --------------------------------------------------------------------------
+def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[
+                F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+                for s in ORDER_STATUSES
+            ],
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS (beyond rollup/cube):
+# per-(status,priority), per-status, and grand total in ONE pass
+# (Expand + single shuffle), with grouping_id to disambiguate.
+# --------------------------------------------------------------------------
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                   AS gid,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+           AS gid,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# agg_percentiles — EXACT percentile (Spark `percentile`, DuckDB
+# quantile_cont: both linear-interpolation on the sorted set). The
+# exact variant needs a per-group sort — fine for bounded groups; at
+# unbounded cardinality switch to percentile_approx (t-digest), which
+# trades the sort for a mergeable sketch (not oracle-comparable, so
+# the exact form is the checked one).
+# --------------------------------------------------------------------------
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# datetime_functions — temporal scalar breadth over events (P1/P5-class
+# single-pass codegen): truncation, extraction, arithmetic, epoch.
+# --------------------------------------------------------------------------
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").alias("hh"),
+        F.minute("ts").alias("mm"),
+        F.dayofweek("ts").alias("dow"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")).alias(
+            "days_since_start"
+        ),
+    )
+
+
+DATETIME_SQL = """
+SELECT event_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(hour(ts) AS INT) AS hh,
+       CAST(minute(ts) AS INT) AS mm,
+       CAST(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE dayofweek(ts) + 1 END
+            AS INT) AS dow,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+       ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+           AS days_since_start
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# agg_salted_user_totals — two-phase salted aggregation, the manual
+# skew fix: phase 1 aggregates on (key, salt) spreading one hot key
+# over SALT_BUCKETS reducers; phase 2 merges the partials. Result is
+# identical to a direct groupBy (the oracle IS the direct groupBy);
+# the plan carries two shuffles by design — the price of taming a key
+# whose row count dwarfs a single executor. (AQE's skew-join handling
+# covers joins; aggregation skew still wants salting.)
+# --------------------------------------------------------------------------
+SALT_BUCKETS = 8
+
+
+def agg_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    salted = e.withColumn(
+        "salt", (F.col("event_id") % SALT_BUCKETS).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("pcents"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        (F.sum("pcents") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+SALTED_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "agg_pivot": agg_pivot_status_by_priority,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_percentiles": agg_percentiles,
+    "datetime_functions": datetime_functions,
+    "agg_salted_user_totals": agg_salted_user_totals,
+}
+
+ORACLE_SQL = {
+    "agg_pivot": PIVOT_SQL,
+    "agg_grouping_sets": GROUPING_SETS_SQL,
+    "agg_percentiles": PERCENTILES_SQL,
+    "datetime_functions": DATETIME_SQL,
+    "agg_salted_user_totals": SALTED_SQL,
+}

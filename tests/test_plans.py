@@ -22,6 +22,7 @@ CARTESIAN_OK = {
     "text_tfidf_top",
     "ml_chisq_tokens",
     "sim_lsh_buckets",  # 8x64 plane grid build
+    "sim_ann_lsh_topk",  # same plane grid build
     # brute-force all-pairs baselines: the non-equi condition makes a
     # (broadcast) nested-loop the intended plan; the scale path is the
     # LSH-bucketed variant (sim_lsh_buckets)
