@@ -186,7 +186,53 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# array_functions — array/higher-order-function breadth (the Catalyst
+# surface that replaces the reference's per-row Python list handling):
+# slice, sort, distinct, contains, filter+transform composition —
+# all codegen, zero shuffle.
+# --------------------------------------------------------------------------
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from projetbigdata_spark.functions.text import tokenize
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("w"))
+    return toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("w", 1, 3)).alias("first3"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.array_contains("w", "spark").cast("int").alias("has_spark"),
+        F.concat_ws("|", F.slice(F.array_sort(F.array_distinct("w")), 1, 5)).alias(
+            "first5_sorted"
+        ),
+        F.size(F.filter("w", lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.concat_ws(
+            " ", F.transform(F.slice("w", 1, 3), lambda t: F.upper(t))
+        ).alias("first3_upper"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+)
+SELECT doc_id,
+       array_to_string(w[1:3], ' ') AS first3,
+       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+       CAST(list_contains(w, 'spark') AS INT) AS has_spark,
+       array_to_string(list_sort(list_distinct(w))[1:5], '|') AS first5_sorted,
+       CAST(len(list_filter(w, t -> length(t) > 4)) AS INT) AS n_long_tokens,
+       array_to_string(list_transform(w[1:3], t -> upper(t)), ' ')
+           AS first3_upper
+FROM toks
+"""
+
+
 QUERIES = {
+    "array_functions": array_functions,
     "agg_pivot": agg_pivot_status_by_priority,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_percentiles": agg_percentiles,
@@ -195,6 +241,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "array_functions": ARRAY_FUNCS_SQL,
     "agg_pivot": PIVOT_SQL,
     "agg_grouping_sets": GROUPING_SETS_SQL,
     "agg_percentiles": PERCENTILES_SQL,
