@@ -44,10 +44,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.collect()
 
-    # warm the JVM/parquet footers so q1 doesn't pay one-time costs
-    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the JVM/parquet footers so no timed query pays one-time costs:
+    # one cheap query per table family (lineitem+orders, documents, events,
+    # embeddings)
+    for warm in (
+        "q1_pricing_summary",
+        "dedup_exact",
+        "events_tumbling_1h",
+        "sim_lsh_buckets",
+    ):
+        queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
