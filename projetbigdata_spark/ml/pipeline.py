@@ -63,6 +63,32 @@ def feature_stages(num_features: int = 1 << 15) -> list:
     ]
 
 
+def assembled_pipeline(num_features: int = 1 << 12) -> Pipeline:
+    """T6 feature-space concat (script4.py:166-175: unigram dict ∪
+    trigram dict with index offsets, done by hand) rebuilt with
+    VectorAssembler: TF-IDF text vector ⊕ numeric doc-length feature.
+    The assembler's offset bookkeeping replaces the reference's manual
+    `len(dicoUni)+i` arithmetic."""
+    from pyspark.ml.feature import SQLTransformer, VectorAssembler
+
+    return Pipeline(
+        stages=[
+            *feature_stages(num_features),
+            SQLTransformer(
+                statement=(
+                    "SELECT *, CAST(n_chars AS DOUBLE) AS len_feature FROM __THIS__"
+                )
+            ),
+            VectorAssembler(
+                inputCols=["features", "len_feature"], outputCol="assembled"
+            ),
+            LogisticRegression(
+                featuresCol="assembled", maxIter=10, regParam=0.01
+            ),
+        ]
+    )
+
+
 def make_classifier(kind: str = "lr"):
     """M1-M4: the reference's three classifier families."""
     if kind == "lr":

@@ -60,6 +60,34 @@ def test_ngram_expression_matches_ml_ngram(spark):
     assert mismatch == 0
 
 
+def test_assembled_pipeline_concats_features(spark):
+    """T6: VectorAssembler output dim = text dim + 1 numeric feature,
+    and the assembled pipeline trains and scores end-to-end."""
+    from projetbigdata_spark.ml.pipeline import assembled_pipeline
+    from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+    docs = load_labeled_documents(spark, SF_SMOKE)
+    train, test = docs.randomSplit([0.8, 0.2], seed=42)
+    model = assembled_pipeline(num_features=1 << 10).fit(train)
+    scored = model.transform(test)
+    first = scored.select("assembled").first().assembled
+    assert first.size == (1 << 10) + 1
+    assert scored.where(F.col("prediction").isNull()).count() == 0
+
+
+def test_naive_bayes_trains(spark):
+    """M4: the NaiveBayes family fits and scores (TF-IDF features are
+    non-negative, NB's requirement)."""
+    from projetbigdata_spark.ml.pipeline import fit_and_score
+
+    _, scored, acc = fit_and_score(spark, SF_SMOKE, kind="nb")
+    assert 0.0 <= acc <= 1.0
+    assert {r.prediction for r in scored.select("prediction").distinct().collect()} <= {
+        0.0,
+        1.0,
+    }
+
+
 def test_seeded_split_reproducible(spark):
     """M8 fix-by-decree: randomSplit(seed=42) must be stable (the
     reference's unseeded split, script1.py:45, was not)."""
