@@ -231,7 +231,50 @@ FROM toks
 """
 
 
+# --------------------------------------------------------------------------
+# table_stats — ANALYZE-shape column profiling of lineitem in ONE scan:
+# count / nulls / min / max / exact NDV per column, unpivoted to
+# (column, metric rows). At 100 TB you'd swap exact NDV for
+# approx_count_distinct (HLL sketch, mergeable) — kept exact here so
+# the oracle can hash it; the approx twin is asserted within 5% in
+# tests/test_approx.py.
+# --------------------------------------------------------------------------
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.round(F.min(c), 4).alias(f"{c}_min"),
+            F.round(F.max(c), 4).alias(f"{c}_max"),
+            F.countDistinct(c).alias(f"{c}_ndv"),
+        ]
+    wide = l.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}_nulls, {c}_min, {c}_max, {c}_ndv" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stacked}) AS (column_name, n_nulls, min_val, max_val, ndv)",
+    ).select("column_name", "n_rows", "n_nulls", "min_val", "max_val", "ndv")
+
+
+_stats_union = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       round(min({c}), 4) AS min_val, round(max({c}), 4) AS max_val,
+       count(DISTINCT {c}) AS ndv
+FROM lineitem"""
+    for c in ("l_quantity", "l_extendedprice", "l_discount")
+)
+
+TABLE_STATS_SQL = _stats_union
+
+
 QUERIES = {
+    "table_stats": table_stats,
     "array_functions": array_functions,
     "agg_pivot": agg_pivot_status_by_priority,
     "agg_grouping_sets": agg_grouping_sets,
@@ -241,6 +284,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "table_stats": TABLE_STATS_SQL,
     "array_functions": ARRAY_FUNCS_SQL,
     "agg_pivot": PIVOT_SQL,
     "agg_grouping_sets": GROUPING_SETS_SQL,

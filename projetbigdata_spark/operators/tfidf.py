@@ -99,7 +99,22 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     tf = text_tf(spark, sf_dir)
-    idf = text_idf(spark, sf_dir).select("token", "idf")
+    # IDF derived FROM the tf aggregate: tf has exactly one row per
+    # (doc, token), so df(token) = count(*) — the corpus is scanned
+    # once, not re-tokenized for the document-frequency pass
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.round(
+                F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("idf"),
+        )
+    )
     scored = tf.join(F.broadcast(idf), "token").select(
         "doc_id",
         "token",

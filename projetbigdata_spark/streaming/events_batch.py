@@ -179,7 +179,51 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 """
 
 
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour AND day
+    aggregates of the same stream in ONE pass — GROUPING SETS over two
+    date_truncs (Expand + a single shuffle), instead of two scans or a
+    re-aggregation cascade. `gran` disambiguates the level."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    e.createOrReplaceTempView("v_events_rollup")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(hh) = 0 THEN 'hour' ELSE 'day' END AS gran,
+               coalesce(hh, dd) AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_value
+        FROM (SELECT date_trunc('hour', ts) AS hh,
+                     date_trunc('day', ts) AS dd,
+                     event_type, value
+              FROM v_events_rollup)
+        GROUP BY GROUPING SETS ((hh, event_type), (dd, event_type))
+        """
+    )
+
+
+MULTI_ROLLUP_SQL = """
+WITH base AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hh,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS dd,
+           event_type, value
+    FROM events
+)
+SELECT CASE WHEN grouping(hh) = 0 THEN 'hour' ELSE 'day' END AS gran,
+       coalesce(hh, dd) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_value
+FROM base
+GROUP BY GROUPING SETS ((hh, event_type), (dd, event_type))
+"""
+
+
 QUERIES = {
+    "events_multi_rollup": events_multi_rollup,
     "events_tumbling_1h": events_tumbling_1h,
     "events_sliding_15m_5m": events_sliding_15m_5m,
     "events_session_30m": events_session_30m,
@@ -187,6 +231,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_multi_rollup": MULTI_ROLLUP_SQL,
     "events_tumbling_1h": TUMBLING_SQL,
     "events_sliding_15m_5m": SLIDING_SQL,
     "events_session_30m": SESSION_SQL,
