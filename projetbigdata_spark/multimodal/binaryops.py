@@ -146,13 +146,56 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TO = 64
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel shape (image-style): clip every payload to a fixed
+    byte budget (the real op would be a vectorized image resize; the
+    stand-in keeps the exact Spark plumbing — binary in, binary out,
+    per-batch pandas transform) and emit the resized payload's size +
+    md5 so the oracle can verify the bytes, not just the metadata."""
+    tune(spark)
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: b[:RESIZE_TO])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "content_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id long, n_bytes long, content_md5 string"
+    )
+
+
+RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST(least(octet_length(encode(text)), {RESIZE_TO}) AS BIGINT)
+           AS n_bytes,
+       md5(substr(text, 1, {RESIZE_TO})) AS content_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
+    "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_fake_decode": multimodal_fake_decode,
 }
 
 ORACLE_SQL = {
     "multimodal_meta": META_SQL,
+    "multimodal_resize": RESIZE_SQL,
     "multimodal_frame_sample": FRAME_SQL,
 }
