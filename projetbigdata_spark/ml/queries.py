@@ -159,7 +159,40 @@ def ml_chisq_select_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm surface: seeded k-means over the embeddings
+    table (Lloyd's iterations = one aggregation job per step, the
+    classic Spark iterative workload). Rows-only (iterative fits are
+    not SQL-expressible); cluster sanity asserted in tests/test_ml.py.
+    Returns per-cluster sizes + centroid L2 norm."""
+    tune(spark)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from projetbigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=10).fit(emb)
+    assigned = model.transform(emb)
+    sizes = assigned.groupBy(F.col("prediction").alias("cluster_id")).agg(
+        F.count("*").alias("n_vectors")
+    )
+    centroids = spark.createDataFrame(
+        [
+            (i, float(sum(x * x for x in c) ** 0.5))
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cluster_id int, centroid_norm double",
+    )
+    return sizes.join(F.broadcast(centroids), "cluster_id").select(
+        "cluster_id", "n_vectors", F.round("centroid_norm", 4).alias("centroid_norm")
+    )
+
+
 QUERIES = {
+    "ml_kmeans_clusters": ml_kmeans_clusters,
     "ml_chisq_tokens": ml_chisq_tokens,
     "ml_sentiment_predictions": ml_sentiment_predictions,
     "ml_crossval_metrics": ml_crossval_metrics,

@@ -88,6 +88,21 @@ def test_naive_bayes_trains(spark):
     }
 
 
+def test_kmeans_clusters_deterministic_and_complete(spark):
+    """Iterative k-means: seeded fit must cover all vectors, produce k
+    non-degenerate clusters, and be reproducible."""
+    from projetbigdata_spark.ml.queries import ml_kmeans_clusters
+    from projetbigdata_spark.sources.catalog import load_table
+
+    a = ml_kmeans_clusters(spark, SF_SMOKE)
+    n_total = load_table(spark, SF_SMOKE, "embeddings").count()
+    rows = a.collect()
+    assert sum(r.n_vectors for r in rows) == n_total
+    assert 1 < len(rows) <= 8
+    b = ml_kmeans_clusters(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b))
+
+
 def test_seeded_split_reproducible(spark):
     """M8 fix-by-decree: randomSplit(seed=42) must be stable (the
     reference's unseeded split, script1.py:45, was not)."""
