@@ -346,8 +346,101 @@ FROM sig
 """
 
 
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash decision step: for candidate pairs sharing an LSH
+    bucket, estimate Jaccard as the fraction of agreeing signature
+    slots. This is the full minhash dedup flow end-to-end — signatures
+    -> banded buckets -> candidate join on (band, bucket) -> signature
+    agreement — with NO exact re-verification pass, which is precisely
+    how you dedup when re-tokenizing candidates is too expensive at
+    scale. Estimate resolution is 1/8 (8 seeds).
+    """
+    tune(spark)
+    buckets = dedup_minhash_buckets(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(MINHASH_SEEDS)
+        ]
+    )
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_SEEDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_SEEDS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_SEEDS)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(MINHASH_SEEDS))).alias("jaccard_est"),
+        )
+    )
+
+
+_est_sig_a = ",\n           ".join(
+    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(MINHASH_SEEDS)
+)
+_est_agree = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_SEEDS)
+)
+
+MINHASH_EST_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+sigs AS (
+    SELECT doc_id,
+           {_est_sig_a}
+    FROM sh GROUP BY doc_id
+),
+buckets AS (
+    {_minhash_band_rows.replace("FROM sigs", "FROM sigs ")}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       ({_est_agree}) / {MINHASH_SEEDS}.0 AS jaccard_est
+FROM cand
+JOIN sigs a ON a.doc_id = doc_a
+JOIN sigs b ON b.doc_id = doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_buckets": dedup_minhash_buckets,
     "dedup_simhash": dedup_simhash,
@@ -355,6 +448,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
+    "dedup_minhash_estimate": MINHASH_EST_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,
     "dedup_minhash_buckets": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,

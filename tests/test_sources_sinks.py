@@ -54,6 +54,28 @@ def test_libsvm_source_roundtrip(spark, tmp_path):
     assert {r.label for r in rows} == {0.0, 1.0}
 
 
+def test_json_source_roundtrip(spark, tmp_path):
+    """JSON lines sink + schema-explicit source (inference is a
+    correctness hazard; production reads always pin the schema)."""
+    from projetbigdata_spark.sources.catalog import load_events
+
+    out = str(tmp_path / "events_json")
+    e = load_events(spark, SF_SMOKE).select("event_id", "event_type", "value")
+    e.write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id long, event_type string, value double").json(out)
+    assert back.count() == e.count()
+    assert back.subtract(e).count() == 0 and e.subtract(back).count() == 0
+
+
+def test_catalog_rejects_unknown_table(spark):
+    import pytest as _pytest
+
+    from projetbigdata_spark.sources.catalog import load_table
+
+    with _pytest.raises(KeyError, match="unknown table"):
+        load_table(spark, SF_SMOKE, "nope")
+
+
 def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     """Distributed sink partitioned by `lang`; a lang-filtered read
     must touch only that partition (partition pruning)."""
