@@ -356,7 +356,6 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. Estimate resolution is 1/8 (8 seeds).
     """
     tune(spark)
-    buckets = dedup_minhash_buckets(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -364,6 +363,25 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_SEEDS)
         ]
     )
+    # bands derived from the SAME sigs aggregate (one shingle scan for
+    # the whole query; the signature exchange is reused for the
+    # candidate side and both agreement sides)
+    per_band = MINHASH_SEEDS // MINHASH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * per_band + j}") for j in range(per_band)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     cand = (
         buckets.alias("x")
         .join(
