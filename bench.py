@@ -31,7 +31,9 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_buckets",
     "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
     "events_session_30m",
+    "events_multi_rollup",
 ]
 
 
