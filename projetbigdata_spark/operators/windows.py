@@ -8,8 +8,10 @@ ntile — over `orders` and `events`.
 
 Scale notes: every query partitions by a high-cardinality key
 (customer, user) so window state stays per-group and shuffles are the
-single exchange on the partition key. No global-order windows here —
-those serialize to one partition (the flagship vocab_topk accepts that
+single exchange on the partition key. The only global-order windows
+(ntile/percent_rank over customers) run on dimension-sized inputs —
+global windows over fact tables serialize to one partition and are
+deliberately absent (the flagship vocab_topk accepts a global window
 only because it runs post-aggregation on |vocab| rows).
 
 Determinism: every ORDER BY carries a unique tiebreak column so Spark
@@ -157,7 +159,66 @@ FROM customer
 """
 
 
+def window_distribution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions: percent_rank + cume_dist of customers by
+    balance within their nation (per-nation windows — distributed)."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+DISTRIBUTION_SQL = """
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full frame per customer:
+    each order annotated with the customer's first and latest order
+    dates (the frame spec matters — default frames stop at CURRENT ROW
+    for last_value, a classic gotcha both engines share)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order"),
+        F.last("o_orderdate").over(w).alias("latest_order"),
+        F.count("*").over(w).alias("n_orders"),
+    )
+
+
+FIRST_LAST_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderdate) OVER w AS first_order,
+       last_value(o_orderdate)  OVER w AS latest_order,
+       count(*) OVER w AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
+    "window_distribution": window_distribution_customers,
+    "window_first_last": window_first_last_orders,
     "window_rank_orders": window_rank_orders,
     "window_lag_lead": window_lag_lead_events,
     "window_running_sum": window_running_sum_orders,
@@ -166,6 +227,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "window_distribution": DISTRIBUTION_SQL,
+    "window_first_last": FIRST_LAST_SQL,
     "window_rank_orders": RANK_SQL,
     "window_lag_lead": LAG_SQL,
     "window_running_sum": RUNSUM_SQL,
