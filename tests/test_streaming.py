@@ -109,6 +109,74 @@ def test_streaming_stateful_running_totals(spark, events_dir):
     assert bad.count() == 0
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Late-data drop: a second micro-batch whose events are older than
+    (watermark = max_seen - 2h) must NOT appear in the aggregation.
+    Files are staged with controlled names+mtimes so FileStreamSource
+    processes on-time data first."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        tumbling_counts_stream,
+    )
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write_events(rows, fname):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = next(
+            p for p in (tmp_path / "stage").iterdir() if p.name.endswith(".parquet")
+        )
+        part.rename(d / fname)
+
+    base_ns = 1_700_000_000 * 10**9
+    hour_ns = 3600 * 10**9
+    now = time.time()
+    # batch 0: t0+10h — sets the event-time high-water mark
+    write_events(
+        [(1, base_ns + 10 * hour_ns, 1, "click", 1.0, "{}")], "a_ontime.parquet"
+    )
+    os.utime(d / "a_ontime.parquet", (now - 100, now - 100))
+    # batch 1: another on-time event — the watermark committed after
+    # batch 0 (t0+8h) becomes the INPUT filter from this batch's commit
+    # onward (watermarks apply one batch after they're computed)
+    write_events(
+        [(2, base_ns + 11 * hour_ns, 1, "view", 2.0, "{}")],
+        "b_ontime.parquet",
+    )
+    os.utime(d / "b_ontime.parquet", (now - 50, now - 50))
+    # batch 2: an event at t0 — 10h older than the 2h watermark: late
+    write_events([(3, base_ns, 1, "click", 1.0, "{}")], "c_late.parquet")
+    os.utime(d / "c_late.parquet", (now, now))
+
+    # update mode: late input rows are filtered before aggregation
+    # (complete mode retains all state and cannot demonstrate the drop)
+    stream = tumbling_counts_stream(read_events_stream(spark, str(d)))
+    q = run_to_memory_sink(stream, "late_sink", mode="update")
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, [p["batchId"] for p in q.recentProgress]
+    import datetime as dt
+
+    t0 = dt.datetime.utcfromtimestamp(base_ns / 10**9)
+    starts = {r.window_start for r in spark.table("late_sink").collect()}
+    assert t0.replace(minute=0, second=0) not in starts, starts
+    assert len(starts) == 2, starts
+
+
 def test_streaming_dedup_counts(spark, events_dir):
     from projetbigdata_spark.sources.catalog import load_events
     from projetbigdata_spark.streaming.jobs import (
