@@ -273,7 +273,36 @@ FROM lineitem"""
 TABLE_STATS_SQL = _stats_union
 
 
+# --------------------------------------------------------------------------
+# subquery_correlated — correlated scalar subquery (customers above
+# their nation's average balance). Catalyst decorrelates this into an
+# aggregate + join (DecorrelateInnerQuery) — the declarative spelling
+# costs nothing vs. writing the join by hand, and stays readable.
+# --------------------------------------------------------------------------
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey,
+               round(c_acctbal, 2) AS acctbal
+        FROM v_cust_sq o
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_cust_sq i
+                           WHERE i.c_nationkey = o.c_nationkey)
+        """
+    )
+
+
+SUBQUERY_SQL = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+FROM customer o
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                   WHERE i.c_nationkey = o.c_nationkey)
+"""
+
+
 QUERIES = {
+    "subquery_above_nation_avg": subquery_above_nation_avg,
     "table_stats": table_stats,
     "array_functions": array_functions,
     "agg_pivot": agg_pivot_status_by_priority,
@@ -284,6 +313,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "subquery_above_nation_avg": SUBQUERY_SQL,
     "table_stats": TABLE_STATS_SQL,
     "array_functions": ARRAY_FUNCS_SQL,
     "agg_pivot": PIVOT_SQL,

@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "projetbigdata_spark.operators.vocabulary",
+    "projetbigdata_spark.functions.udtfs",
     "projetbigdata_spark.operators.relational",
     "projetbigdata_spark.operators.relational2",
     "projetbigdata_spark.operators.relational3",
