@@ -113,6 +113,42 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# q4_order_priority — TPC-H Q4 shape: EXISTS-correlated subquery
+# counted by priority. Catalyst rewrites the EXISTS into a left-semi
+# join on the fly — declared as a subquery, executed as the join the
+# hand-written version would be.
+# --------------------------------------------------------------------------
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q4")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders_q4
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem_q4
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # q10_returned_items — TPC-H Q10 shape: revenue lost to returns per
 # customer, top 20. The returnflag filter lands on the lineitem scan;
 # TakeOrderedAndProject keeps the global top-k off the driver.
@@ -444,6 +480,7 @@ QUERIES = {
     "sql_frontend_yearly_revenue": sql_frontend_yearly_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
+    "q4_order_priority": q4_order_priority,
     "q10_returned_items": q10_returned_items,
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
@@ -457,6 +494,7 @@ ORACLE_SQL = {
     "sql_frontend_yearly_revenue": SQL_FRONTEND_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
+    "q4_order_priority": Q4_SQL,
     "q10_returned_items": Q10_SQL,
     "q14_promo_share": Q14_SQL,
     "q18_large_orders": Q18_SQL,

@@ -201,7 +201,36 @@ FROM documents
 """
 
 
+def text_clean_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 `cleanLower` (script1.py:37-39) on the live fixture: HTML
+    break strip + lowercase, emitted as a content hash per doc so the
+    oracle verifies the transformed STRING, not a truncation of it.
+    (The fixture corpus has no literal `<br />`, so the regex is also
+    covered by unit tests on synthetic rows; this query pins the
+    expression's behavior on real data end-to-end.)"""
+    from projetbigdata_spark.functions.text import clean_lower
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("cleaned_md5"),
+        F.length(cleaned).alias("n_cleaned_chars"),
+    )
+
+
+CLEAN_SQL = """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '<br\\s*/>', ' ', 'g'))) AS cleaned_md5,
+       CAST(length(lower(regexp_replace(text, '<br\\s*/>', ' ', 'g')))
+            AS INT) AS n_cleaned_chars
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_clean_lower": text_clean_lower,
     "text_quality_scores": text_quality_scores,
     "text_lang_guess": text_lang_guess,
     "text_token_counts": text_token_counts,
@@ -209,6 +238,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "text_clean_lower": CLEAN_SQL,
     "text_quality_scores": QUALITY_SQL,
     "text_lang_guess": LANG_SQL,
     "text_token_counts": TOKCOUNT_SQL,

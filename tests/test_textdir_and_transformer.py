@@ -66,3 +66,20 @@ def test_catalyst_tokenizer_in_pipeline_roundtrip(spark, tmp_path):
     reloaded = PipelineModel.load(path)
     assert reloaded.transform(df).first().tokens == out
     assert reloaded.stages[0].getStopwords() == tok.getStopwords()
+
+
+def test_textdir_corpus_feeds_ml_pipeline(spark, tmp_path):
+    """The reference's actual user journey: point the engine at a raw
+    pos/neg directory and train the flagship pipeline on it directly —
+    the loader's output schema (review, label) is pipeline-ready."""
+    from projetbigdata_spark.ml.pipeline import build_pipeline
+    from projetbigdata_spark.sources.textdir import load_labeled_textdir
+
+    train_dir, _ = _write_corpus(tmp_path)
+    docs = load_labeled_textdir(spark, train_dir).withColumnRenamed(
+        "review", "text"
+    )
+    model = build_pipeline("lr", num_features=1 << 8).fit(docs)
+    scored = model.transform(docs)
+    assert scored.count() == 4
+    assert scored.where(F.col("prediction").isNull()).count() == 0
