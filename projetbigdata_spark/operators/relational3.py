@@ -301,7 +301,104 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
 """
 
 
+# --------------------------------------------------------------------------
+# join_interval_binned — time-range self-join with NO equi key ("error
+# events within 60s of each other"), the shape that's quadratic if
+# written naively. The scalable plan: bin each event into its 60s
+# bucket AND the next bucket (every qualifying pair shares at least one
+# bin), equi-join on the bin, filter the exact |Δt| predicate, dedup.
+# Shuffle volume is 2x|rows|, pair work is per-bin — never all-pairs.
+# The oracle IS the naive quadratic join (affordable at sf0.01).
+# --------------------------------------------------------------------------
+INTERVAL_US = 60_000_000
+
+
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    e = load_events(spark, sf_dir).where(F.col("event_type") == "error")
+    us = F.unix_micros(F.col("ts"))
+    binned = e.select(
+        "event_id",
+        us.alias("t_us"),
+        F.explode(
+            F.array(
+                (us - us % INTERVAL_US).alias("b0"),
+                (us - us % INTERVAL_US + INTERVAL_US),
+            )
+        ).alias("bin"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .where(
+            F.abs(F.col("a.t_us") - F.col("b.t_us")) <= INTERVAL_US
+        )
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            (F.col("b.t_us") - F.col("a.t_us")).alias("delta_us"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+INTERVAL_SQL = f"""
+WITH e AS (
+    SELECT event_id, epoch_us(ts) AS t_us FROM events
+    WHERE event_type = 'error'
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       b.t_us - a.t_us AS delta_us
+FROM e a JOIN e b
+  ON a.event_id < b.event_id
+ AND abs(a.t_us - b.t_us) <= {INTERVAL_US}
+"""
+
+
+# --------------------------------------------------------------------------
+# agg_maxby — max_by/min_by/any-style selection aggregates: "the
+# orderkey of the priciest order per status" without a window pass —
+# one hash-agg instead of a sort+filter, the cheaper top-1-per-group.
+# --------------------------------------------------------------------------
+def agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    # composite ordering encoded as one sortable integer (price cents *
+    # 1e9 + orderkey): ties on price break deterministically by orderkey
+    # — DuckDB's arg_max/min accept only scalar ordering keys
+    key = "CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000 + o_orderkey"
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(f"max_by(o_orderkey, {key})").alias("priciest_order"),
+        F.expr(f"min_by(o_orderkey, {key})").alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+MAXBY_SQL = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS cheapest_order,
+       round(max(o_totalprice), 2) AS max_price,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "join_interval_binned": join_interval_binned,
+    "agg_maxby": agg_maxby,
     "subquery_above_nation_avg": subquery_above_nation_avg,
     "table_stats": table_stats,
     "array_functions": array_functions,
@@ -313,6 +410,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "join_interval_binned": INTERVAL_SQL,
+    "agg_maxby": MAXBY_SQL,
     "subquery_above_nation_avg": SUBQUERY_SQL,
     "table_stats": TABLE_STATS_SQL,
     "array_functions": ARRAY_FUNCS_SQL,
