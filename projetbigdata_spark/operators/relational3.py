@@ -396,7 +396,88 @@ GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# agg_stats_exact — statistical aggregates (variance, stddev,
+# correlation) computed from EXACT decimal component sums (n, Σx, Σx²,
+# Σxy) instead of the built-in single-pass estimators: the built-ins
+# accumulate doubles in partition order, which diverges between engines
+# at the ulp level and can flip a rounding boundary. Component sums in
+# decimal are order-independent -> bit-identical derived stats. Still
+# ONE hash-agg pass; the algebra happens on the aggregated row.
+# --------------------------------------------------------------------------
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    comp = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(28,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(28,8)")).alias("syy"),
+        F.sum((x * y).cast("decimal(28,8)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    corr = cov / (F.sqrt(var_x) * F.sqrt(var_y))
+    return comp.select(
+        "l_returnflag",
+        "n",
+        F.round(var_x, 4).alias("var_qty"),
+        F.round(F.sqrt(var_x), 4).alias("stddev_qty"),
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+STATS_SQL = """
+WITH comp AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+           sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+           sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+               AS sxx,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+               AS syy,
+           sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                    * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+               AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+),
+d AS (
+    SELECT l_returnflag, n,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           CAST(sxy AS DOUBLE) AS sxy
+    FROM comp
+)
+SELECT l_returnflag, n,
+       round((sxx - sx * sx / nd) / (nd - 1), 4) AS var_qty,
+       round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 4) AS stddev_qty,
+       round((sxy - sx * sy / nd) / (nd - 1), 4) AS covar_qty_price,
+       round(((sxy - sx * sy / nd) / (nd - 1))
+             / (sqrt((sxx - sx * sx / nd) / (nd - 1))
+                * sqrt((syy - sy * sy / nd) / (nd - 1))), 6) AS corr_qty_price
+FROM d
+"""
+
+
 QUERIES = {
+    "agg_stats_exact": agg_stats_exact,
     "join_interval_binned": join_interval_binned,
     "agg_maxby": agg_maxby,
     "subquery_above_nation_avg": subquery_above_nation_avg,
@@ -410,6 +491,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "agg_stats_exact": STATS_SQL,
     "join_interval_binned": INTERVAL_SQL,
     "agg_maxby": MAXBY_SQL,
     "subquery_above_nation_avg": SUBQUERY_SQL,
