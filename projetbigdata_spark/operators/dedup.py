@@ -456,8 +456,87 @@ JOIN sigs b ON b.doc_id = doc_b
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph: turn pairwise
+    Jaccard edges into dedup GROUPS (every doc labeled with the min
+    doc_id reachable through near-dup edges — the id you keep).
+
+    The iterative algorithm the reference never had: min-label
+    propagation, one join+agg per round, driver loop only for the
+    convergence CHECK (one count per round — O(log n) rounds, never
+    row data). localCheckpoint breaks lineage so plans don't grow
+    exponentially — the standard Spark iteration idiom (same shape as
+    GraphX/connected-components on DataFrames).
+
+    Oracle: transitive closure via DuckDB recursive CTE + min over the
+    closure — identical labels, declarative spelling.
+    """
+    tune(spark)
+    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    # labels start as self; each round: label <- min(label, neighbors' labels)
+    labels = (
+        und.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(32):  # ceil(log2(n)) bound; fixture converges in ~3
+        neighbor_min = (
+            und.join(labels, und.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE edges AS (
+    {JACCARD_SQL.strip().rstrip()}
+),
+und AS (
+    SELECT doc_a, doc_b FROM edges
+    UNION
+    SELECT doc_b, doc_a FROM edges
+),
+reach(a, b) AS (
+    SELECT doc_a, doc_b FROM und
+    UNION
+    SELECT r.a, u.doc_b
+    FROM reach r JOIN und u ON r.b = u.doc_a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component_id
+FROM reach
+GROUP BY a
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_components": dedup_components,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_buckets": dedup_minhash_buckets,
@@ -466,6 +545,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
+    "dedup_components": COMPONENTS_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,
     "dedup_minhash_buckets": MINHASH_SQL,
