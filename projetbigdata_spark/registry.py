@@ -20,6 +20,7 @@ _MODULES = (
     "projetbigdata_spark.operators.relational",
     "projetbigdata_spark.operators.relational2",
     "projetbigdata_spark.operators.relational3",
+    "projetbigdata_spark.operators.quality",
     "projetbigdata_spark.operators.features",
     "projetbigdata_spark.operators.windows",
     "projetbigdata_spark.operators.tfidf",
