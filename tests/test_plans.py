@@ -21,6 +21,7 @@ CARTESIAN_OK = {
     "text_idf",  # crossJoin with a 1-row count aggregate (broadcast)
     "text_tfidf_top",
     "ml_chisq_tokens",
+    "quality_constraints",  # 1-row aggregate x 1-row orphan count combine
     "sim_lsh_buckets",  # 8x64 plane grid build
     "sim_ann_lsh_topk",  # same plane grid build
     # brute-force all-pairs baselines: the non-equi condition makes a
