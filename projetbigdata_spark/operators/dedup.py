@@ -534,9 +534,79 @@ GROUP BY a
 """
 
 
+LEVENSHTEIN_CAP = 200
+
+
+def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup, edit-distance tier: exact Levenshtein distance on
+    MinHash-bucket candidate pairs only (never all-pairs — the O(len^2)
+    DP per pair is affordable exactly because LSH pruned the pair set).
+    Both engines implement the same classic Levenshtein, so the
+    distances are oracle-checkable integers."""
+    tune(spark)
+    buckets = dedup_minhash_buckets(spark, sf_dir)
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("text_a"), F.col("text_b")).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= LEVENSHTEIN_CAP)
+    )
+
+
+LEVENSHTEIN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+sigs AS (
+    SELECT doc_id,
+           {_minhash_sig_cols}
+    FROM sh GROUP BY doc_id
+),
+buckets AS (
+    {_minhash_band_rows}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM cand
+JOIN documents a ON a.doc_id = doc_a
+JOIN documents b ON b.doc_id = doc_b
+WHERE levenshtein(a.text, b.text) <= {LEVENSHTEIN_CAP}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
+    "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_buckets": dedup_minhash_buckets,
@@ -546,6 +616,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
     "dedup_components": COMPONENTS_SQL,
+    "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,
     "dedup_minhash_buckets": MINHASH_SQL,
