@@ -362,7 +362,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
             for i in range(MINHASH_SEEDS)
         ]
-    )
+    ).localCheckpoint()  # 3 consumers (bands, both agreement sides)
     # bands derived from the SAME sigs aggregate (one shingle scan for
     # the whole query; the signature exchange is reused for the
     # candidate side and both agreement sides)
@@ -544,7 +544,10 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines implement the same classic Levenshtein, so the
     distances are oracle-checkable integers."""
     tune(spark)
-    buckets = dedup_minhash_buckets(spark, sf_dir)
+    # the bucket table is tiny (4 rows/doc) but expensive to derive
+    # (8 md5-min aggs over all shingles); localCheckpoint materializes
+    # it once instead of recomputing per self-join branch
+    buckets = dedup_minhash_buckets(spark, sf_dir).localCheckpoint()
     cand = (
         buckets.alias("x")
         .join(
@@ -555,6 +558,11 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        # the pair set is SMALL but each pair costs an O(len_a*len_b)
+        # DP — AQE would coalesce it to one partition (bytes-based) and
+        # serialize the whole verification onto one core (measured 60s
+        # -> ~3s). Explicit width keeps the expensive map parallel.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
