@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_buckets",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
+    "sim_ivf_topk",
     "events_session_30m",
     "events_multi_rollup",
 ]

@@ -342,11 +342,231 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF tier: k-means coarse quantizer + posting lists + nprobe search.
+#
+# The third ANN deployment shape (after brute force and banded LSH):
+# partition the vector space with a small centroid codebook, store each
+# vector in its nearest centroid's posting list, and at query time scan
+# only the nprobe nearest lists. On clustered real-world embeddings this
+# is the recall/cost sweet spot; on the uniform-random fixtures it
+# behaves like a fair random partition (recall ~ nprobe/k per list), so
+# the pytest gate checks candidate pruning + exactness-of-rerank rather
+# than a high recall floor.
+#
+# Everything before the rerank runs in EXACT integer arithmetic
+# (micro-unit bigints): coordinates quantized once to round(x * 1e6),
+# centroid means re-quantized after each Lloyd step, distances are
+# integer sums of squares. Exact ints make the argmin assignment
+# deterministic across engines and partition orders, which is what lets
+# an *iterative k-means* be value-hash-checked against DuckDB (the
+# Lloyd iterations unroll to plain CTEs). At 100 TB: the centroid side
+# of every join is k x d rows (tiny, broadcast); vectors shuffle once
+# per iteration for the mean update; posting-list search is an
+# equi-join on cid — never all-pairs.
+# ---------------------------------------------------------------------------
+
+MICRO = 1_000_000
+K_CENTROIDS = 16
+N_PROBE = 4
+SEED_LO, SEED_HI = N_QUERIES, N_QUERIES + K_CENTROIDS  # vec_ids 10..25 seed
+
+
+def _micro_long(df: DataFrame) -> DataFrame:
+    """(vec_id, dim, xs): embedding coords in exact micro-units."""
+    return df.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * MICRO).cast("bigint"),
+            )
+        ).alias("dim", "xs"),
+    )
+
+
+def _nearest_centroid(vec_long: DataFrame, cent_long: DataFrame) -> DataFrame:
+    """(vec_id, cid): argmin over exact integer squared distances;
+    ties broken by cid, so fully deterministic."""
+    d2 = ((F.col("xs") - F.col("ms")) * (F.col("xs") - F.col("ms"))).alias("d2")
+    dists = (
+        vec_long.join(F.broadcast(cent_long), "dim")
+        .select("vec_id", "cid", d2)
+        .groupBy("vec_id", "cid")
+        .agg(F.sum("d2").alias("d"))
+    )
+    return (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("best"))
+        .select("vec_id", F.col("best").getField("cid").alias("cid"))
+    )
+
+
+def _lloyd_update(vec_long: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cid, dim, ms): per-dim mean, re-quantized to micro-units.
+    The bigint sum is exact (order-free); the single double division
+    and round are bit-identical across engines."""
+    return (
+        vec_long.join(assign, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(F.sum("xs").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("ms")
+        )
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded centroids -> 2 unrolled Lloyd iterations ->
+    posting lists -> nprobe=4 probe -> exact cosine rerank, top-5 per
+    query vector. Same output schema as sim_ann_lsh_topk."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    vec = _micro_long(load_table(spark, sf_dir, "embeddings"))
+    vec.persist()  # reused by 3 assignments + 2 mean updates + probe
+
+    cents = vec.where(
+        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_HI)
+    ).select(
+        (F.col("vec_id") - SEED_LO).cast("int").alias("cid"),
+        "dim",
+        F.col("xs").alias("ms"),
+    )
+    for _ in range(2):  # Lloyd iterations, unrolled in the oracle SQL
+        cents = _lloyd_update(vec, _nearest_centroid(vec, cents))
+    posting = _nearest_centroid(vec, cents)  # final posting lists
+
+    qd2 = ((F.col("xs") - F.col("ms")) * (F.col("xs") - F.col("ms"))).alias("d2")
+    qdists = (
+        vec.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents), "dim")
+        .select("vec_id", "cid", qd2)
+        .groupBy("vec_id", "cid")
+        .agg(F.sum("d2").alias("d"))
+    )
+    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
+    probes = (
+        qdists.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        probes.join(posting, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
+def _ivf_assign_cte(tag: str, cents: str) -> str:
+    """One unrolled Lloyd assignment as DuckDB CTE text."""
+    return f"""
+d{tag} AS (
+    SELECT v.vec_id, c.cid, sum((xs - ms) * (xs - ms)) AS d
+    FROM v JOIN {cents} c USING (dim)
+    GROUP BY 1, 2
+),
+a{tag} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{tag}) WHERE rn = 1
+)"""
+
+
+IVF_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+c0 AS (
+    SELECT CAST(vec_id - {SEED_LO} AS INT) AS cid, dim, xs AS ms
+    FROM v WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+),
+{_ivf_assign_cte("1", "c0")},
+c1 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("2", "c1")},
+c2 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a2 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("3", "c2")},
+qp AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY sum((xs - ms) * (xs - ms)),
+                                           c.cid) AS pr
+        FROM v JOIN c2 c USING (dim)
+        WHERE v.vec_id < {N_QUERIES}
+        GROUP BY v.vec_id, c.cid) WHERE pr <= {N_PROBE}
+),
+cand AS (
+    SELECT qp.query_id, a3.vec_id
+    FROM qp JOIN a3 USING (cid)
+    WHERE a3.vec_id <> qp.query_id
+),
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, n.e) / (q.norm * n.norm), 6) AS cosine
+    FROM cand
+    JOIN nv n ON n.vec_id = cand.vec_id
+    JOIN nv q ON q.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 ORACLE_SQL = {
@@ -354,4 +574,5 @@ ORACLE_SQL = {
     "sim_lsh_buckets": LSH_SQL,
     "sim_neardup_pairs": NEARDUP_SQL,
     "sim_ann_lsh_topk": ANN_SQL,
+    "sim_ivf_topk": IVF_SQL,
 }
