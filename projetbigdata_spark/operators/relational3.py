@@ -476,8 +476,54 @@ FROM d
 """
 
 
+def join_bucketed_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through the opt-in bucketed catalog layout
+    (sources/catalog.py:ensure_bucketed): both sides persisted
+    bucketBy(orderkey), so a repeated orders⋈lineitem join reads the
+    layout back with zero Exchange when neither side broadcasts —
+    pinned in tests/test_bucketing.py. At this sf Catalyst rightly
+    broadcasts the orders side instead (bucketing is a no-op, not a
+    pessimization); results are layout-independent, which is exactly
+    what this oracle checks.
+
+    Replaces the reference's only join idiom — driver-side broadcast
+    dict probes (main_reglogit.py:72-77) — with the at-scale shape it
+    cannot express: a co-located fact-to-fact equi join.
+    """
+    tune(spark)
+    import os
+
+    from projetbigdata_spark.sources.catalog import ensure_bucketed
+
+    # pin the layout under the repo regardless of the driver's cwd
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    o = ensure_bucketed(spark, sf_dir, "orders", path_root=root)
+    li = ensure_bucketed(spark, sf_dir, "lineitem", path_root=root)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_stats_exact": agg_stats_exact,
+    "join_bucketed_priority_counts": join_bucketed_priority_counts,
     "join_interval_binned": join_interval_binned,
     "agg_maxby": agg_maxby,
     "subquery_above_nation_avg": subquery_above_nation_avg,
@@ -492,6 +538,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "agg_stats_exact": STATS_SQL,
+    "join_bucketed_priority_counts": BUCKETED_JOIN_SQL,
     "join_interval_binned": INTERVAL_SQL,
     "agg_maxby": MAXBY_SQL,
     "subquery_above_nation_avg": SUBQUERY_SQL,

@@ -33,6 +33,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+BUCKET_KEYS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "customer": "c_custkey",
+}
+N_BUCKETS = 8
+
+
+def _bucketed_name(sf_dir: str, name: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{name}_bkt_{tag}"
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_buckets: int = N_BUCKETS,
+    path_root: str | None = None,
+) -> DataFrame:
+    """Opt-in bucketed twin of a fact table: pay the shuffle once at
+    write time, then every equi-join/agg on the bucket key reads the
+    layout back shuffle-free (zero Exchange — pinned in
+    tests/test_bucketing.py). This is the deployment shape for a
+    fact⋈fact join that runs daily at 10^11 rows, where neither side
+    can broadcast.
+
+    Materializes once per (sf_dir, table) — later calls in the same
+    session reuse the catalog entry. Within one sf the bucket count
+    must stay fixed (co-located joins need equal bucketing on both
+    sides).
+    """
+    if name not in BUCKET_KEYS:
+        raise KeyError(f"no bucket key declared for {name!r}")
+    tbl = _bucketed_name(sf_dir, name)
+    if not spark.catalog.tableExists(tbl):
+        writer = (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(n_buckets, BUCKET_KEYS[name])
+            .sortBy(BUCKET_KEYS[name])
+            .mode("overwrite")
+        )
+        if path_root:
+            writer = writer.option("path", f"{path_root}/{tbl}")
+        writer.saveAsTable(tbl)
+    return spark.table(tbl)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan `events` with its nanosecond timestamp normalized to a real
     TimestampType column.

@@ -35,6 +35,51 @@ def bucketed_tables(spark, tmp_path_factory):
         spark.sql(f"DROP TABLE IF EXISTS {name}_bucketed")
 
 
+def test_catalog_ensure_bucketed_colocated_join(spark, tmp_path):
+    """The catalog's opt-in bucketed layout (ensure_bucketed) gives the
+    same zero-Exchange SMJ without per-test setup, reuses the
+    materialized table on repeat calls, and roundtrips values."""
+    from projetbigdata_spark.sources.catalog import (
+        _bucketed_name,
+        ensure_bucketed,
+        load_table,
+    )
+
+    root = str(tmp_path)
+    o = ensure_bucketed(spark, SF_SMOKE, "orders", path_root=root)
+    li = ensure_bucketed(spark, SF_SMOKE, "lineitem", path_root=root)
+    try:
+        assert spark.catalog.tableExists(_bucketed_name(SF_SMOKE, "orders"))
+        # repeat call must reuse the catalog entry, not rewrite
+        o2 = ensure_bucketed(spark, SF_SMOKE, "orders", path_root=root)
+        assert o2.count() == o.count()
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert "Exchange hashpartitioning(l_orderkey" not in plan
+            assert "Exchange hashpartitioning(o_orderkey" not in plan
+            n_bucketed = joined.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        n_plain = (
+            load_table(spark, SF_SMOKE, "lineitem")
+            .join(
+                load_table(spark, SF_SMOKE, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n_bucketed == n_plain
+    finally:
+        for name in ("orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {_bucketed_name(SF_SMOKE, name)}")
+
+
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     o = spark.table("orders_bucketed")
     l = spark.table("lineitem_bucketed")
