@@ -542,7 +542,16 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-bucket candidate pairs only (never all-pairs — the O(len^2)
     DP per pair is affordable exactly because LSH pruned the pair set).
     Both engines implement the same classic Levenshtein, so the
-    distances are oracle-checkable integers."""
+    distances are oracle-checkable integers.
+
+    Two cuts keep the DP cheap without changing results:
+    - length prefilter: |len_a - len_b| > cap already implies
+      dist > cap — a free Catalyst predicate, no DP at all;
+    - banded DP: Spark's 3-arg levenshtein(l, r, threshold) walks only
+      the Ukkonen band around the diagonal and bails out at the
+      threshold (returns -1), dropping per-pair cost from
+      O(len_a*len_b) to O(cap*min(len)).
+    """
     tune(spark)
     # the bucket table is tiny (4 rows/doc) but expensive to derive
     # (8 md5-min aggs over all shingles); localCheckpoint materializes
@@ -570,12 +579,17 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .where(
+            F.abs(F.length("text_a") - F.length("text_b")) <= LEVENSHTEIN_CAP
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein(F.col("text_a"), F.col("text_b")).alias("edit_dist"),
+            F.levenshtein(
+                F.col("text_a"), F.col("text_b"), LEVENSHTEIN_CAP
+            ).alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= LEVENSHTEIN_CAP)
+        .where(F.col("edit_dist") >= 0)  # banded DP returns -1 past the cap
     )
 
 
