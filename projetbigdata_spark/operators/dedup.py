@@ -473,6 +473,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def _min_label_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over undirected (doc_a, doc_b) edges ->
+    (node, label). One join+agg per round; driver sees only the
+    convergence count. localCheckpoint per round breaks lineage —
+    the standard Spark iteration idiom."""
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -508,6 +519,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+EST_COMPONENT_THRESHOLD = 0.5
+
+
+def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups straight from the MinHash ESTIMATE edges
+    (jaccard_est >= 0.5) — the 100 TB composition: signature agreement
+    already computed by the banded flow feeds component grouping
+    directly, skipping the exact shingle-intersection pass entirely
+    (no re-tokenization of candidates, one pipeline end-to-end).
+
+    Same min-label propagation as dedup_components; only the edge
+    source differs. Oracle: recursive-CTE transitive closure over the
+    identically-filtered estimate edges."""
+    tune(spark)
+    edges = (
+        dedup_minhash_estimate(spark, sf_dir)
+        .where(F.col("jaccard_est") >= EST_COMPONENT_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = _min_label_components(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -516,6 +550,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPONENTS_SQL = f"""
 WITH RECURSIVE edges AS (
     {JACCARD_SQL.strip().rstrip()}
+),
+und AS (
+    SELECT doc_a, doc_b FROM edges
+    UNION
+    SELECT doc_b, doc_a FROM edges
+),
+reach(a, b) AS (
+    SELECT doc_a, doc_b FROM und
+    UNION
+    SELECT r.a, u.doc_b
+    FROM reach r JOIN und u ON r.b = u.doc_a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component_id
+FROM reach
+GROUP BY a
+"""
+
+
+COMPONENTS_MINHASH_SQL = f"""
+WITH RECURSIVE edges AS (
+    SELECT doc_a, doc_b FROM (
+        {MINHASH_EST_SQL.strip()}
+    ) WHERE jaccard_est >= {EST_COMPONENT_THRESHOLD}
 ),
 und AS (
     SELECT doc_a, doc_b FROM edges
@@ -628,6 +685,7 @@ WHERE levenshtein(a.text, b.text) <= {LEVENSHTEIN_CAP}
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
+    "dedup_components_minhash": dedup_components_minhash,
     "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -638,6 +696,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
     "dedup_components": COMPONENTS_SQL,
+    "dedup_components_minhash": COMPONENTS_MINHASH_SQL,
     "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,
