@@ -13,22 +13,89 @@ from pyspark.sql import functions as F
 from projetbigdata_spark.session import tune
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over a DIRECTORY of events parquet files
-    (FileStreamSource rejects single-file paths; maxFilesPerTrigger
-    simulates micro-batch arrival — in deployment this is Kafka)."""
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def open_events_stream(spark: SparkSession, source: dict) -> DataFrame:
+    """Thin source abstraction: every streaming job consumes the SAME
+    normalized events stream (event_id, ts timestamp, user_id,
+    event_type, value, props), whatever transport delivers it. The
+    spec is a plain dict so deployment config can come straight from
+    JSON/env:
+
+      {"kind": "files", "path": dir, "max_files_per_trigger": 1}
+          — parquet directory (FileStreamSource); local tests + replay.
+      {"kind": "kafka", "bootstrap_servers": ..., "topic": ...,
+       "starting_offsets": "earliest", "max_offsets_per_trigger": N}
+          — deployment transport; JSON-encoded event per record,
+            decoded with from_json against the same schema. Needs the
+            spark-sql-kafka connector on the classpath (absent in this
+            container — construction is the tested surface elsewhere).
+      {"kind": "rate", "rows_per_second": N}
+          — built-in synthetic source mapped deterministically onto the
+            events schema; soak/load testing with zero fixtures.
+
+    Jobs stay transport-agnostic; only this function changes between
+    local runs and the cluster."""
     tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    kind = source.get("kind", "files")
+    if kind == "files":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option(
+                "maxFilesPerTrigger", int(source.get("max_files_per_trigger", 1))
+            )
+            .parquet(source["path"])
+        )
+        # parquet stores TIMESTAMP(NANOS); integer-truncate ns -> µs
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", source["bootstrap_servers"])
+            .option("subscribe", source["topic"])
+            .option("startingOffsets", source.get("starting_offsets", "earliest"))
+        )
+        if "max_offsets_per_trigger" in source:
+            reader = reader.option(
+                "maxOffsetsPerTrigger", int(source["max_offsets_per_trigger"])
+            )
+        parsed = reader.load().select(
+            F.from_json(F.col("value").cast("string"), EVENTS_RAW_SCHEMA).alias("e")
+        )
+        return parsed.select("e.*").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if kind == "rate":
+        raw = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", int(source.get("rows_per_second", 100)))
+            .load()
+        )
+        # deterministic synthetic events keyed off the rate counter
+        return raw.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 100).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+                (F.col("value") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            ((F.col("value") % 1000) / 10.0).alias("value"),
+            F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+        )
+    raise KeyError(f"unknown stream source kind {kind!r}")
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Back-compat wrapper: the file-transport spec of
+    open_events_stream (in deployment the same jobs run on Kafka by
+    swapping the source dict)."""
+    return open_events_stream(spark, {"kind": "files", "path": events_dir})
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:

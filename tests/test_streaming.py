@@ -195,3 +195,30 @@ def test_streaming_dedup_counts(spark, events_dir):
     assert (
         streamed.select("user_id", "event_type").subtract(batch_keys).count() == 0
     )
+
+
+def test_stream_source_abstraction(spark, events_dir):
+    """open_events_stream: every transport yields the SAME normalized
+    schema, so jobs are transport-agnostic. The rate transport is
+    exercised plan-side (composes with a real job); files transport
+    execution is covered by the drain tests above."""
+    import pytest
+
+    from projetbigdata_spark.streaming.jobs import (
+        open_events_stream,
+        read_events_stream,
+        tumbling_counts_stream,
+    )
+
+    files = open_events_stream(spark, {"kind": "files", "path": events_dir})
+    rate = open_events_stream(spark, {"kind": "rate", "rows_per_second": 10})
+    assert files.isStreaming and rate.isStreaming
+    assert [f.name for f in files.schema] == [f.name for f in rate.schema]
+    assert dict(files.dtypes)["ts"] == dict(rate.dtypes)["ts"] == "timestamp"
+    # back-compat wrapper is the files spec
+    assert read_events_stream(spark, events_dir).schema == files.schema
+    # a real job composes with the synthetic transport (plan builds;
+    # no execution — rate streams never terminate)
+    tumbling_counts_stream(rate)
+    with pytest.raises(KeyError):
+        open_events_stream(spark, {"kind": "pulsar"})
