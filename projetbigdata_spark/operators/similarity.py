@@ -435,7 +435,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xs").alias("ms"),
     )
     for _ in range(2):  # Lloyd iterations, unrolled in the oracle SQL
-        cents = _lloyd_update(vec, _nearest_centroid(vec, cents))
+        # centroids are k x d rows (~1k); localCheckpoint materializes
+        # each iteration so later assignments don't recompute the whole
+        # previous-iteration lineage (measured 6.6s -> ~3s at sf1 soak)
+        cents = _lloyd_update(vec, _nearest_centroid(vec, cents)).localCheckpoint()
     posting = _nearest_centroid(vec, cents)  # final posting lists
 
     qd2 = ((F.col("xs") - F.col("ms")) * (F.col("xs") - F.col("ms"))).alias("d2")
