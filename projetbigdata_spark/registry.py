@@ -20,11 +20,13 @@ _MODULES = (
     "projetbigdata_spark.operators.relational",
     "projetbigdata_spark.operators.relational2",
     "projetbigdata_spark.operators.relational3",
+    "projetbigdata_spark.operators.relational4",
     "projetbigdata_spark.operators.quality",
     "projetbigdata_spark.operators.features",
     "projetbigdata_spark.operators.windows",
     "projetbigdata_spark.operators.tfidf",
     "projetbigdata_spark.operators.textstats",
+    "projetbigdata_spark.operators.sampling",
     "projetbigdata_spark.operators.dedup",
     "projetbigdata_spark.operators.similarity",
     "projetbigdata_spark.streaming.events_batch",
