@@ -184,14 +184,96 @@ GROUP BY o_year
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their
+    part's average quantity. Written in the decorrelated form Catalyst
+    would rewrite the correlated subquery into anyway — per-part avg as
+    a pre-aggregation (shuffle carries |parts| rows), broadcast back
+    into the fact scan. Quantities are integral doubles, so the avg is
+    exact under any summation order and the `<` threshold can't flip
+    between engines; the revenue sum uses decimal (order-independent).
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    revenue = F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(per_part_avg),
+            F.col("l_partkey") == F.col("avg_partkey"),
+        )
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round((revenue / F.lit(7.0)).cast("double"), 2).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE),
+             2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier breadth per part attribute,
+    EXCLUDING suppliers matched by a subquery (NOT IN -> left_anti
+    join). The anti join runs on the small supplier dim (broadcast);
+    count(DISTINCT) shuffles (brand, type, suppkey) then re-aggregates
+    — Catalyst's two-phase distinct-agg expansion."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    bad_sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 25
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type
+"""
+
+
 QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
+    "q16_supplier_breadth": q16_supplier_breadth,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q9_product_profit": q9_product_profit,
     "q8_market_share": q8_market_share,
 }
 
 ORACLE_SQL = {
     "q13_customer_distribution": Q13_SQL,
+    "q16_supplier_breadth": Q16_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
     "q9_product_profit": Q9_SQL,
     "q8_market_share": Q8_SQL,
 }
