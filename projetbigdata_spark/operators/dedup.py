@@ -568,6 +568,55 @@ GROUP BY a
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DOCUMENTS: the semantic tier of
+    the dedup ladder (exact -> MinHash/Jaccard -> SimHash -> edit
+    distance -> embedding cosine). Vector pairs above the cosine
+    threshold (sim_neardup_pairs; LSH-prunable at scale) joined back to
+    document metadata via the 1:1 doc_id = vec_id key — paraphrases
+    that share no shingles still collide here. same_lang flags
+    cross-language pairs (embedding spaces are multilingual; shingle
+    tiers are not)."""
+    from projetbigdata_spark.operators.similarity import sim_neardup_pairs
+
+    tune(spark)
+    pairs = sim_neardup_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    da = docs.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
+    db = docs.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(F.broadcast(da), "vec_a")
+        .join(F.broadcast(db), "vec_b")
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cosine",
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+        )
+    )
+
+
+EMBED_COSINE_SQL = """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.4
+)
+SELECT doc_a, doc_b, cosine,
+       (da.lang = db.lang) AS same_lang
+FROM pairs
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+"""
+
+
 COMPONENTS_MINHASH_SQL = f"""
 WITH RECURSIVE edges AS (
     SELECT doc_a, doc_b FROM (
@@ -686,6 +735,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
     "dedup_components_minhash": dedup_components_minhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -697,6 +747,7 @@ ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
     "dedup_components": COMPONENTS_SQL,
     "dedup_components_minhash": COMPONENTS_MINHASH_SQL,
+    "dedup_embedding_cosine": EMBED_COSINE_SQL,
     "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,

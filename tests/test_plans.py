@@ -29,6 +29,7 @@ CARTESIAN_OK = {
     # LSH-bucketed variant (sim_lsh_buckets)
     "sim_topk_bruteforce",
     "sim_neardup_pairs",
+    "dedup_embedding_cosine",  # builds on sim_neardup_pairs' all-pairs
 }
 
 
