@@ -1,0 +1,167 @@
+"""Event-sequence analytics: gaps-and-islands sessionization and
+ordered funnel conversion — the two classic product-analytics shapes
+the windowed-agg family (streaming/events_batch.py) doesn't cover.
+
+Both are one-shuffle-on-user_id plans: sessionization is lag + running
+sum inside a single Window partition spec (the two window functions
+share one Exchange/Sort); the funnel is three ordered conditional
+minima per user then a single global count. Nothing here touches the
+driver; at 100 TB both scale with |users| post-shuffle.
+
+Timestamps compare as exact epoch microseconds (bigint) so the
+30-minute gap predicate and the strict `>` stage ordering can't drift
+between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_events
+
+GAP_MINUTES = 30
+_GAP_US = GAP_MINUTES * 60 * 1_000_000
+
+
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap since the user's previous event exceeds 30 minutes; session_id
+    is the running count of session starts. The window-function
+    spelling of what session_window(ts, '30 minutes') computes —
+    complementary because it yields a PER-EVENT session assignment
+    (joinable back to raw events), not just closed session windows."""
+    tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "ts"
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(order)
+    is_new = F.when(
+        gap.isNull() | (gap > _GAP_US), F.lit(1).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    with_session = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+GAPS_SQL = f"""
+WITH seq AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN gap IS NULL OR gap > {_GAP_US} THEN 1 ELSE 0 END AS is_new,
+           us
+    FROM seq
+),
+sess AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+FUNNEL_STAGES = ("click", "view", "purchase")
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose earliest click precedes a view
+    precedes a purchase (strict event-time order, not mere presence).
+    Stage 1 is a conditional min per user; stages 2 and 3 re-scan only
+    the matching event type joined on user_id (co-partitioned shuffle).
+    Output is the stage-by-stage surviving-user count."""
+    tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("us"))).alias(
+            "t1"
+        )
+    ).where(F.col("t1").isNotNull())
+    t2 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(t1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(t2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    staged = t1.join(t2, "user_id", "left_outer").join(t3, "user_id", "left_outer")
+    return staged.agg(
+        F.count("t1").alias("n_clicked"),
+        F.count("t2").alias("n_viewed_after"),
+        F.count("t3").alias("n_purchased_after"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH t1 AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                    THEN epoch_us(ts) END) AS t1
+    FROM events GROUP BY user_id
+    HAVING t1 IS NOT NULL
+),
+t2 AS (
+    SELECT e.user_id, min(epoch_us(ts)) AS t2
+    FROM events e JOIN t1 USING (user_id)
+    WHERE event_type = '{FUNNEL_STAGES[1]}' AND epoch_us(ts) > t1
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, min(epoch_us(ts)) AS t3
+    FROM events e JOIN t2 USING (user_id)
+    WHERE event_type = '{FUNNEL_STAGES[2]}' AND epoch_us(ts) > t2
+    GROUP BY e.user_id
+)
+SELECT count(t1.t1) AS n_clicked,
+       count(t2.t2) AS n_viewed_after,
+       count(t3.t3) AS n_purchased_after
+FROM t1
+LEFT OUTER JOIN t2 USING (user_id)
+LEFT OUTER JOIN t3 USING (user_id)
+"""
+
+
+QUERIES = {
+    "events_gaps_islands": events_gaps_islands,
+    "events_funnel_conversion": events_funnel_conversion,
+}
+
+ORACLE_SQL = {
+    "events_gaps_islands": GAPS_SQL,
+    "events_funnel_conversion": FUNNEL_SQL,
+}

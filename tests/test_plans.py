@@ -91,3 +91,13 @@ def test_scan_prunes_columns(spark):
     assert scan_lines, "no parquet scan found"
     for line in scan_lines:
         assert "lang" not in line and "n_chars" not in line, line
+
+
+def test_gaps_islands_single_shuffle(spark):
+    """Sessionization must be ONE shuffle on user_id: both window
+    functions share the partition spec, and the downstream
+    (user_id, session_id) aggregation is satisfied by the existing
+    user_id partitioning — no second Exchange."""
+    df = QUERIES["events_gaps_islands"](spark, SF_CHECK)
+    plan = pi.physical_plan(df)
+    assert plan.count("Exchange") == 1, plan
