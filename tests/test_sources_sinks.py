@@ -92,3 +92,22 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     # pruning is visible in the physical plan's PartitionFilters
     plan = en._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_orc_sink_source_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively (S5-class
+    source breadth): values and schema must survive a write/read
+    roundtrip, including the array<float> embedding column."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.sources.catalog import load_table
+
+    src = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "emb_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = src.agg(F.sum("vec_id")).first()[0]
+    b = back.agg(F.sum("vec_id")).first()[0]
+    assert a == b
