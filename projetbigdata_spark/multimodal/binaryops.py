@@ -187,7 +187,57 @@ FROM documents
 """
 
 
+N_FEATURE_BUCKETS = 8
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary column — the stage where a
+    real pipeline runs CLIP/audio embedding models per media payload.
+    The deterministic stand-in is an 8-bucket byte histogram (numpy
+    bincount over payload bytes mod 8), emitted long-form so the
+    oracle can verify every feature value exactly. The Spark shape is
+    the real one: Arrow-batched mapInPandas, vectorized kernel per
+    batch, 1-row-to-K-features expansion, no driver involvement."""
+    import numpy as np
+
+    tune(spark)
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_bucket, out_n = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                counts = np.bincount(
+                    np.frombuffer(payload, dtype=np.uint8) % N_FEATURE_BUCKETS,
+                    minlength=N_FEATURE_BUCKETS,
+                )
+                for b in range(N_FEATURE_BUCKETS):
+                    if counts[b]:
+                        out_doc.append(doc_id)
+                        out_bucket.append(b)
+                        out_n.append(int(counts[b]))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "bucket": out_bucket, "n": out_n}
+            )
+
+    return docs.select("doc_id", "payload").mapInPandas(
+        extract, "doc_id long, bucket int, n long"
+    )
+
+
+FEATURE_SQL = f"""
+SELECT doc_id,
+       CAST(ascii(substr(text, pos, 1)) % {N_FEATURE_BUCKETS} AS INT)
+           AS bucket,
+       count(*) AS n
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1, length(text))) AS pos)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_meta": multimodal_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -195,6 +245,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "multimodal_feature_extract": FEATURE_SQL,
     "multimodal_meta": META_SQL,
     "multimodal_resize": RESIZE_SQL,
     "multimodal_frame_sample": FRAME_SQL,
