@@ -262,7 +262,48 @@ GROUP BY p_brand, p_type
 """
 
 
+BIN_WIDTH = 5000
+
+
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem prices — the data-profiling
+    primitive behind distribution drift checks. bin = floor(x / width)
+    (identical IEEE division + floor in both engines); one hash-agg,
+    shuffle carries |bins| rows. Per-bin bounds use exact min/max, the
+    sum is decimal."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / BIN_WIDTH).cast("int")
+    return (
+        li.groupBy(bin_col.alias("price_bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("bin_total"),
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT CAST(floor(l_extendedprice / {BIN_WIDTH}) AS INT) AS price_bin,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS bin_min,
+       round(max(l_extendedprice), 2) AS bin_max,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           AS bin_total
+FROM lineitem
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "agg_histogram_bins": agg_histogram_bins,
     "q13_customer_distribution": q13_customer_distribution,
     "q16_supplier_breadth": q16_supplier_breadth,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -271,6 +312,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "agg_histogram_bins": HISTOGRAM_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q16_supplier_breadth": Q16_SQL,
     "q17_small_quantity_revenue": Q17_SQL,

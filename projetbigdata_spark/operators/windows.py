@@ -139,6 +139,41 @@ FROM events
 """
 
 
+def window_range_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour sum per user over EVENT TIME — a RANGE frame
+    keyed on epoch seconds, not a row-count frame: the frame holds
+    whatever number of events fell in the hour (rows frames can't
+    express this). Peers (equal timestamps) enter the frame together
+    in both engines; the sum is decimal, so peer order can't matter."""
+    tune(spark)
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("v").over(w).cast("double"), 2).alias("trailing_1h"),
+    )
+
+
+RANGE_TIME_SQL = """
+SELECT user_id, event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS trailing_1h
+FROM events
+"""
+
+
 def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucketing of customers by account balance."""
     tune(spark)
@@ -224,6 +259,7 @@ QUERIES = {
     "window_running_sum": window_running_sum_orders,
     "window_moving_avg": window_moving_avg_events,
     "window_ntile": window_ntile_customers,
+    "window_range_time": window_range_time_events,
 }
 
 ORACLE_SQL = {
@@ -234,4 +270,5 @@ ORACLE_SQL = {
     "window_running_sum": RUNSUM_SQL,
     "window_moving_avg": MOVAVG_SQL,
     "window_ntile": NTILE_SQL,
+    "window_range_time": RANGE_TIME_SQL,
 }
