@@ -1,0 +1,112 @@
+"""End-to-end LLM training-corpus curation — the north-star extension
+families composed into ONE distributed dataflow:
+
+    documents
+      -> quality gate      (text_quality_scores: length / punctuation /
+                            stopword-ratio thresholds)
+      -> exact dedup       (md5 content hash, keep lowest doc_id)
+      -> near-dup dedup    (MinHash-estimate edges -> connected
+                            components, keep component representative)
+      -> split assignment  (deterministic md5-bucket train/val/test —
+                            re-runs and engine changes never move a doc)
+      -> partitioned parquet sink (write.partitionBy("split"))
+
+    python examples/corpus_curation.py [sf_dir] [out_dir]
+
+Every stage is one of the registered, oracle-checked operators; this
+script only composes them. The whole flow is shuffle-bounded (hash agg
+for exact dedup, banded LSH joins for near-dup, label propagation for
+components), no driver collect anywhere except the final summary
+counts. Integration-tested in tests/test_curation_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from projetbigdata_spark.operators.dedup import (  # noqa: E402
+    dedup_components_minhash,
+    dedup_exact,
+)
+from projetbigdata_spark.operators.sampling import _hash_bucket  # noqa: E402
+from projetbigdata_spark.operators.textstats import (  # noqa: E402
+    text_quality_scores,
+)
+from projetbigdata_spark.session import get_spark  # noqa: E402
+from projetbigdata_spark.sources.catalog import load_table  # noqa: E402
+
+MIN_WORDS = 20
+MAX_STOPWORD_RATIO = 0.6
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus: (doc_id, text, lang, split). Deterministic —
+    same input always yields byte-identical output."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate — keep docs long enough and not stopword soup
+    quality = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "stop_ratio"
+    )
+    kept = (
+        docs.join(quality, "doc_id")
+        .where(
+            (F.col("n_tokens") >= MIN_WORDS)
+            & (F.col("stop_ratio") <= MAX_STOPWORD_RATIO)
+        )
+        .select("doc_id", "text", "lang")
+    )
+
+    # 2. exact dedup — dedup_exact yields (content_md5, keep_id);
+    # keep each hash group's keeper
+    exact = dedup_exact(spark, sf_dir).select("content_md5", "keep_id")
+    kept = (
+        kept.withColumn("content_md5", F.md5(F.lower("text")))
+        .join(exact, "content_md5")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .drop("content_md5", "keep_id")
+    )
+
+    # 3. near-dup dedup — minhash-estimate components; keep each
+    # component's representative (min doc_id = component_id). Docs in
+    # no component have no near-dups and survive (left_anti on losers).
+    comp = dedup_components_minhash(spark, sf_dir)
+    losers = comp.where(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    kept = kept.join(losers, "doc_id", "left_anti")
+
+    # 4. deterministic split assignment (80/10/10 by md5 bucket)
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return kept.withColumn("split", split)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark("corpus-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    curated = curate(spark, sf_dir)
+    curated.write.mode("overwrite").partitionBy("split").parquet(out)
+
+    total = load_table(spark, sf_dir, "documents").count()
+    summary = (
+        spark.read.parquet(out).groupBy("split").agg(F.count("*").alias("n"))
+    )
+    print(f"input docs: {total}")
+    for r in summary.orderBy("split").collect():
+        print(f"  {r.split}: {r.n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Integration test for the corpus-curation composition
+(examples/corpus_curation.py): quality gate -> exact dedup -> near-dup
+components -> deterministic splits. Each stage is individually
+oracle-checked; this asserts the COMPOSITION'S row accounting and
+determinism."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CHECK
+
+_spec = importlib.util.spec_from_file_location(
+    "corpus_curation",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                 "examples", "corpus_curation.py"),
+)
+curation = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(curation)
+
+
+def test_curation_accounting_and_determinism(spark):
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_minhash,
+        dedup_exact,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    out = curation.curate(spark, SF_CHECK).cache()
+    total = load_table(spark, SF_CHECK, "documents").count()
+    kept = out.count()
+    assert 0 < kept < total  # every stage dropped something real
+
+    # no exact duplicates survive
+    assert (
+        out.groupBy(F.md5(F.lower("text"))).count().where("count > 1").count()
+        == 0
+    )
+    # no near-dup component contributes more than its representative
+    comp = dedup_components_minhash(spark, SF_CHECK)
+    survivors_in_comp = out.join(
+        comp.where(F.col("doc_id") != F.col("component_id")), "doc_id"
+    )
+    assert survivors_in_comp.count() == 0
+    # exact-dup losers are gone too
+    losers = (
+        load_table(spark, SF_CHECK, "documents")
+        .withColumn("content_md5", F.md5(F.lower("text")))
+        .join(dedup_exact(spark, SF_CHECK), "content_md5")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    assert out.join(losers, "doc_id").count() == 0
+
+    # split partition: complete, disjoint, deterministic
+    splits = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert set(splits) <= {"train", "val", "test"}
+    assert sum(splits.values()) == kept
+    assert splits["train"] > splits.get("val", 0)
+
+    # determinism: a second full evaluation yields identical assignments
+    again = curation.curate(spark, SF_CHECK)
+    assert out.select("doc_id", "split").subtract(
+        again.select("doc_id", "split")
+    ).count() == 0
+    out.unpersist()
