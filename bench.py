@@ -23,6 +23,7 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q9_product_profit",
     "q18_large_orders",
     "join_asof_purchase_click",
     "window_rank_orders",
@@ -35,6 +36,8 @@ HEADLINE = [
     "sim_ivf_topk",
     "events_session_30m",
     "events_multi_rollup",
+    "events_gaps_islands",
+    "dedup_components_minhash",
 ]
 
 

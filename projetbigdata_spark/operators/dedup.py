@@ -486,7 +486,10 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
     the standard Spark iteration idiom."""
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()  # materialize once: every round joins this edge
+    # list; without the checkpoint the whole upstream edge derivation
+    # (e.g. the full minhash flow) re-executes per round (measured
+    # 10.6s -> 7.4s at sf0.1; the remainder is per-round fixed cost)
     # labels start as self; each round: label <- min(label, neighbors' labels)
     labels = (
         und.select(F.col("doc_a").alias("node"))

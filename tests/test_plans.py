@@ -101,3 +101,11 @@ def test_gaps_islands_single_shuffle(spark):
     df = QUERIES["events_gaps_islands"](spark, SF_CHECK)
     plan = pi.physical_plan(df)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q9_broadcasts_dims_and_pushes_like(spark):
+    """q9's deep star: every dim side broadcast (no fact shuffle for
+    dim joins) and the p_name LIKE filter pushed into the part scan."""
+    df = QUERIES["q9_product_profit"](spark, SF_CHECK)
+    pi.assert_broadcast_join(df, "q9", at_least=3)
+    assert pi.has_pushed_filter(df, "p_name")
