@@ -503,6 +503,10 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # chg rides along in the same projection (nbr_label < old label),
+        # so ONE job per round serves both purposes: the lazy
+        # localCheckpoint is materialized by the convergence agg, and the
+        # old-vs-new re-join the check used to need is gone.
         new_labels = (
             labels.join(neighbor_min, "node", "left_outer")
             .select(
@@ -510,17 +514,15 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("chg"), 1).otherwise(0))
+        ).first()[0]
+        labels = new_labels.select("node", "label")
+        if not changed:
             break
     return labels
 

@@ -372,29 +372,43 @@ N_PROBE = 4
 SEED_LO, SEED_HI = N_QUERIES, N_QUERIES + K_CENTROIDS  # vec_ids 10..25 seed
 
 
-def _micro_long(df: DataFrame) -> DataFrame:
-    """(vec_id, dim, xs): embedding coords in exact micro-units."""
+def _micro_arr(df: DataFrame) -> DataFrame:
+    """(vec_id, xs): embedding coords in exact micro-units, kept in
+    ARRAY form — one row per vector, never exploded. Distances are
+    computed by an in-row zip_with fold, so the only wide dataset any
+    assignment pass shuffles is the skinny (vec_id, cid, d) table
+    (n x k rows), not the n x 64 x k long-form join output."""
     return df.select(
         "vec_id",
-        F.posexplode(
-            F.transform(
-                "embedding",
-                lambda x: F.round(x.cast("double") * MICRO).cast("bigint"),
-            )
-        ).alias("dim", "xs"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * MICRO).cast("bigint")
+        ).alias("xs"),
     )
 
 
-def _nearest_centroid(vec_long: DataFrame, cent_long: DataFrame) -> DataFrame:
+def _sqdist(a, b) -> Column:
+    """Exact integer squared L2 distance between two micro-unit arrays.
+    Bigint adds are order-free, so the sequential fold matches the
+    oracle's sum() exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, m: (x - m) * (x - m)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dists_to_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, d): distance of every vector to every centroid —
+    crossJoin against the BROADCAST k-row centroid table, distance
+    folded in-row. n x k skinny rows, no shuffle until the consumer."""
+    return vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _sqdist(F.col("xs"), F.col("ms")).alias("d")
+    )
+
+
+def _argmin_cid(dists: DataFrame) -> DataFrame:
     """(vec_id, cid): argmin over exact integer squared distances;
     ties broken by cid, so fully deterministic."""
-    d2 = ((F.col("xs") - F.col("ms")) * (F.col("xs") - F.col("ms"))).alias("d2")
-    dists = (
-        vec_long.join(F.broadcast(cent_long), "dim")
-        .select("vec_id", "cid", d2)
-        .groupBy("vec_id", "cid")
-        .agg(F.sum("d2").alias("d"))
-    )
     return (
         dists.groupBy("vec_id")
         .agg(F.min(F.struct("d", "cid")).alias("best"))
@@ -402,56 +416,59 @@ def _nearest_centroid(vec_long: DataFrame, cent_long: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_update(vec_long: DataFrame, assign: DataFrame) -> DataFrame:
-    """(cid, dim, ms): per-dim mean, re-quantized to micro-units.
-    The bigint sum is exact (order-free); the single double division
+def _lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cid, ms): per-dim means re-quantized to micro-units, regrouped
+    to array form. The per-dim agg is long-form (k x 64 output — tiny);
+    the bigint sum is exact (order-free); the single double division
     and round are bit-identical across engines."""
-    return (
-        vec_long.join(assign, "vec_id")
-        .groupBy("cid", "dim")
-        .agg(
-            F.round(F.sum("xs").cast("double") / F.count("*"))
-            .cast("bigint")
-            .alias("ms")
-        )
+    long = vecs.join(assign, "vec_id").select(
+        "cid", F.posexplode("xs").alias("dim", "x")
+    )
+    means = long.groupBy("cid", "dim").agg(
+        F.round(F.sum("x").cast("double") / F.count("*")).cast("bigint").alias("ms")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "ms"))), lambda s: s.ms
+        ).alias("ms")
     )
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: seeded centroids -> 2 unrolled Lloyd iterations ->
     posting lists -> nprobe=4 probe -> exact cosine rerank, top-5 per
-    query vector. Same output schema as sim_ann_lsh_topk."""
+    query vector. Same output schema as sim_ann_lsh_topk.
+
+    Centroids travel in ARRAY form (k rows of array<bigint>), so each
+    assignment pass is a broadcast crossJoin + in-row fold instead of
+    the long-form explode/join/agg (which shuffled n x 64 x k rows).
+    The final pass's (vec_id, cid, d) intermediate is checkpointed and
+    feeds BOTH the posting-list argmin and the query-probe ranking —
+    one distance computation, two consumers."""
     from pyspark.sql.window import Window
 
     tune(spark)
-    vec = _micro_long(load_table(spark, sf_dir, "embeddings"))
-    vec.persist()  # reused by 3 assignments + 2 mean updates + probe
+    vec = _micro_arr(load_table(spark, sf_dir, "embeddings"))
+    vec.persist()  # reused by 3 assignments + 2 mean updates
 
     cents = vec.where(
         (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_HI)
-    ).select(
-        (F.col("vec_id") - SEED_LO).cast("int").alias("cid"),
-        "dim",
-        F.col("xs").alias("ms"),
-    )
+    ).select((F.col("vec_id") - SEED_LO).cast("int").alias("cid"), F.col("xs").alias("ms"))
     for _ in range(2):  # Lloyd iterations, unrolled in the oracle SQL
-        # centroids are k x d rows (~1k); localCheckpoint materializes
-        # each iteration so later assignments don't recompute the whole
+        # centroids are k rows; localCheckpoint materializes each
+        # iteration so later assignments don't recompute the whole
         # previous-iteration lineage (measured 6.6s -> ~3s at sf1 soak)
-        cents = _lloyd_update(vec, _nearest_centroid(vec, cents)).localCheckpoint()
-    posting = _nearest_centroid(vec, cents)  # final posting lists
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    # final assignment pass: one distance table, two consumers
+    dists = _dists_to_centroids(vec, cents).localCheckpoint(eager=False)
+    posting = _argmin_cid(dists)  # final posting lists
 
-    qd2 = ((F.col("xs") - F.col("ms")) * (F.col("xs") - F.col("ms"))).alias("d2")
-    qdists = (
-        vec.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cents), "dim")
-        .select("vec_id", "cid", qd2)
-        .groupBy("vec_id", "cid")
-        .agg(F.sum("d2").alias("d"))
-    )
     wp = Window.partitionBy("vec_id").orderBy("d", "cid")
     probes = (
-        qdists.withColumn("pr", F.row_number().over(wp))
+        dists.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(wp))
         .where(F.col("pr") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )

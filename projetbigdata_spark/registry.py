@@ -28,6 +28,7 @@ _MODULES = (
     "projetbigdata_spark.operators.textstats",
     "projetbigdata_spark.operators.sampling",
     "projetbigdata_spark.operators.sessionize",
+    "projetbigdata_spark.operators.upsert",
     "projetbigdata_spark.operators.dedup",
     "projetbigdata_spark.operators.similarity",
     "projetbigdata_spark.streaming.events_batch",

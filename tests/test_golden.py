@@ -25,3 +25,59 @@ def test_lr_predictions_match_golden_file(spark):
     with open(GOLDEN) as f:
         golden = f.read().splitlines()
     assert produced == golden
+
+
+SPLITS_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "splits_sf0001.txt"
+)
+CURATION_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "curation_survivors_sf0001.txt"
+)
+
+
+def test_split_assignment_matches_golden_file(spark):
+    """Per-document split assignment is pinned byte-exactly: the
+    md5-bucket splits promise that adding documents or changing engines
+    never moves an existing doc between train/val/test — this file IS
+    that promise."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.sampling import _hash_bucket
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    rows = sorted(
+        (r.doc_id, r.split)
+        for r in docs.select("doc_id", split.alias("split")).collect()
+    )
+    produced = [f"{d:05d}\t{s}" for d, s in rows]
+    with open(SPLITS_GOLDEN) as f:
+        assert produced == f.read().splitlines()
+
+
+def test_curation_survivors_match_golden_file(spark):
+    """The curation pipeline's surviving doc_id set is pinned: quality
+    gate + exact dedup + near-dup components are all deterministic, so
+    any drift here is a semantic change, not noise."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_curation_golden",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "examples",
+            "corpus_curation.py",
+        ),
+    )
+    curation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curation)
+
+    out = curation.curate(spark, SF_SMOKE)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    produced = [f"{d:05d}" for d in ids]
+    with open(CURATION_GOLDEN) as f:
+        assert produced == f.read().splitlines()

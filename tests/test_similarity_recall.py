@@ -64,25 +64,25 @@ def test_ivf_posting_lists_partition(spark):
 
     from projetbigdata_spark.operators.similarity import (
         K_CENTROIDS,
+        _argmin_cid,
+        _dists_to_centroids,
         _lloyd_update,
-        _micro_long,
-        _nearest_centroid,
+        _micro_arr,
         SEED_HI,
         SEED_LO,
     )
     from projetbigdata_spark.sources.catalog import load_table
 
-    vec = _micro_long(load_table(spark, SF_CHECK, "embeddings"))
+    vec = _micro_arr(load_table(spark, SF_CHECK, "embeddings"))
     cents = vec.where(
         (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_HI)
     ).select(
         (F.col("vec_id") - SEED_LO).cast("int").alias("cid"),
-        "dim",
         F.col("xs").alias("ms"),
     )
     for _ in range(2):
-        cents = _lloyd_update(vec, _nearest_centroid(vec, cents))
-    posting = _nearest_centroid(vec, cents)
+        cents = _lloyd_update(vec, _argmin_cid(_dists_to_centroids(vec, cents)))
+    posting = _argmin_cid(_dists_to_centroids(vec, cents))
     n = vec.select("vec_id").distinct().count()
     assert posting.count() == n  # exactly one list per vector
     ncids = posting.select("cid").distinct().count()
