@@ -35,8 +35,66 @@ from projetbigdata_spark.sources.catalog import load_documents_parallel, load_ta
 # in the oracle SQL.
 SHINGLE_DF_CAP = 100
 JACCARD_THRESHOLD = 0.3
-MINHASH_SEEDS = 8
-MINHASH_BANDS = 4  # 2 hashes per band
+MINHASH_SEEDS = 16
+# 5 bands x 3 slots (h15 reserved for the estimate only): the banding
+# threshold (1/b)^(1/r) ~= 0.58 is aligned with the 0.5 estimate gate —
+# 2-slot bands put the threshold at ~0.35, which at ~12M unrelated
+# short-doc pairs (J~0.03-0.05) admitted 46k-120k chance candidates;
+# 3-slot bands cut that to ~2k while keeping >=49% per-pair candidate
+# recall at J=0.5 (88% at J=0.7, ~100% for true replicas).
+MINHASH_BANDS = 5
+MINHASH_BAND_WIDTH = 3
+# Horner fold multiplier for packing a band's slots into one bigint
+# bucket (h < P ~ 2^31, h*K + h' < 2^62; re-reduced mod P each step)
+MINHASH_BUCKET_K = 1_000_003
+
+# Universal-hash minhash family (the scheme Spark's own MinHashLSH
+# uses: h_i(x) = (a_i*x + b_i) mod P over ONE base hash per shingle,
+# instead of i full digests per shingle). P = 2^31 - 1 (prime); a_i*x
+# < 2^62 so everything stays in exact bigint arithmetic — portable to
+# any engine with 64-bit integers. The base hash is the first 15 hex
+# digits of md5 (60 bits) reduced mod P.
+#
+# 16 slots, not 8: the fixture documents are SHORT (~54 tokens), so at
+# corpus scale the number of unrelated pairs is enormous relative to
+# per-pair agreement odds — with 8 slots, est >= 0.5 means 4 chance
+# agreements at J~0.05, whose per-pair probability (~1e-4) times ~12M
+# pairs yielded thousands of false edges that chained dedup components
+# into 15-round blobs. 8-of-16 agreement pushes the chance-edge count
+# to ~zero while true replicas (J~1) still agree on ~all slots. The
+# marginal cost is 8 extra integer mins in the same hash-agg — the
+# md5 base hash is computed once per shingle regardless.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (
+    1103515245, 1229782938, 1649267441, 1503578229,
+    1431655765, 1846930886, 1013904223, 1779033703,
+    1597334677, 2038074743, 1865811235, 1291394886,
+    1737623855, 2011938745, 1104001825, 1963309425,
+)
+MINHASH_B = (
+    12345, 362436069, 521288629, 88675123,
+    5783321, 6615241, 982451653, 1717986918,
+    1013904242, 1856948581, 45584421, 1170746341,
+    776531419, 99762353, 1958374283, 571402721,
+)
+
+
+def _sh_base_hash() -> "F.Column":
+    """Shingle string -> base integer hash in [0, P)."""
+    return (
+        F.conv(F.expr("substring(md5(sh), 1, 15)"), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+
+
+def _sig_aggs() -> list:
+    """The MINHASH_SEEDS per-doc min-hash aggregates over the base
+    hash column x."""
+    return [
+        F.min((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % MINHASH_P)
+        .alias(f"h{i}")
+        for i in range(MINHASH_SEEDS)
+    ]
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,51 +247,74 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature, banded into LSH buckets.
-
-    Portable minhash: for seed i, sig_i = min(md5(i || '|' || shingle))
-    — the lexicographic min of a keyed hash is a valid min-hash family
-    and is identical in any engine with md5. Bands concat 2 signature
-    values and re-hash into a bucket id; docs sharing (band, bucket)
-    are near-dup candidates (joined in dedup tests; the candidate join
-    itself is the standard groupBy-band-bucket at scale).
-    """
-    tune(spark)
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15): per-doc minhash signature. ONE md5 per shingle
+    (reduced to a bigint right after the explode — strings never reach
+    the shuffle), then 16 affine universal hashes folded into the same
+    hash-agg. Replaces the previous 8-digests-per-shingle family:
+    measured ~2x cheaper at sf0.1 with identical LSH guarantees."""
     sh = _shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-            for i in range(MINHASH_SEEDS)
-        ]
+    return (
+        sh.select("doc_id", _sh_base_hash().alias("x"))
+        .groupBy("doc_id")
+        .agg(*_sig_aggs())
     )
+
+
+def _band_explode(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): MINHASH_BANDS bands x MINHASH_BAND_WIDTH
+    signature slots; the bucket packs the band's slots into one bigint
+    via modular Horner fold (v = (v*K + h) % P each step — v*K < 2^51,
+    exact in 64-bit)."""
     bands = []
-    per_band = MINHASH_SEEDS // MINHASH_BANDS
     for b in range(MINHASH_BANDS):
-        cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
+        slots = [b * MINHASH_BAND_WIDTH + j for j in range(MINHASH_BAND_WIDTH)]
+        bucket = F.col(f"h{slots[0]}")
+        for s in slots[1:]:
+            bucket = (bucket * MINHASH_BUCKET_K + F.col(f"h{s}")) % MINHASH_P
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                bucket.alias("bucket"),
             )
         )
-    return sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, banded into LSH buckets.
+
+    Portable minhash via universal hashing (see _signatures): exact
+    bigint arithmetic in both engines. Docs sharing (band, bucket) are
+    near-dup candidates (joined in dedup tests; the candidate join
+    itself is the standard groupBy-band-bucket at scale).
+    """
+    tune(spark)
+    return _band_explode(_signatures(spark, sf_dir))
 
 
 _minhash_sig_cols = ",\n           ".join(
-    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(MINHASH_SEEDS)
+    f"min(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+    for i in range(MINHASH_SEEDS)
 )
+def _sql_bucket(b: int) -> str:
+    """Modular Horner fold of band b's slots — textually identical
+    arithmetic to _band_explode."""
+    slots = [b * MINHASH_BAND_WIDTH + j for j in range(MINHASH_BAND_WIDTH)]
+    expr = f"h{slots[0]}"
+    for s in slots[1:]:
+        expr = f"(({expr}) * {MINHASH_BUCKET_K} + h{s}) % {MINHASH_P}"
+    return expr
+
+
 _minhash_band_rows = "\n    UNION ALL\n".join(
-    "SELECT doc_id, {b} AS band, md5(h{i0} || '|' || h{i1}) AS bucket FROM sigs".format(
-        b=b, i0=b * 2, i1=b * 2 + 1
-    )
+    f"SELECT doc_id, {b} AS band, {_sql_bucket(b)} AS bucket FROM sigs"
     for b in range(MINHASH_BANDS)
 )
-
-MINHASH_SQL = f"""
-WITH toks AS (
+# shared CTE prefix: tokenize -> distinct bigram shingles -> base hash
+_minhash_base_ctes = f"""toks AS (
     SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS w
     FROM documents
@@ -242,11 +323,19 @@ sh AS (
     SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
     FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
 ),
+hx AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {MINHASH_P} AS x
+    FROM sh
+),
 sigs AS (
     SELECT doc_id,
            {_minhash_sig_cols}
-    FROM sh GROUP BY doc_id
-)
+    FROM hx GROUP BY doc_id
+)"""
+
+MINHASH_SQL = f"""
+WITH {_minhash_base_ctes}
 {_minhash_band_rows}
 """
 
@@ -353,35 +442,14 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> banded buckets -> candidate join on (band, bucket) -> signature
     agreement — with NO exact re-verification pass, which is precisely
     how you dedup when re-tokenizing candidates is too expensive at
-    scale. Estimate resolution is 1/8 (8 seeds).
+    scale. Estimate resolution is 1/16 (16 seeds).
     """
     tune(spark)
-    sh = _shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-            for i in range(MINHASH_SEEDS)
-        ]
-    ).localCheckpoint()  # 3 consumers (bands, both agreement sides)
-    # bands derived from the SAME sigs aggregate (one shingle scan for
-    # the whole query; the signature exchange is reused for the
-    # candidate side and both agreement sides)
-    per_band = MINHASH_SEEDS // MINHASH_BANDS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{b * per_band + j}") for j in range(per_band)],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(MINHASH_BANDS)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # one shingle scan for the whole query: the signature aggregate is
+    # checkpointed and reused by the candidate side (via bands) and
+    # both agreement sides
+    sigs = _signatures(spark, sf_dir).localCheckpoint()
+    buckets = _band_explode(sigs)
     cand = (
         buckets.alias("x")
         .join(
@@ -418,30 +486,14 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_est_sig_a = ",\n           ".join(
-    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(MINHASH_SEEDS)
-)
 _est_agree = " + ".join(
     f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_SEEDS)
 )
 
 MINHASH_EST_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                               t -> t <> '') AS w
-    FROM documents
-),
-sh AS (
-    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
-    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
-),
-sigs AS (
-    SELECT doc_id,
-           {_est_sig_a}
-    FROM sh GROUP BY doc_id
-),
+WITH {_minhash_base_ctes},
 buckets AS (
-    {_minhash_band_rows.replace("FROM sigs", "FROM sigs ")}
+    {_minhash_band_rows}
 ),
 cand AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -664,8 +716,8 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       O(len_a*len_b) to O(cap*min(len)).
     """
     tune(spark)
-    # the bucket table is tiny (4 rows/doc) but expensive to derive
-    # (8 md5-min aggs over all shingles); localCheckpoint materializes
+    # the bucket table is tiny (8 rows/doc) but expensive to derive
+    # (base-hash + 16 mins over all shingles); localCheckpoint materializes
     # it once instead of recomputing per self-join branch
     buckets = dedup_minhash_buckets(spark, sf_dir).localCheckpoint()
     cand = (
@@ -705,20 +757,7 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEVENSHTEIN_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                               t -> t <> '') AS w
-    FROM documents
-),
-sh AS (
-    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
-    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
-),
-sigs AS (
-    SELECT doc_id,
-           {_minhash_sig_cols}
-    FROM sh GROUP BY doc_id
-),
+WITH {_minhash_base_ctes},
 buckets AS (
     {_minhash_band_rows}
 ),
