@@ -247,6 +247,61 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+VERIFIED_THRESHOLD = 0.5
+
+
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-then-verify near-dup pairs: banded MinHash LSH for
+    candidate GENERATION, exact full-posting Jaccard for the DECISION.
+
+    This is the tier that survives templated corpora where
+    dedup_jaccard_pairs' rare-shingle index goes blind: when every
+    shared shingle is hot (df > cap), the df-capped self-join yields no
+    pairs at all (measured at sf0.1: 0 exact pairs vs 256 true pairs at
+    J >= 0.7), while LSH buckets still collide on signature agreement.
+    The verification join touches ONLY candidate pairs (hundreds, not
+    the 10M+ brute-force pair space at sf0.1), each expanded to its
+    full posting list — no df cap, so the exact Jaccard is over the
+    complete shingle sets. Recall is bounded by the LSH s-curve
+    (5 bands x 3 rows: ~0.88 at J=0.7, ~0.9998 at J=0.9), precision is
+    exact. Integer-exact division as in dedup_jaccard_pairs.
+    """
+    tune(spark)
+    buckets = dedup_minhash_buckets(spark, sf_dir).localCheckpoint()
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    postings = _hashed_shingles(spark, sf_dir)
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = postings.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = postings.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    micros = (F.col("n_inter") * 1_000_000).cast("bigint")
+    jac = (micros - micros % union_sz) / union_sz / F.lit(1_000_000.0)
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= VERIFIED_THRESHOLD)
+    )
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h15): per-doc minhash signature. ONE md5 per shingle
     (reduced to a bigint right after the explode — strings never reach
@@ -508,10 +563,46 @@ JOIN sigs b ON b.doc_id = doc_b
 """
 
 
+JACCARD_VERIFIED_SQL = f"""
+WITH {_minhash_base_ctes},
+buckets AS (
+    {_minhash_band_rows}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM buckets x JOIN buckets y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    GROUP BY 1, 2
+),
+jacc AS (
+    SELECT doc_a, doc_b,
+           ((n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter))
+               / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jacc
+WHERE jaccard >= {VERIFIED_THRESHOLD}
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup graph: turn pairwise
     Jaccard edges into dedup GROUPS (every doc labeled with the min
     doc_id reachable through near-dup edges — the id you keep).
+
+    Edges come from dedup_jaccard_verified (LSH candidates + exact
+    full-posting Jaccard >= 0.5): exact precision, and unlike the
+    df-capped rare-shingle index it still sees template-heavy replicas
+    at scale (sf0.1: 0 capped edges vs 254 verified edges).
 
     The iterative algorithm the reference never had: min-label
     propagation, one join+agg per round, driver loop only for the
@@ -524,7 +615,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure — identical labels, declarative spelling.
     """
     tune(spark)
-    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = dedup_jaccard_verified(spark, sf_dir).select("doc_a", "doc_b")
     labels = _min_label_components(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
@@ -549,24 +640,37 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(32):  # ceil(log2(n)) bound; fixture converges in ~3
+    for _ in range(32):  # pointer-jumped: O(log diameter) rounds
         neighbor_min = (
             und.join(labels, und.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # chg rides along in the same projection (nbr_label < old label),
+        stepped = labels.join(neighbor_min, "node", "left_outer").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("mid"),
+        )
+        # pointer jump (path doubling): label <- label(label). Every
+        # label value is itself a node id, so chasing one extra hop
+        # through the label table each round doubles the distance
+        # covered — O(log diameter) rounds instead of O(diameter).
+        # Reachability is transitive, so mid's label is still a member
+        # of node's component: the min-reachable invariant holds.
+        jump = stepped.select(F.col("node").alias("jn"), F.col("mid").alias("jl"))
+        final = F.least(F.col("mid"), F.coalesce(F.col("jl"), F.col("mid")))
+        # chg rides along in the same projection (final < old label),
         # so ONE job per round serves both purposes: the lazy
         # localCheckpoint is materialized by the convergence agg, and the
         # old-vs-new re-join the check used to need is gone.
         new_labels = (
-            labels.join(neighbor_min, "node", "left_outer")
+            stepped.join(jump, stepped.mid == jump.jn, "left_outer")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("chg"),
+                final.alias("label"),
+                (final < F.col("old")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )
@@ -606,7 +710,7 @@ def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPONENTS_SQL = f"""
 WITH RECURSIVE edges AS (
-    {JACCARD_SQL.strip().rstrip()}
+    {JACCARD_VERIFIED_SQL.strip().rstrip()}
 ),
 und AS (
     SELECT doc_a, doc_b FROM edges
@@ -783,6 +887,7 @@ QUERIES = {
     "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_minhash_buckets": dedup_minhash_buckets,
     "dedup_simhash": dedup_simhash,
 }
@@ -795,6 +900,7 @@ ORACLE_SQL = {
     "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,
+    "dedup_jaccard_verified": JACCARD_VERIFIED_SQL,
     "dedup_minhash_buckets": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
 }
