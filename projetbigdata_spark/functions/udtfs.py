@@ -22,22 +22,29 @@ from projetbigdata_spark.sources.catalog import load_documents_parallel
 CHUNK_TOKENS = 20
 
 
-class ChunkTokens:
-    """UDTF: (doc_id, text) -> rows (doc_id, chunk_idx, chunk, n_tokens).
-    Whitespace tokenization identical to functions.text.tokenize."""
-
-    def eval(self, doc_id: int, text: str):
-        toks = text.lower().split()
-        for i in range(0, len(toks), CHUNK_TOKENS):
-            window = toks[i : i + CHUNK_TOKENS]
-            yield doc_id, i // CHUNK_TOKENS, " ".join(window), len(window)
-
-
 def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The UDTF call path: register + LATERAL join in SQL."""
+    """The UDTF call path: register + LATERAL join in SQL.
+
+    The UDTF class is defined INSIDE this function so cloudpickle
+    serializes it by value — a module-level class pickles by reference
+    and breaks on any driver whose Python workers can't import this
+    package (e.g. a harness launched outside the repo root)."""
     from pyspark.sql.functions import udtf
 
     tune(spark)
+    chunk_tokens = CHUNK_TOKENS
+
+    class ChunkTokens:
+        """UDTF: (doc_id, text) -> rows (doc_id, chunk_idx, chunk,
+        n_tokens). Whitespace tokenization identical to
+        functions.text.tokenize."""
+
+        def eval(self, doc_id: int, text: str):
+            toks = text.lower().split()
+            for i in range(0, len(toks), chunk_tokens):
+                window = toks[i : i + chunk_tokens]
+                yield doc_id, i // chunk_tokens, " ".join(window), len(window)
+
     chunker = udtf(
         ChunkTokens,
         returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int",

@@ -130,8 +130,17 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_payload(load_table(spark, sf_dir, "documents"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # inline the fake-decode logic (not a call to the module-level
+        # fake_decode_meta): a module-global reference pickles by
+        # reference and breaks when workers can't import this package
+        def _meta(payload: bytes) -> tuple[int, int, str]:
+            w = 16 + payload[0] % 64 if payload else 16
+            h = 16 + (len(payload) % 64)
+            fmt = ("png", "jpeg", "webp")[len(payload) % 3]
+            return w, h, fmt
+
         for pdf in batches:
-            metas = pdf["payload"].map(fake_decode_meta)
+            metas = pdf["payload"].map(_meta)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -84,23 +84,28 @@ def ensure_bucketed(
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan `events` with its nanosecond timestamp normalized to a real
-    TimestampType column.
+    """Scan `events` with its timestamp normalized to a session-zone
+    TimestampType column, whatever physical type the fixture used.
 
-    The parquet stores ts as TIMESTAMP(NANOS) which Spark 4 rejects
-    outright (PARQUET_TYPE_ILLEGAL); we read it as raw nanos via the
-    legacy conf and truncate ns→µs with integer `div` — exactly what
-    DuckDB does when it reads the same file, so oracle parity holds to
-    the microsecond. (Float division would round, not truncate: epoch
-    nanos exceed double's 2^53 mantissa.)
+    Fixture generations have varied: TIMESTAMP(NANOS) (which Spark 4
+    rejects outright, PARQUET_TYPE_ILLEGAL — read as raw nanos via the
+    legacy conf and truncate ns→µs with integer `div`, exactly what
+    DuckDB does reading the same file) and TIMESTAMP(MICROS) without
+    timezone (arrives as TIMESTAMP_NTZ — cast to TimestampType; the
+    session zone is pinned to UTC by tune(), so wall-clock values match
+    DuckDB's naive reading bit-for-bit). Normalizing here keeps every
+    downstream query on one ts dtype.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long legacy layout
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:

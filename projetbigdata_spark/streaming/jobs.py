@@ -43,16 +43,29 @@ def open_events_stream(spark: SparkSession, source: dict) -> DataFrame:
     tune(spark)
     kind = source.get("kind", "files")
     if kind == "files":
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # FileStreamSource needs a user schema; peek at the directory
+        # with a one-footer batch read so the declared ts type matches
+        # whatever physical layout this fixture generation used
+        # (TIMESTAMP(NANOS) -> long under nanosAsLong; TIMESTAMP(MICROS)
+        # no-tz -> timestamp_ntz).
+        ts_physical = spark.read.parquet(source["path"]).schema["ts"].dataType
+        nanos = isinstance(ts_physical, T.LongType)
+        schema = EVENTS_RAW_SCHEMA.replace(
+            "ts long", "ts long" if nanos else "ts timestamp_ntz"
+        )
         raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(schema)
             .option(
                 "maxFilesPerTrigger", int(source.get("max_files_per_trigger", 1))
             )
             .parquet(source["path"])
         )
-        # parquet stores TIMESTAMP(NANOS); integer-truncate ns -> µs
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if nanos:  # integer-truncate ns -> µs, as DuckDB does
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     if kind == "kafka":
         reader = (
             spark.readStream.format("kafka")
