@@ -123,6 +123,48 @@ def fit_and_score(
     return model, scored, acc
 
 
+def crossval_fit_dt(
+    spark: SparkSession, sf_dir: str
+) -> tuple["CrossValidator", DataFrame]:
+    """M6 with the REFERENCE's exact CV config (script1.py:71-82):
+    DecisionTree grid `maxDepth [10, 20]`, 3-fold (the reference leaves
+    CrossValidator at its numFolds=3 default), Multiclass evaluator
+    with Spark 1.x `'precision'` == modern `'accuracy'` (the metric was
+    renamed in SPARK-15617; `baseOn([evaluator.metricName,'precision'])`
+    pinned the same thing). Seeded — the one decreed fix."""
+    from projetbigdata_spark.sources.catalog import load_labeled_documents
+
+    docs = load_labeled_documents(spark, sf_dir)
+    # parity lives in the grid/folds/metric; the hash width is ours to
+    # pick — 2^10 keeps the 6 CV fits fast at check scale (DT split
+    # search is linear in feature count)
+    pipe = build_pipeline("dt", num_features=1 << 10)
+    dt = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(dt.maxDepth, [10, 20])
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=3,
+        seed=SEED,
+        parallelism=2,
+    )
+    cv_model = cv.fit(docs)
+    rows = [
+        (int(pm[dt.maxDepth]), float(m))
+        for pm, m in zip(grid, cv_model.avgMetrics)
+    ]
+    metrics = spark.createDataFrame(rows, "max_depth int, avg_accuracy double")
+    return cv_model, metrics
+
+
 def crossval_fit(
     spark: SparkSession, sf_dir: str
 ) -> tuple[CrossValidator, DataFrame]:

@@ -101,7 +101,7 @@ scored AS (
                  / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
     FROM cells
 )
-SELECT token, a, b, chi2,
+SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, chi2,
        CAST(row_number() OVER (ORDER BY chi2 DESC, token) AS INT) AS rnk
 FROM scored
 QUALIFY rnk <= {CHI2_TOP_K}
@@ -128,6 +128,17 @@ def ml_crossval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetbigdata_spark.ml.pipeline import crossval_fit
 
     _, metrics = crossval_fit(spark, sf_dir)
+    return metrics
+
+
+def ml_crossval_dt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6, reference-exact config (script1.py:71-82): DecisionTree
+    maxDepth [10,20] x 3-fold, 'precision'->'accuracy' metric parity.
+    Rows-only (estimator fit); determinism pinned in tests/test_ml.py."""
+    tune(spark)
+    from projetbigdata_spark.ml.pipeline import crossval_fit_dt
+
+    _, metrics = crossval_fit_dt(spark, sf_dir)
     return metrics
 
 
@@ -196,6 +207,7 @@ QUERIES = {
     "ml_chisq_tokens": ml_chisq_tokens,
     "ml_sentiment_predictions": ml_sentiment_predictions,
     "ml_crossval_metrics": ml_crossval_metrics,
+    "ml_crossval_dt_metrics": ml_crossval_dt_metrics,
     "ml_chisq_select_vectors": ml_chisq_select_vectors,
 }
 

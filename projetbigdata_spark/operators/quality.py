@@ -69,10 +69,12 @@ QUALITY_SQL = """
 WITH base AS (
     SELECT count(*) AS n_rows,
            count(DISTINCT o_orderkey) AS n_keys,
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
-           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
-           sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
-               AS bad_status
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_cust,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nonpos_price,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
     FROM orders
 ),
 orphans AS (

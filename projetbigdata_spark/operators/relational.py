@@ -318,7 +318,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_SQL = """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT))  AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS INT))  AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INT))  AS max_k
 FROM events
@@ -394,7 +394,7 @@ DISTINCT_SQL = """
 SELECT o_orderstatus,
        count(DISTINCT o_custkey) AS n_customers,
        count(*) AS n_orders,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
 FROM orders
 GROUP BY o_orderstatus
 """

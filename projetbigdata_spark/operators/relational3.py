@@ -39,9 +39,9 @@ def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -263,7 +263,7 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _stats_union = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        round(min({c}), 4) AS min_val, round(max({c}), 4) AS max_val,
        count(DISTINCT {c}) AS ndv
 FROM lineitem"""

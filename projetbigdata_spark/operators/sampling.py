@@ -95,7 +95,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM b
@@ -138,7 +138,7 @@ SELECT lang,
        sum(CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4) AS BIGINT)
                      % 100
                 < (CASE {_strata_cases} ELSE {DEFAULT_PCT} END)
-                THEN 1 ELSE 0 END) AS n_kept
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
 FROM documents
 GROUP BY lang
 """

@@ -102,10 +102,13 @@ QUALIFY rnk <= {TOP_K}
 def _plane_values(spark: SparkSession):
     """Deterministic pseudo-random hyperplanes: plane p, dim d ->
     value in [-1, 1) derived from md5(p|d). Built as a tiny generated
-    DataFrame (8 x 64 rows) — broadcast everywhere it joins."""
-    planes = spark.range(N_PLANES).select(F.col("id").alias("plane"))
-    dims = spark.range(64).select(F.col("id").alias("dim"))
-    cell = planes.crossJoin(dims)
+    DataFrame (8 x 64 rows) from ONE range (no cross join — a single
+    projection keeps every consumer's plan free of nested-loop joins);
+    broadcast everywhere it joins."""
+    cell = spark.range(N_PLANES * 64).select(
+        F.expr("id div 64").alias("plane"),
+        (F.col("id") % 64).alias("dim"),
+    )
     # first 4 hex digits of md5 -> int in [0, 65535] -> scale to [-1, 1)
     val = F.expr(
         "conv(substring(md5(concat(plane, '|', dim)), 1, 4), 16, 10)"
@@ -165,17 +168,55 @@ dots AS (
     GROUP BY 1, 2
 )
 SELECT vec_id,
-       sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(plane AS INT))
-                ELSE 0 END) AS bucket
+       CAST(sum(CASE WHEN dot > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(plane AS INT))
+                     ELSE 0 END) AS BIGINT) AS bucket
 FROM dots
 GROUP BY vec_id
 """
 
 
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= 0.4 over all pairs.
-    At fixture scale the exact all-pairs is affordable; the scale path
-    prunes with sim_lsh_buckets first (same final predicate)."""
+    """Embedding near-duplicate pairs, LSH-pruned (the 100 TB path):
+    candidates come from banded-LSH bucket collisions (equi-join on
+    (band, bucket) — shuffle volume is |collisions|, never all pairs),
+    then the exact cosine threshold is applied to candidates only.
+
+    The pruning is deterministic (md5-derived hyperplanes), so the
+    oracle mirrors it CTE-for-CTE and the check stays value-exact.
+    Pairs whose signatures never collide in any band are missed —
+    that's the LSH trade; recall vs. the exact all-pairs spelling
+    (_neardup_allpairs, kept as the small-scale baseline) is pinned in
+    tests/test_similarity_recall.py."""
+    tune(spark)
+    bb = _banded_buckets(spark, sf_dir).localCheckpoint(eager=False)
+    a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("norm").alias("na")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("norm").alias("nb")
+    )
+    cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+def _neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (O(n^2) — test oracle only, NOT
+    registered): ground truth for the LSH-pruned recall gate."""
     tune(spark)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
@@ -191,7 +232,58 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared deterministic-LSH CTE chain (cell -> vec -> dots -> bb),
+# mirrored by every pruned oracle so Spark and DuckDB prune identically
+_LSH_CTES = f"""cell AS (
+    SELECT p.plane, d.dim,
+           ((CAST('0x' || substr(md5(p.plane || '|' || d.dim), 1, 4)
+                  AS BIGINT) - 32768) / 32768.0) AS pv
+    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+),
+vec AS (
+    SELECT vec_id, dim - 1 AS dim, CAST(x AS DOUBLE) AS x
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+dots AS (
+    SELECT vec_id, plane, sum(x * pv) AS dot
+    FROM vec JOIN cell USING (dim)
+    GROUP BY 1, 2
+),
+bb AS (
+    SELECT vec_id, CAST(plane // 2 AS INT) AS band,
+           CAST(sum(CASE WHEN dot > 0
+                    THEN (CAST(1 AS BIGINT) << CAST(plane % 2 AS INT))
+                    ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY 1, 2
+)"""
+
+
 NEARDUP_SQL = f"""
+WITH {_LSH_CTES},
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bb a JOIN bb b USING (band, bucket)
+    WHERE a.vec_id < b.vec_id
+),
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+)
+SELECT vec_a, vec_b,
+       round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+FROM cand
+JOIN nv a ON a.vec_id = vec_a
+JOIN nv b ON b.vec_id = vec_b
+WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+      >= {COSINE_THRESHOLD}
+"""
+
+NEARDUP_ALLPAIRS_SQL = f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
@@ -290,31 +382,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_SQL = f"""
-WITH cell AS (
-    SELECT p.plane, d.dim,
-           ((CAST('0x' || substr(md5(p.plane || '|' || d.dim), 1, 4)
-                  AS BIGINT) - 32768) / 32768.0) AS pv
-    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p
-    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
-),
-vec AS (
-    SELECT vec_id, dim - 1 AS dim, CAST(x AS DOUBLE) AS x
-    FROM embeddings,
-         LATERAL (SELECT unnest(embedding) AS x,
-                         generate_subscripts(embedding, 1) AS dim)
-),
-dots AS (
-    SELECT vec_id, plane, sum(x * pv) AS dot
-    FROM vec JOIN cell USING (dim)
-    GROUP BY 1, 2
-),
-bb AS (
-    SELECT vec_id, CAST(plane // 2 AS INT) AS band,
-           sum(CASE WHEN dot > 0
-                    THEN (CAST(1 AS BIGINT) << CAST(plane % 2 AS INT))
-                    ELSE 0 END) AS bucket
-    FROM dots GROUP BY 1, 2
-),
+WITH {_LSH_CTES},
 cand AS (
     SELECT DISTINCT q.vec_id AS query_id, v.vec_id
     FROM bb v JOIN bb q USING (band, bucket)

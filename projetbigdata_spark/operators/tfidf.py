@@ -99,26 +99,29 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     tf = text_tf(spark, sf_dir)
-    # IDF derived FROM the tf aggregate: tf has exactly one row per
-    # (doc, token), so df(token) = count(*) — the corpus is scanned
-    # once, not re-tokenized for the document-frequency pass
+    # IDF derived FROM the tf aggregate: tf has one row per (doc,
+    # token), so df(token) = count(*) over a token-partitioned WINDOW.
+    # Profiled at sf0.1 (SCALE.md): the previous agg+broadcast-join
+    # spelling recomputed the whole tf subtree twice (ReuseExchange
+    # can't canonicalize the two branches), so the corpus was scanned
+    # and token-aggregated 2x. The window shuffles the same tf rows by
+    # token that the df agg did — equal shuffle volume, one tf
+    # computation, no join. 2.5s -> 1.6s warm at sf0.1.
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    idf = (
-        tf.groupBy("token")
-        .agg(F.count("*").alias("df"))
+    wdf = Window.partitionBy("token")
+    scored = (
+        tf.withColumn("df", F.count("*").over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .select(
+            "doc_id",
             "token",
             F.round(
-                F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
-            ).alias("idf"),
+                F.col("tf")
+                * F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6),
+                6,
+            ).alias("tfidf"),
         )
-    )
-    scored = tf.join(F.broadcast(idf), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token")

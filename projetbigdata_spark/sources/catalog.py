@@ -99,9 +99,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # timezone comes from tune() (every registered query calls it) —
+    # one source of truth. nanosAsLong is set only when the file really
+    # is TIMESTAMP(NANOS): probe first, set the legacy conf on failure.
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.schema  # force footer read under the current conf
+    except Exception:  # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):  # nanos-as-long legacy layout
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -50,11 +50,20 @@ def open_events_stream(spark: SparkSession, source: dict) -> DataFrame:
         # with a one-footer batch read so the declared ts type matches
         # whatever physical layout this fixture generation used
         # (TIMESTAMP(NANOS) -> long under nanosAsLong; TIMESTAMP(MICROS)
-        # no-tz -> timestamp_ntz).
-        ts_physical = spark.read.parquet(source["path"]).schema["ts"].dataType
+        # with/without tz -> timestamp/timestamp_ntz). An empty or
+        # not-yet-created directory (watch-before-first-file) falls
+        # back to the nanos layout the fixtures use.
+        try:
+            ts_physical = spark.read.parquet(source["path"]).schema["ts"].dataType
+        except Exception:  # AnalysisException: empty/missing dir
+            ts_physical = T.LongType()
         nanos = isinstance(ts_physical, T.LongType)
-        schema = EVENTS_RAW_SCHEMA.replace(
-            "ts long", "ts long" if nanos else "ts timestamp_ntz"
+        # rebuild the declared schema field-by-field from the observed
+        # physical type (no substring surgery on the DDL string)
+        ts_ddl = ts_physical.simpleString()  # 'bigint'|'timestamp_ntz'|'timestamp'
+        schema = ", ".join(
+            f"ts {ts_ddl}" if f.startswith("ts ") else f
+            for f in EVENTS_RAW_SCHEMA.split(", ")
         )
         raw = (
             spark.readStream.schema(schema)

@@ -23,6 +23,21 @@ def test_fit_and_score_deterministic(spark):
     assert acc == acc2
 
 
+def test_crossval_dt_reference_grid(spark):
+    """M6 reference parity (script1.py:71-82): the DT grid is exactly
+    maxDepth [10, 20], 3-fold, accuracy metric — and seeded, so the
+    two grid-point metrics reproduce bit-identically."""
+    from projetbigdata_spark.ml.pipeline import crossval_fit_dt
+
+    _, metrics = crossval_fit_dt(spark, SF_SMOKE)
+    rows = {r.max_depth: r.avg_accuracy for r in metrics.collect()}
+    assert sorted(rows) == [10, 20]
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    _, metrics2 = crossval_fit_dt(spark, SF_SMOKE)
+    rows2 = {r.max_depth: r.avg_accuracy for r in metrics2.collect()}
+    assert rows == rows2
+
+
 def test_model_save_load_roundtrip(spark):
     """S7 rebuilt: PipelineModel.save/load replaces the reference's
     broken pickle persistence (sauvegarde_model.py:8-12)."""

@@ -22,14 +22,10 @@ CARTESIAN_OK = {
     "text_tfidf_top",
     "ml_chisq_tokens",
     "quality_constraints",  # 1-row aggregate x 1-row orphan count combine
-    "sim_lsh_buckets",  # 8x64 plane grid build
-    "sim_ann_lsh_topk",  # same plane grid build
-    # brute-force all-pairs baselines: the non-equi condition makes a
-    # (broadcast) nested-loop the intended plan; the scale path is the
-    # LSH-bucketed variant (sim_lsh_buckets)
+    # brute-force all-pairs baseline: the non-equi condition makes a
+    # (broadcast) nested-loop the intended plan; the scale paths are
+    # the LSH-bucketed variants (sim_ann_lsh_topk, sim_neardup_pairs)
     "sim_topk_bruteforce",
-    "sim_neardup_pairs",
-    "dedup_embedding_cosine",  # builds on sim_neardup_pairs' all-pairs
 }
 
 
@@ -101,6 +97,24 @@ def test_gaps_islands_single_shuffle(spark):
     df = QUERIES["events_gaps_islands"](spark, SF_CHECK)
     plan = pi.physical_plan(df)
     assert plan.count("Exchange") == 1, plan
+
+
+SOAK_DIR = "/tmp/soak/sf1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SOAK_DIR),
+    reason="sf1 soak fixtures absent — regenerate with examples/gen_soak.py",
+)
+@pytest.mark.parametrize("name,floor", [("q5_local_supplier", 3), ("q7_nation_volume", 2)])
+def test_soak_scale_still_broadcasts_dims(spark, name, floor):
+    """VERDICT r1 item 7: the broadcast choice for nation/region dims
+    must survive a 10x scale-up — at soak scale AQE must still pick
+    BroadcastHashJoin for every dim side of q5/q7 (the fact side grows;
+    the dims don't). If this flips to shuffle join the 100 TB plan
+    regressed regardless of what sf0.1 shows."""
+    df = QUERIES[name](spark, SOAK_DIR)
+    pi.assert_broadcast_join(df, f"{name}@sf1", at_least=floor)
 
 
 def test_q9_broadcasts_dims_and_pushes_like(spark):

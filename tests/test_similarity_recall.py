@@ -89,6 +89,34 @@ def test_ivf_posting_lists_partition(spark):
     assert 2 <= ncids <= K_CENTROIDS
 
 
+NEARDUP_RECALL_FLOOR = 0.6  # theory ~0.87 at the 0.4 boundary with
+# 4 bands x 2 bits on uniform-random vectors; measured higher. Every
+# returned pair must also appear in the exact truth (precision 1.0 —
+# the rerank applies the exact threshold).
+
+
+def test_neardup_recall_and_precision_vs_allpairs(spark):
+    from projetbigdata_spark.operators.similarity import (
+        _neardup_allpairs,
+        sim_neardup_pairs,
+    )
+
+    truth = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _neardup_allpairs(spark, SF_CHECK).collect()
+    }
+    pruned = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim_neardup_pairs(spark, SF_CHECK).collect()
+    }
+    assert truth, "all-pairs baseline produced no pairs"
+    assert set(pruned) <= set(truth), "pruned result contains false positives"
+    for pair in pruned:
+        assert pruned[pair] == truth[pair], pair  # exact rerank
+    recall = len(pruned) / len(truth)
+    assert recall >= NEARDUP_RECALL_FLOOR, f"neardup recall {recall:.2f}"
+
+
 def test_ann_candidates_prune(spark):
     """The candidate set must be a strict subset of all pairs —
     otherwise the 'ANN' is a disguised brute force."""
