@@ -303,6 +303,25 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def signatures_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) minhash signatures for an arbitrary
+    (doc_id, text) frame — the per-doc computation is independent of
+    the rest of the corpus, so batch ingest (dedup_incremental) and
+    streaming micro-batches (streaming/jobs.incremental_dedup_stream)
+    share this exact expression chain."""
+    from projetbigdata_spark.functions.text import ngrams
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(tokenize("text"), 2))).alias("sh"),
+    )
+    return (
+        sh.select("doc_id", _sh_base_hash().alias("x"))
+        .groupBy("doc_id")
+        .agg(*_sig_aggs())
+    )
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h15): per-doc minhash signature. ONE md5 per shingle
     (reduced to a bigint right after the explode — strings never reach
@@ -561,6 +580,126 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN sigs a ON a.doc_id = doc_a
 JOIN sigs b ON b.doc_id = doc_b
+"""
+
+
+INCR_NEW_SOURCE = "src0"  # the batch being ingested; rest = standing corpus
+INCR_THRESHOLD = 0.5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: match an INCOMING batch (source =
+    'src0' stands in for today's crawl slice) against the standing
+    corpus WITHOUT re-pairing the corpus against itself — the shape a
+    production ingest runs daily. Candidates come only from new x old
+    bucket collisions (new-batch buckets are a small fraction of the
+    corpus's, so the equi-join probe side is tiny); each new doc gets
+    its best corpus match by signature agreement and a keep/drop
+    verdict at jaccard_est >= 0.5.
+
+    Output: (doc_id, is_dup, best_match, best_est) for every new doc —
+    unmatched docs surface with NULL match, never dropped silently."""
+    tune(spark)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sigs = _signatures(spark, sf_dir).localCheckpoint()
+    sigs_src = sigs.join(src, "doc_id")
+    new_sigs = sigs_src.where(F.col("source") == INCR_NEW_SOURCE).drop("source")
+    old_sigs = sigs_src.where(F.col("source") != INCR_NEW_SOURCE).drop("source")
+    return incremental_match(new_sigs, old_sigs)
+
+
+def incremental_match(new_sigs: DataFrame, old_sigs: DataFrame) -> DataFrame:
+    """Core of incremental dedup over two signature frames (doc_id,
+    h0..h15): new x old bucket collisions -> signature agreement ->
+    best corpus match + verdict per new doc. Shared by the batch
+    operator above and the streaming micro-batch job."""
+    newb = _band_explode(new_sigs).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    oldb = _band_explode(old_sigs).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket"
+    )
+    cand = (
+        newb.join(oldb, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sa = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_SEEDS)],
+    )
+    sb = old_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_SEEDS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_SEEDS)
+    )
+    scored = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            (agree / F.lit(float(MINHASH_SEEDS))).alias("est"),
+        )
+    )
+    # best match per new doc: highest estimate, lowest old_id tiebreak
+    best = scored.groupBy("new_id").agg(
+        F.max(F.struct(F.col("est"), (-F.col("old_id")).alias("neg"))).alias("m")
+    ).select(
+        "new_id",
+        (-F.col("m.neg")).alias("best_match"),
+        F.col("m.est").alias("best_est"),
+    )
+    news = new_sigs.select("doc_id")
+    return news.join(
+        best, news.doc_id == best.new_id, "left_outer"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("best_est") >= INCR_THRESHOLD, F.lit(False)).alias(
+            "is_dup"
+        ),
+        "best_match",
+        "best_est",
+    )
+
+
+INCREMENTAL_SQL = f"""
+WITH {_minhash_base_ctes},
+buckets AS (
+    {_minhash_band_rows}
+),
+srcs AS (SELECT doc_id, source FROM documents),
+cand AS (
+    SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+    FROM buckets x
+    JOIN srcs sx ON sx.doc_id = x.doc_id AND sx.source = '{INCR_NEW_SOURCE}'
+    JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+    JOIN srcs sy ON sy.doc_id = y.doc_id AND sy.source <> '{INCR_NEW_SOURCE}'
+),
+scored AS (
+    SELECT new_id, old_id,
+           ({_est_agree}) / {MINHASH_SEEDS}.0 AS est
+    FROM cand
+    JOIN sigs a ON a.doc_id = new_id
+    JOIN sigs b ON b.doc_id = old_id
+),
+best AS (
+    SELECT new_id, old_id AS best_match, est AS best_est
+    FROM (SELECT new_id, old_id, est,
+                 row_number() OVER (PARTITION BY new_id
+                                    ORDER BY est DESC, old_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(best_est >= {INCR_THRESHOLD}, FALSE) AS is_dup,
+       best_match, best_est
+FROM documents d
+LEFT JOIN best ON best.new_id = d.doc_id
+WHERE d.source = '{INCR_NEW_SOURCE}'
 """
 
 
@@ -890,6 +1029,7 @@ QUERIES = {
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_minhash_buckets": dedup_minhash_buckets,
     "dedup_simhash": dedup_simhash,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE_SQL = {
@@ -903,4 +1043,5 @@ ORACLE_SQL = {
     "dedup_jaccard_verified": JACCARD_VERIFIED_SQL,
     "dedup_minhash_buckets": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
+    "dedup_incremental": INCREMENTAL_SQL,
 }

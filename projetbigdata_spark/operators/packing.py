@@ -1,0 +1,170 @@
+"""Training-batch assembly operators: sequence packing and corpus
+mixture planning — the last mile between a curated corpus and an LLM
+training run.
+
+  docs_pack_greedy — assign every document a (pack_id, pack_offset)
+      into fixed token-budget training sequences. Packing is done PER
+      SHARD (hash of doc_id), which is how real pipelines do it: the
+      global-order cumsum a naive spelling needs would serialize onto
+      one reducer, while per-shard packing is embarrassingly parallel
+      (shard count scales with the cluster) and each shard's window
+      cumsum is one partition of one shuffle. Documents straddle pack
+      boundaries (offset + n_tokens may exceed the budget) — that's
+      standard concat-then-chunk packing, where sequences are cut from
+      the token stream, not from document boundaries.
+  corpus_mix_plan — per-language token inventory vs a target mixture:
+      natural share, target share, epochs (how many passes over a
+      group the target implies at constant total), and the up/down
+      sample verdict. One hash-agg over the corpus + broadcast-size
+      arithmetic; the plan table is what a weighted sampler consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.functions.text import tokenize
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+PACK_BUDGET = 2048  # tokens per training sequence
+N_SHARDS = 8
+
+
+def docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, shard, pack_id, pack_offset): concat-order
+    packing within md5-hash shards, deterministic order by doc_id
+    inside each shard. pack_id is globally unique (shard-prefixed)."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            f" AS BIGINT) % {N_SHARDS}"
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.col("shard").cast("int").alias("shard"),
+        (
+            F.col("shard") * F.lit(1_000_000)
+            + F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
+        ).cast("bigint").alias("pack_id"),
+        ((cum - F.col("n_tokens")) % PACK_BUDGET).cast("int").alias("pack_offset"),
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')) AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+               % {N_SHARDS} AS shard
+    FROM documents
+),
+cums AS (
+    SELECT doc_id, n_tokens, shard,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n_tokens AS prev
+    FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(shard AS INT) AS shard,
+       CAST(shard * 1000000 + prev // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(prev % {PACK_BUDGET} AS INT) AS pack_offset
+FROM cums
+"""
+
+
+# target language mixture for corpus_mix_plan — the knob a training
+# run sets; fixed here so the plan is deterministic and oracle-checked
+MIX_TARGETS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling plan: token inventory -> natural share vs
+    target share -> epochs = target_share * total / group_tokens (the
+    repeat factor a weighted sampler applies; >1 upsamples, <1
+    downsamples). One corpus agg; the mixture table is 5 rows."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", F.size(tokenize("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    target = F.create_map(
+        *[F.lit(x) for kv in MIX_TARGETS.items() for x in kv]
+    )[F.col("lang")]
+    # global window over the 5-row mixture table — post-agg, trivially
+    # small; the corpus itself is touched by exactly one hash-agg
+    total = F.sum("tokens").over(Window.partitionBy())
+    planned = per_lang.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / total, 6).alias("natural_share"),
+        target.alias("target_share"),
+        F.round(target * total / F.col("tokens"), 6).alias("epochs"),
+    )
+    return planned.withColumn(
+        "mode",
+        F.when(F.col("epochs") > 1.0, F.lit("upsample"))
+        .when(F.col("epochs") < 1.0, F.lit("downsample"))
+        .otherwise(F.lit("keep")),
+    )
+
+
+_mix_cases = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_TARGETS.items()
+)
+
+MIX_SQL = f"""
+WITH per_lang AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS tokens
+    FROM documents
+    GROUP BY lang
+),
+tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM per_lang)
+SELECT lang, n_docs, tokens,
+       round(tokens / total, 6) AS natural_share,
+       CAST(CASE lang {_mix_cases} END AS DOUBLE) AS target_share,
+       round((CASE lang {_mix_cases} END) * total / tokens, 6) AS epochs,
+       CASE WHEN round((CASE lang {_mix_cases} END) * total / tokens, 6) > 1.0
+            THEN 'upsample'
+            WHEN round((CASE lang {_mix_cases} END) * total / tokens, 6) < 1.0
+            THEN 'downsample'
+            ELSE 'keep' END AS mode
+FROM per_lang, tot
+"""
+
+
+QUERIES = {
+    "docs_pack_greedy": docs_pack_greedy,
+    "corpus_mix_plan": corpus_mix_plan,
+}
+
+ORACLE_SQL = {
+    "docs_pack_greedy": PACK_SQL,
+    "corpus_mix_plan": MIX_SQL,
+}

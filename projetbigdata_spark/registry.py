@@ -19,6 +19,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # out of budget before windows..multimodal, so those run first now.
 _MODULES = (
     "projetbigdata_spark.functions.nltk_tier",
+    "projetbigdata_spark.operators.repetition",
+    "projetbigdata_spark.operators.packing",
+    "projetbigdata_spark.operators.quantize",
     "projetbigdata_spark.operators.windows",
     "projetbigdata_spark.operators.tfidf",
     "projetbigdata_spark.operators.textstats",

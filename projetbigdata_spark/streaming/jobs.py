@@ -203,6 +203,39 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup_stream(
+    docs_stream: DataFrame, corpus_sigs: DataFrame, out_dir: str
+):
+    """Streaming ingest dedup: each micro-batch of incoming documents
+    (doc_id, text) is minhash-signed and matched against the STATIC
+    corpus signature table via foreachBatch — the production shape for
+    'dedup today's crawl against the corpus' (the batch twin is
+    operators/dedup.dedup_incremental; both call the same
+    signatures_of + incremental_match core, so batch == streaming
+    verdicts is the tested property).
+
+    foreachBatch rather than a stateful streaming agg because the
+    corpus side is a big static table: per trigger we run a normal
+    batch join (broadcast/AQE apply as usual), and append verdicts to
+    a parquet sink. corpus_sigs should be a materialized signature
+    table (localCheckpoint/persist or a parquet read) so it isn't
+    recomputed per batch."""
+    from projetbigdata_spark.operators.dedup import (
+        incremental_match,
+        signatures_of,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = incremental_match(signatures_of(batch_df), corpus_sigs)
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
 def run_to_memory_sink(df: DataFrame, name: str, mode: str = "append"):
     """Drain a stream with availableNow into an in-memory table;
     returns the finished StreamingQuery."""

@@ -222,3 +222,56 @@ def test_stream_source_abstraction(spark, events_dir):
     tumbling_counts_stream(rate)
     with pytest.raises(KeyError):
         open_events_stream(spark, {"kind": "pulsar"})
+
+
+def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming ingest dedup == batch dedup_incremental: the src0
+    batch arrives as TWO parquet micro-batches (maxFilesPerTrigger=1);
+    per-batch verdicts against the static corpus signature table must
+    together reproduce the batch operator's rows exactly (same
+    signatures_of + incremental_match core on both paths)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import (
+        INCR_NEW_SOURCE,
+        _signatures,
+        dedup_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import incremental_dedup_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new_docs = docs.where(F.col("source") == INCR_NEW_SOURCE).select(
+        "doc_id", "text"
+    )
+    # stage the incoming batch as two files -> two triggers
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    # src0 doc_ids are the multiples of 20, so split on the 40-stride
+    half = new_docs.where(F.col("doc_id") % 40 == 0)
+    other = new_docs.subtract(half)
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    corpus_sigs = (
+        _signatures(spark, SF_SMOKE)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .where(F.col("source") != INCR_NEW_SOURCE)
+        .drop("source")
+        .localCheckpoint()
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = incremental_dedup_stream(stream, corpus_sigs, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = dedup_incremental(spark, SF_SMOKE)
+    assert streamed.count() == batch.count()
+    cols = ["doc_id", "is_dup", "best_match", "best_est"]
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
