@@ -196,7 +196,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
         .select("h")
     )
-    indexed = exploded.join(rare, "h")
+    # materialize the df-capped index PRE-PARTITIONED on h: the self-
+    # join's two sides would otherwise each plan their own exchange of
+    # the same rows (ReuseExchange can't canonicalize the aliased
+    # branches — same lesson as text_tfidf_top, SCALE.md), so the
+    # biggest shuffle in the query ran twice. One repartition, zero
+    # join-side exchanges.
+    indexed = (
+        exploded.join(rare, "h").repartition("h").localCheckpoint(eager=False)
+    )
     a = indexed.alias("a")
     b = indexed.alias("b")
     inter = (
@@ -268,7 +276,14 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact. Integer-exact division as in dedup_jaccard_pairs.
     """
     tune(spark)
-    buckets = dedup_minhash_buckets(spark, sf_dir).localCheckpoint()
+    # materialized PRE-PARTITIONED on the join key (same ReuseExchange
+    # lesson as dedup_jaccard_pairs): the bucket self-join reads both
+    # sides from the checkpoint partitioning, no per-side exchange
+    buckets = (
+        dedup_minhash_buckets(spark, sf_dir)
+        .repartition("band", "bucket")
+        .localCheckpoint()
+    )
     cand = (
         buckets.alias("x")
         .join(
@@ -524,7 +539,14 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed and reused by the candidate side (via bands) and
     # both agreement sides
     sigs = _signatures(spark, sf_dir).localCheckpoint()
-    buckets = _band_explode(sigs)
+    # band-exploded buckets pre-partitioned on the join key so the
+    # self-join reads both sides from one materialization (no per-side
+    # exchange — ReuseExchange can't dedupe the aliased branches)
+    buckets = (
+        _band_explode(sigs)
+        .repartition("band", "bucket")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         buckets.alias("x")
         .join(

@@ -189,7 +189,13 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_neardup_allpairs, kept as the small-scale baseline) is pinned in
     tests/test_similarity_recall.py."""
     tune(spark)
-    bb = _banded_buckets(spark, sf_dir).localCheckpoint(eager=False)
+    # pre-partitioned on the self-join key: both sides read the one
+    # materialization, no per-side exchange (SCALE.md ReuseExchange note)
+    bb = (
+        _banded_buckets(spark, sf_dir)
+        .repartition("band", "bucket")
+        .localCheckpoint(eager=False)
+    )
     a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b = bb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
