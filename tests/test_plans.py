@@ -117,6 +117,41 @@ def test_soak_scale_still_broadcasts_dims(spark, name, floor):
     pi.assert_broadcast_join(df, f"{name}@sf1", at_least=floor)
 
 
+def test_mapside_ops_have_zero_exchanges(spark):
+    """embed_quantize_int8 and text_wordpunct_tokens are pure per-row
+    array/regex expression chains — any Exchange appearing in their
+    plans means a refactor accidentally introduced a shuffle into a
+    map-only operator."""
+    for name in ("embed_quantize_int8", "text_wordpunct_tokens"):
+        plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
+        assert plan.count("Exchange") == 0, (name, plan)
+
+
+def test_pack_is_single_shard_shuffle(spark):
+    """Sequence packing must shuffle exactly once (the per-shard window
+    cumsum) — a global-order spelling would show an extra single-
+    partition Exchange, the 100 TB bottleneck the shard design avoids."""
+    df = QUERIES["docs_pack_greedy"](spark, SF_CHECK)
+    plan = pi.physical_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_new_ops_prune_columns(spark):
+    """The new corpus scans read only what they use: quantization never
+    touches the label column; repetition/packing never read lang/source."""
+    for name, banned in (
+        ("embed_quantize_int8", ("label",)),
+        ("text_repetition_scores", ("lang", "source", "n_chars")),
+        ("docs_pack_greedy", ("lang", "source", "n_chars")),
+    ):
+        plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                for col in banned:
+                    assert col not in line, (name, col, line)
+
+
 def test_q9_broadcasts_dims_and_pushes_like(spark):
     """q9's deep star: every dim side broadcast (no fact shuffle for
     dim joins) and the p_name LIKE filter pushed into the part scan."""
