@@ -508,34 +508,21 @@ def _lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded centroids -> 2 unrolled Lloyd iterations ->
-    posting lists -> nprobe=4 probe -> exact cosine rerank, top-5 per
-    query vector. Same output schema as sim_ann_lsh_topk.
+def _seed_centroids(vec: DataFrame) -> DataFrame:
+    return vec.where(
+        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_HI)
+    ).select(
+        (F.col("vec_id") - SEED_LO).cast("int").alias("cid"),
+        F.col("xs").alias("ms"),
+    )
 
-    Centroids travel in ARRAY form (k rows of array<bigint>), so each
-    assignment pass is a broadcast crossJoin + in-row fold instead of
-    the long-form explode/join/agg (which shuffled n x 64 x k rows).
-    The final pass's (vec_id, cid, d) intermediate is checkpointed and
-    feeds BOTH the posting-list argmin and the query-probe ranking —
-    one distance computation, two consumers."""
+
+def _ivf_search(spark: SparkSession, sf_dir: str, vec: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared IVF search phase: final full-corpus assignment (one
+    distance table, checkpointed, feeding BOTH the posting-list argmin
+    and the query-probe ranking), nprobe probe, exact cosine rerank."""
     from pyspark.sql.window import Window
 
-    tune(spark)
-    vec = _micro_arr(load_table(spark, sf_dir, "embeddings"))
-    vec.persist()  # reused by 3 assignments + 2 mean updates
-
-    cents = vec.where(
-        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_HI)
-    ).select((F.col("vec_id") - SEED_LO).cast("int").alias("cid"), F.col("xs").alias("ms"))
-    for _ in range(2):  # Lloyd iterations, unrolled in the oracle SQL
-        # centroids are k rows; localCheckpoint materializes each
-        # iteration so later assignments don't recompute the whole
-        # previous-iteration lineage (measured 6.6s -> ~3s at sf1 soak)
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
-    # final assignment pass: one distance table, two consumers
     dists = _dists_to_centroids(vec, cents).localCheckpoint(eager=False)
     posting = _argmin_cid(dists)  # final posting lists
 
@@ -577,12 +564,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign_cte(tag: str, cents: str) -> str:
-    """One unrolled Lloyd assignment as DuckDB CTE text."""
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded centroids -> 2 unrolled Lloyd iterations ->
+    posting lists -> nprobe=4 probe -> exact cosine rerank, top-5 per
+    query vector. Same output schema as sim_ann_lsh_topk.
+
+    Centroids travel in ARRAY form (k rows of array<bigint>), so each
+    assignment pass is a broadcast crossJoin + in-row fold instead of
+    the long-form explode/join/agg (which shuffled n x 64 x k rows).
+    The final pass's (vec_id, cid, d) intermediate is checkpointed and
+    feeds BOTH the posting-list argmin and the query-probe ranking —
+    one distance computation, two consumers."""
+    tune(spark)
+    vec = _micro_arr(load_table(spark, sf_dir, "embeddings"))
+    vec.persist()  # reused by 3 assignments + 2 mean updates
+
+    cents = _seed_centroids(vec)
+    for _ in range(2):  # Lloyd iterations, unrolled in the oracle SQL
+        # centroids are k rows; localCheckpoint materializes each
+        # iteration so later assignments don't recompute the whole
+        # previous-iteration lineage (measured 6.6s -> ~3s at sf1 soak)
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    return _ivf_search(spark, sf_dir, vec, cents)
+
+
+IVF_SAMPLE_MOD = 5  # train the quantizer on the 20% vec_id % 5 == 0 slice
+
+
+def sim_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with SAMPLED quantizer training — the shape that actually
+    runs at 100 TB: Lloyd iterations see only a deterministic 20%
+    sample (vec_id % 5 == 0), so codebook training cost is decoupled
+    from corpus size; the FULL corpus is touched exactly once, by the
+    final posting-list assignment. Search phase identical to
+    sim_ivf_topk (faiss's train-on-sample / add-all split). The sample
+    is a pure modulus — no RNG — so the oracle unrolls to the same
+    deterministic CTEs and the check stays value-exact."""
+    tune(spark)
+    vec = _micro_arr(load_table(spark, sf_dir, "embeddings"))
+    vec.persist()  # final assignment + rerank reuse
+    train = vec.where(F.col("vec_id") % IVF_SAMPLE_MOD == 0).localCheckpoint()
+
+    cents = _seed_centroids(vec)
+    for _ in range(2):
+        cents = _lloyd_update(
+            train, _argmin_cid(_dists_to_centroids(train, cents))
+        ).localCheckpoint()
+    return _ivf_search(spark, sf_dir, vec, cents)
+
+
+def _ivf_assign_cte(tag: str, cents: str, vecs: str = "v") -> str:
+    """One unrolled Lloyd assignment as DuckDB CTE text (over `vecs` —
+    the full table or the sampled training slice)."""
     return f"""
 d{tag} AS (
-    SELECT v.vec_id, c.cid, sum((xs - ms) * (xs - ms)) AS d
-    FROM v JOIN {cents} c USING (dim)
+    SELECT {vecs}.vec_id, c.cid, sum((xs - ms) * (xs - ms)) AS d
+    FROM {vecs} JOIN {cents} c USING (dim)
     GROUP BY 1, 2
 ),
 a{tag} AS (
@@ -655,12 +694,76 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
+IVF_SAMPLED_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+vs AS (SELECT * FROM v WHERE vec_id % {IVF_SAMPLE_MOD} = 0),
+c0 AS (
+    SELECT CAST(vec_id - {SEED_LO} AS INT) AS cid, dim, xs AS ms
+    FROM v WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+),
+{_ivf_assign_cte("1", "c0", "vs")},
+c1 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM vs JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("2", "c1", "vs")},
+c2 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM vs JOIN a2 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("3", "c2")},
+qp AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY sum((xs - ms) * (xs - ms)),
+                                           c.cid) AS pr
+        FROM v JOIN c2 c USING (dim)
+        WHERE v.vec_id < {N_QUERIES}
+        GROUP BY v.vec_id, c.cid) WHERE pr <= {N_PROBE}
+),
+cand AS (
+    SELECT qp.query_id, a3.vec_id
+    FROM qp JOIN a3 USING (cid)
+    WHERE a3.vec_id <> qp.query_id
+),
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, n.e) / (q.norm * n.norm), 6) AS cosine
+    FROM cand
+    JOIN nv n ON n.vec_id = cand.vec_id
+    JOIN nv q ON q.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_sampled_topk": sim_ivf_sampled_topk,
 }
 
 ORACLE_SQL = {
@@ -669,4 +772,5 @@ ORACLE_SQL = {
     "sim_neardup_pairs": NEARDUP_SQL,
     "sim_ann_lsh_topk": ANN_SQL,
     "sim_ivf_topk": IVF_SQL,
+    "sim_ivf_sampled_topk": IVF_SAMPLED_SQL,
 }

@@ -56,6 +56,30 @@ def test_ivf_recall_and_rerank_exactness(spark):
         assert brute[pair] == ivf[pair], pair
 
 
+def test_ivf_sampled_recall_and_rerank_exactness(spark):
+    """The sampled-training IVF (quantizer fit on the 20% slice) must
+    hold the same recall floor as the full-Lloyd tier, and its rerank
+    stays exact — training-set size affects WHICH lists exist, never
+    the scored cosines."""
+    from projetbigdata_spark.operators.similarity import (
+        sim_ivf_sampled_topk,
+        sim_topk_bruteforce,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_topk_bruteforce(spark, SF_CHECK).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim_ivf_sampled_topk(spark, SF_CHECK).collect()
+    }
+    recall = len(set(brute) & set(ivf)) / len(brute)
+    assert recall >= IVF_RECALL_FLOOR, f"sampled IVF recall {recall:.2f}"
+    for pair in set(brute) & set(ivf):
+        assert brute[pair] == ivf[pair], pair
+
+
 def test_ivf_posting_lists_partition(spark):
     """The posting lists are a partition of the vector set (each vector
     in exactly one list) and the probe scans nprobe lists per query —
