@@ -1,0 +1,64 @@
+"""Degenerate-input robustness: a 100 TB pipeline meets empty
+partitions, empty days, and brand-new tables constantly — every
+operator family must plan and execute over 0-row tables without
+crashing (0 rows out, never an exception).
+
+The empty fixture mirrors the real schemas exactly (read from the
+sf0.001 parquet, filtered to 0 rows, rewritten), so schema inference
+and column pruning behave as in production.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, TABLES
+
+# one representative query per family; streaming/ML fits excluded
+# (estimator fits on 0 rows are a legitimate error, not a crash bug)
+REPRESENTATIVES = [
+    "q1_pricing_summary",        # relational agg
+    "q5_local_supplier",         # multi-join star
+    "vocab_topk",                # tokenize + agg + top-k
+    "window_rank_orders",        # window functions
+    "topk_customers",            # sort/limit
+    "set_ops",                   # union/intersect/except
+    "dedup_exact",               # hash dedup
+    "dedup_minhash_buckets",     # shingle -> signature agg
+    "sim_lsh_buckets",           # LSH signatures
+    "text_repetition_scores",    # repetition profile
+    "text_winnow_fingerprints",  # winnowing window
+    "docs_pack_greedy",          # packing window
+    "corpus_mix_plan",           # mixture agg
+    "embed_quantize_int8",       # in-row array folds
+    "events_tumbling_1h",        # time windows
+    "merge_cdc_snapshot",        # upsert
+    "sample_hash_documents",     # sampling
+    "quality_constraints",       # constraint report (5 rows of zeros)
+    "multimodal_meta",           # mapInPandas binary plumbing
+]
+
+# these legitimately return constant-row reports even on empty input
+NONZERO_ON_EMPTY = {"quality_constraints", "corpus_mix_plan"}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        df.where("1 = 0").coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/{t}.parquet"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_runs_on_empty_tables(spark, empty_sf_dir, name):
+    from projetbigdata_spark import registry
+
+    queries, _ = registry.collect()
+    out = queries[name](spark, empty_sf_dir)
+    n = out.count()  # must execute, not throw
+    if name not in NONZERO_ON_EMPTY:
+        assert n == 0, f"{name}: expected 0 rows on empty input, got {n}"
