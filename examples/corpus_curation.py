@@ -4,20 +4,25 @@ families composed into ONE distributed dataflow:
     documents
       -> quality gate      (text_quality_scores: length / punctuation /
                             stopword-ratio thresholds)
+      -> repetition gate   (text_repetition_scores: Gopher-rule
+                            dup-word fraction + top-bigram share)
       -> exact dedup       (md5 content hash, keep lowest doc_id)
       -> near-dup dedup    (MinHash-estimate edges -> connected
                             components, keep component representative)
       -> split assignment  (deterministic md5-bucket train/val/test —
                             re-runs and engine changes never move a doc)
+      -> sequence packing  (pack_assign: per-shard 2048-token packs)
       -> partitioned parquet sink (write.partitionBy("split"))
+      + corpus mixture plan printed for the survivors (mix_plan_of)
 
     python examples/corpus_curation.py [sf_dir] [out_dir]
 
 Every stage is one of the registered, oracle-checked operators; this
 script only composes them. The whole flow is shuffle-bounded (hash agg
 for exact dedup, banded LSH joins for near-dup, label propagation for
-components), no driver collect anywhere except the final summary
-counts. Integration-tested in tests/test_curation_pipeline.py.
+components, one window per packing shard), no driver collect anywhere
+except the final summary counts. Integration-tested in
+tests/test_curation_pipeline.py.
 """
 
 from __future__ import annotations
@@ -33,6 +38,13 @@ from projetbigdata_spark.operators.dedup import (  # noqa: E402
     dedup_components_minhash,
     dedup_exact,
 )
+from projetbigdata_spark.operators.packing import (  # noqa: E402
+    mix_plan_of,
+    pack_assign,
+)
+from projetbigdata_spark.operators.repetition import (  # noqa: E402
+    text_repetition_scores,
+)
 from projetbigdata_spark.operators.sampling import _hash_bucket  # noqa: E402
 from projetbigdata_spark.operators.textstats import (  # noqa: E402
     text_quality_scores,
@@ -42,6 +54,8 @@ from projetbigdata_spark.sources.catalog import load_table  # noqa: E402
 
 MIN_WORDS = 20
 MAX_STOPWORD_RATIO = 0.6
+MAX_DUP_WORD_FRAC = 0.70  # Gopher-style repetition ceilings
+MAX_TOP_BIGRAM_SHARE = 0.10
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +72,19 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("n_tokens") >= MIN_WORDS)
             & (F.col("stop_ratio") <= MAX_STOPWORD_RATIO)
+        )
+        .select("doc_id", "text", "lang")
+    )
+
+    # 1b. repetition gate — drop template/boilerplate docs (Gopher rules)
+    repetition = text_repetition_scores(spark, sf_dir).select(
+        "doc_id", "dup_word_frac", "top_bigram_share"
+    )
+    kept = (
+        kept.join(repetition, "doc_id")
+        .where(
+            (F.col("dup_word_frac") <= MAX_DUP_WORD_FRAC)
+            & (F.col("top_bigram_share") <= MAX_TOP_BIGRAM_SHARE)
         )
         .select("doc_id", "text", "lang")
     )
@@ -86,7 +113,14 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    return kept.withColumn("split", split)
+    kept = kept.withColumn("split", split)
+
+    # 5. sequence packing over the survivors — every doc gets its
+    # training-sequence slot (per-shard, no global cumsum)
+    packs = pack_assign(kept.select("doc_id", "text")).select(
+        "doc_id", "pack_id", "pack_offset"
+    )
+    return kept.join(packs, "doc_id")
 
 
 def main() -> None:
@@ -99,12 +133,19 @@ def main() -> None:
     curated.write.mode("overwrite").partitionBy("split").parquet(out)
 
     total = load_table(spark, sf_dir, "documents").count()
-    summary = (
-        spark.read.parquet(out).groupBy("split").agg(F.count("*").alias("n"))
+    written = spark.read.parquet(out)
+    summary = written.groupBy("split").agg(
+        F.count("*").alias("n"), F.countDistinct("pack_id").alias("n_packs")
     )
     print(f"input docs: {total}")
     for r in summary.orderBy("split").collect():
-        print(f"  {r.split}: {r.n}")
+        print(f"  {r.split}: {r.n} docs in {r.n_packs} packs")
+    print("mixture plan over survivors:")
+    for r in mix_plan_of(written).orderBy("lang").collect():
+        print(
+            f"  {r.lang}: {r.tokens} tokens, natural {r.natural_share:.3f} "
+            f"-> target {r.target_share:.2f} ({r.epochs:.2f} epochs, {r.mode})"
+        )
     spark.stop()
 
 

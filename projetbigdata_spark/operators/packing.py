@@ -32,14 +32,12 @@ PACK_BUDGET = 2048  # tokens per training sequence
 N_SHARDS = 8
 
 
-def docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, shard, pack_id, pack_offset): concat-order
-    packing within md5-hash shards, deterministic order by doc_id
-    inside each shard. pack_id is globally unique (shard-prefixed)."""
+def pack_assign(docs: DataFrame) -> DataFrame:
+    """Packing core over any (doc_id, text) frame — reused by the
+    registered query and the curation composition
+    (examples/corpus_curation.py)."""
     from pyspark.sql.window import Window
 
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.size(tokenize("text")).alias("n_tokens"),
@@ -64,6 +62,14 @@ def docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("pack_id"),
         ((cum - F.col("n_tokens")) % PACK_BUDGET).cast("int").alias("pack_offset"),
     )
+
+
+def docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, shard, pack_id, pack_offset): concat-order
+    packing within md5-hash shards, deterministic order by doc_id
+    inside each shard. pack_id is globally unique (shard-prefixed)."""
+    tune(spark)
+    return pack_assign(load_table(spark, sf_dir, "documents"))
 
 
 PACK_SQL = f"""
@@ -99,10 +105,14 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     target share -> epochs = target_share * total / group_tokens (the
     repeat factor a weighted sampler applies; >1 upsamples, <1
     downsamples). One corpus agg; the mixture table is 5 rows."""
+    tune(spark)
+    return mix_plan_of(load_table(spark, sf_dir, "documents"))
+
+
+def mix_plan_of(docs: DataFrame) -> DataFrame:
+    """Mixture-plan core over any (text, lang) frame."""
     from pyspark.sql.window import Window
 
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
     per_lang = (
         docs.select("lang", F.size(tokenize("text")).alias("n_tokens"))
         .groupBy("lang")

@@ -63,9 +63,32 @@ def test_curation_accounting_and_determinism(spark):
     assert sum(splits.values()) == kept
     assert splits["train"] > splits.get("val", 0)
 
+    # repetition gate: no survivor exceeds either ceiling
+    from projetbigdata_spark.operators.repetition import (
+        text_repetition_scores,
+    )
+
+    rep = text_repetition_scores(spark, SF_CHECK)
+    violators = out.join(
+        rep.where(
+            (F.col("dup_word_frac") > curation.MAX_DUP_WORD_FRAC)
+            | (F.col("top_bigram_share") > curation.MAX_TOP_BIGRAM_SHARE)
+        ),
+        "doc_id",
+    )
+    assert violators.count() == 0
+
+    # packing: every survivor has a pack slot; offsets stay in budget
+    from projetbigdata_spark.operators.packing import PACK_BUDGET
+
+    assert out.where(F.col("pack_id").isNull()).count() == 0
+    assert out.where(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= PACK_BUDGET)
+    ).count() == 0
+
     # determinism: a second full evaluation yields identical assignments
     again = curation.curate(spark, SF_CHECK)
-    assert out.select("doc_id", "split").subtract(
-        again.select("doc_id", "split")
+    assert out.select("doc_id", "split", "pack_id").subtract(
+        again.select("doc_id", "split", "pack_id")
     ).count() == 0
     out.unpersist()
