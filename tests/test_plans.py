@@ -158,3 +158,45 @@ def test_q9_broadcasts_dims_and_pushes_like(spark):
     df = QUERIES["q9_product_profit"](spark, SF_CHECK)
     pi.assert_broadcast_join(df, "q9", at_least=3)
     assert pi.has_pushed_filter(df, "p_name")
+
+
+# shuffle budgets for every bench headline query (NEXT r2 item 1): the
+# robust form of a bench-regression guard — wall-clock is noisy, but a
+# NEW Exchange in one of these plans is exactly how a perf regression
+# (lost broadcast, lost partitioning reuse, un-fused window) shows up.
+# Budgets are the current counts; going DOWN is always fine.
+# dedup_components_minhash reports 0 because its loop executes through
+# localCheckpoints before the final plan is built.
+EXCHANGE_BUDGET = {
+    "vocab_topk": 2,
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 3,
+    "q5_local_supplier": 6,
+    "q6_forecast_revenue": 1,
+    "q7_nation_volume": 6,
+    "q9_product_profit": 5,
+    "q18_large_orders": 3,
+    "join_asof_purchase_click": 1,
+    "window_rank_orders": 1,
+    "text_tfidf_top": 7,
+    "bow_vectorize": 4,
+    "dedup_jaccard_pairs": 10,
+    "dedup_minhash_buckets": 2,
+    "sim_topk_bruteforce": 2,
+    "sim_ann_lsh_topk": 12,
+    "sim_ivf_topk": 8,
+    "events_session_30m": 1,
+    "events_multi_rollup": 1,
+    "events_gaps_islands": 1,
+    "dedup_components_minhash": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_headline_exchange_budget(spark, name):
+    plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
+    n = plan.count("Exchange")
+    assert n <= EXCHANGE_BUDGET[name], (
+        f"{name}: {n} exchanges, budget {EXCHANGE_BUDGET[name]} — a new "
+        f"shuffle appeared; check broadcasts/partition reuse\n{plan}"
+    )
