@@ -196,26 +196,56 @@ FROM customer
 
 def window_distribution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution functions: percent_rank + cume_dist of customers by
-    balance within their nation (per-nation windows — distributed)."""
+    balance within their nation (per-nation windows — distributed).
+
+    Re-derived INTEGER-EXACTLY from row_number + partition count
+    (the window order is total, so rank == row_number): rank/n ratios
+    like 41/640 = .0640625 sit exactly on the 6dp half-point, where
+    Spark's HALF_UP round and DuckDB's half-even round disagree —
+    found by the sf0.1 harness sweep (3 rows diverged; sf0.01 happened
+    to dodge every half-point). Truncating integer division on the 1e6
+    grid is engine-exact at every sf."""
     tune(spark)
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
-    return c.select(
-        "c_custkey",
-        "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    wn = Window.partitionBy("c_nationkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.when(
+                F.col("n") > 1,
+                F.expr("((rn - 1) * 1000000) div (n - 1)") / 1_000_000.0,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (F.expr("(rn * 1000000) div n") / 1_000_000.0).alias("cume"),
+        )
     )
 
 
 DISTRIBUTION_SQL = """
+WITH t AS (
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY c_nationkey) AS n
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+)
 SELECT c_custkey, c_nationkey,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+       CASE WHEN n > 1
+            THEN (((rn - 1) * 1000000) // (n - 1)) / 1000000.0
+            ELSE 0.0 END AS pct_rank,
+       ((rn * 1000000) // n) / 1000000.0 AS cume
+FROM t
 """
 
 

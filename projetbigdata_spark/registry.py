@@ -22,6 +22,7 @@ _MODULES = (
     "projetbigdata_spark.operators.repetition",
     "projetbigdata_spark.operators.packing",
     "projetbigdata_spark.operators.quantize",
+    "projetbigdata_spark.functions.udafs",
     "projetbigdata_spark.operators.windows",
     "projetbigdata_spark.operators.tfidf",
     "projetbigdata_spark.operators.textstats",
