@@ -99,53 +99,57 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-def _plane_values(spark: SparkSession):
+def _plane_literals() -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: plane p, dim d ->
-    value in [-1, 1) derived from md5(p|d). Built as a tiny generated
-    DataFrame (8 x 64 rows) from ONE range (no cross join — a single
-    projection keeps every consumer's plan free of nested-loop joins);
-    broadcast everywhere it joins."""
-    cell = spark.range(N_PLANES * 64).select(
-        F.expr("id div 64").alias("plane"),
-        (F.col("id") % 64).alias("dim"),
-    )
-    # first 4 hex digits of md5 -> int in [0, 65535] -> scale to [-1, 1)
-    val = F.expr(
-        "conv(substring(md5(concat(plane, '|', dim)), 1, 4), 16, 10)"
-    ).cast("bigint")
-    return cell.select(
-        "plane", "dim", ((val - 32768) / F.lit(32768.0)).alias("pv")
-    )
+    value in [-1, 1) from the first 4 hex digits of md5(p|d), computed
+    driver-side into plan literals. Bit-identical to the oracle's
+    engine-side derivation by construction: (v - 32768) is an exact
+    int and /32768.0 divides by a power of two, so every pv is exactly
+    representable — Python, the JVM, and DuckDB produce the same
+    doubles. Lets signature computation run IN-ROW (a fold per plane)
+    with zero shuffles instead of explode+join+groupBy."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:4], 16) - 32768)
+            / 32768.0
+            for d in range(64)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _plane_dot(e, row: list[float]):
+    """In-row dot of a vector column against one literal hyperplane —
+    sequential fold, same order as the oracle's unnest-order sum."""
+    plane = F.array(*[F.lit(v) for v in row])
+    return _dot(e, plane)
 
 
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: sign bits of plane·vector, packed into a
     bucket id. Vectors sharing a bucket are ANN candidates; the join
-    for candidates is groupBy(bucket) — linear, not quadratic."""
+    for candidates is groupBy(bucket) — linear, not quadratic.
+
+    Signatures are computed IN-ROW: the 8 plane dot-products are folds
+    against literal plane arrays (_plane_literals — bit-identical to
+    the md5 derivation the oracle uses), so the whole operator is one
+    map-side projection with ZERO shuffles. The previous long-form
+    spelling (posexplode -> broadcast-join planes -> two groupBys)
+    shuffled n x 64 rows twice to compute the same 8 signs."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "dim", "x"
-        ),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    joined = emb.join(F.broadcast(_plane_values(spark)), "dim")
-    dots = joined.groupBy("vec_id", "plane").agg(
-        F.sum(F.col("x") * F.col("pv")).alias("dot")
-    )
-    bit = F.when(F.col("dot") > 0, F.lit(1).cast("bigint")).otherwise(
-        F.lit(0).cast("bigint")
-    )
-    return (
-        dots.select(
-            "vec_id",
-            (bit * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")).alias(
-                "bitval"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(F.sum("bitval").alias("bucket"))
-    )
+    bucket = None
+    for p, row in enumerate(_plane_literals()):
+        bit = F.when(
+            _plane_dot(F.col("e"), row) > 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.alias("bucket"))
 
 
 LSH_SQL = f"""
@@ -312,32 +316,34 @@ def _banded_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k neighbors sit near 90 deg), so narrow 2-bit bands buy recall
     at the cost of a denser candidate set; clustered real-world
     embeddings would use wider bands. Recall floor pinned in
-    tests/test_similarity_recall.py."""
+    tests/test_similarity_recall.py.
+
+    In-row like sim_lsh_buckets: each band's bucket is a fold against
+    two literal planes, the (band, bucket) rows come from ONE
+    generator — no shuffle at all until a consumer joins."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "dim", "x"
-        ),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    joined = emb.join(F.broadcast(_plane_values(spark)), "dim")
-    dots = joined.groupBy("vec_id", "plane").agg(
-        F.sum(F.col("x") * F.col("pv")).alias("dot")
-    )
-    bit = F.when(F.col("dot") > 0, F.lit(1).cast("bigint")).otherwise(
-        F.lit(0).cast("bigint")
-    )
-    return (
-        dots.select(
-            "vec_id",
-            (F.col("plane") - F.col("plane") % 2).alias("band2"),
-            (
-                bit
-                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane % 2 AS INT))")
-            ).alias("bitval"),
+    rows = _plane_literals()
+    bands = []
+    for b in range(N_PLANES // 2):
+        bucket = None
+        for j in range(2):
+            p = b * 2 + j
+            bit = F.when(
+                _plane_dot(F.col("e"), rows[p]) > 0,
+                F.lit(1 << j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            bucket = bit if bucket is None else bucket + bit
+        bands.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band"), bucket.alias("bucket")
+            )
         )
-        .groupBy("vec_id", (F.col("band2") / 2).cast("int").alias("band"))
-        .agg(F.sum("bitval").alias("bucket"))
-    )
+    return emb.select(
+        "vec_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -118,11 +118,11 @@ def test_soak_scale_still_broadcasts_dims(spark, name, floor):
 
 
 def test_mapside_ops_have_zero_exchanges(spark):
-    """embed_quantize_int8 and text_wordpunct_tokens are pure per-row
-    array/regex expression chains — any Exchange appearing in their
-    plans means a refactor accidentally introduced a shuffle into a
-    map-only operator."""
-    for name in ("embed_quantize_int8", "text_wordpunct_tokens"):
+    """embed_quantize_int8, text_wordpunct_tokens and sim_lsh_buckets
+    are pure per-row array/regex expression chains — any Exchange
+    appearing in their plans means a refactor accidentally introduced
+    a shuffle into a map-only operator."""
+    for name in ("embed_quantize_int8", "text_wordpunct_tokens", "sim_lsh_buckets"):
         plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
         assert plan.count("Exchange") == 0, (name, plan)
 
@@ -183,7 +183,7 @@ EXCHANGE_BUDGET = {
     "dedup_jaccard_pairs": 10,
     "dedup_minhash_buckets": 2,
     "sim_topk_bruteforce": 2,
-    "sim_ann_lsh_topk": 12,
+    "sim_ann_lsh_topk": 5,
     "sim_ivf_topk": 8,
     "events_session_30m": 1,
     "events_multi_rollup": 1,
