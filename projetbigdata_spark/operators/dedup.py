@@ -435,52 +435,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each distinct token hashes to 8 hex digits (32 bits); bit j votes
     +1/-1 on signature bit j; the sign of the vote sum sets the bit.
-    Computed with explode over 32 positions — integer-exact, portable.
     Near-dup candidates at scale: group on the 16-bit prefix
     (hamming-ball bucketing); emitted here per doc with its prefix.
-    """
+
+    Computed as ONE hash-agg with 32 vote-sum expressions over the
+    integer token hash (bit j of the signature is bit 31-j of h32 —
+    the hex string is MSB-first): no 32x row explode, one shuffle
+    total, and the 32 sums combine map-side. Previous long-form
+    spelling (explode 32 positions -> groupBy(doc,bit) -> groupBy(doc))
+    shuffled 32x the rows twice for the same integer result — the
+    oracle keeps that spelling, so this plan change is value-checked."""
     tune(spark)
     docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
     )
-    hashed = toks.select("doc_id", F.expr("substring(md5(token), 1, 8)").alias("h8"))
-    bits = hashed.select(
-        "doc_id", "h8", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    h32 = F.expr(
+        "CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
     )
-    # hex digit for bit j is char (j div 4)+1 (1-based); the bit within
-    # the digit is MSB-first: (digit >> (3 - j%4)) & 1, spelled with an
-    # integer-divisor CASE so Spark and DuckDB share exact semantics.
-    digits = bits.select(
-        "doc_id",
-        "bit",
-        F.expr(
-            "locate(substring(h8, CAST(bit div 4 AS INT) + 1, 1),"
-            " '0123456789abcdef') - 1"
-        ).alias("digit"),
-    )
-    votes = digits.select(
-        "doc_id",
-        "bit",
-        F.expr(
-            "CASE WHEN (digit div CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4"
-            " WHEN 2 THEN 2 ELSE 1 END) % 2 = 1 THEN 1 ELSE -1 END"
-        ).alias("vote"),
-    )
-    sig = (
-        votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT),"
-                    " CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("simhash32")
-        )
-    )
+    hashed = toks.select("doc_id", h32.alias("h32"))
+    votes = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN shiftright(h32, {31 - j}) % 2 = 1"
+                " THEN 1 ELSE -1 END"
+            )
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for j in range(32):
+        bit = F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = bit if simhash is None else simhash + bit
     return sig.select(
+        "doc_id",
+        simhash.alias("simhash32"),
+    ).select(
         "doc_id",
         "simhash32",
         (F.col("simhash32") - F.col("simhash32") % 65536).alias("prefix_bucket"),
