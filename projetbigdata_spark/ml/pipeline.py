@@ -154,7 +154,8 @@ def crossval_fit_dt(
         evaluator=evaluator,
         numFolds=3,
         seed=SEED,
-        parallelism=2,
+        parallelism=4,  # folds x grid points fit; metrics are seeded
+        # per-fold averages, so parallelism never changes the numbers
     )
     cv_model = cv.fit(docs)
     rows = [
