@@ -718,6 +718,86 @@ WHERE d.source = '{INCR_NEW_SOURCE}'
 """
 
 
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION: find val/test documents that near-duplicate a
+    TRAIN document — the overlap check every LLM eval pipeline runs
+    before trusting held-out metrics (a contaminated eval doc inflates
+    scores). Splits come from the same deterministic md5 buckets as
+    split_assign_documents; the match is the minhash bucket-collision +
+    signature-agreement core shared with dedup_incremental — candidates
+    are only eval x train collisions, never corpus x corpus.
+
+    Output per val/test doc: (doc_id, split, is_contaminated,
+    train_match, best_est). Unmatched eval docs surface with NULL
+    match, so the clean set is auditable, not implied."""
+    from projetbigdata_spark.operators.sampling import _hash_bucket
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    membership = docs.select("doc_id", split.alias("split"))
+    sigs = _signatures(spark, sf_dir).localCheckpoint()
+    sigs_m = sigs.join(membership, "doc_id")
+    eval_sigs = sigs_m.where(F.col("split") != "train").drop("split")
+    train_sigs = sigs_m.where(F.col("split") == "train").drop("split")
+    matched = incremental_match(eval_sigs, train_sigs)
+    return matched.join(membership, "doc_id").select(
+        "doc_id",
+        "split",
+        F.col("is_dup").alias("is_contaminated"),
+        F.col("best_match").alias("train_match"),
+        "best_est",
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH {_minhash_base_ctes},
+buckets AS (
+    {_minhash_band_rows}
+),
+membership AS (
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+    FROM buckets x
+    JOIN membership mx ON mx.doc_id = x.doc_id AND mx.split <> 'train'
+    JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+    JOIN membership my ON my.doc_id = y.doc_id AND my.split = 'train'
+),
+scored AS (
+    SELECT new_id, old_id,
+           ({_est_agree}) / {MINHASH_SEEDS}.0 AS est
+    FROM cand
+    JOIN sigs a ON a.doc_id = new_id
+    JOIN sigs b ON b.doc_id = old_id
+),
+best AS (
+    SELECT new_id, old_id AS train_match, est AS best_est
+    FROM (SELECT new_id, old_id, est,
+                 row_number() OVER (PARTITION BY new_id
+                                    ORDER BY est DESC, old_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+)
+SELECT m.doc_id, m.split,
+       coalesce(best_est >= {INCR_THRESHOLD}, FALSE) AS is_contaminated,
+       train_match, best_est
+FROM membership m
+LEFT JOIN best ON best.new_id = m.doc_id
+WHERE m.split <> 'train'
+"""
+
+
 JACCARD_VERIFIED_SQL = f"""
 WITH {_minhash_base_ctes},
 buckets AS (
@@ -1045,6 +1125,7 @@ QUERIES = {
     "dedup_minhash_buckets": dedup_minhash_buckets,
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
+    "dedup_contamination": dedup_contamination,
 }
 
 ORACLE_SQL = {
@@ -1059,4 +1140,5 @@ ORACLE_SQL = {
     "dedup_minhash_buckets": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_incremental": INCREMENTAL_SQL,
+    "dedup_contamination": CONTAMINATION_SQL,
 }
