@@ -206,14 +206,60 @@ FROM spine LEFT OUTER JOIN hourly ON spine.hour = hourly.hour
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    again at each later day offset — the classic product-analytics
+    triangle. Two hash-aggs and one join, no windows:
+
+      cohort(user)   = min(activity day)           (agg 1)
+      activity(user) = distinct (user, day)        (part of agg 1's scan)
+      retention      = count distinct users per (cohort_day, offset)
+
+    The per-user cohort table shuffles by user once; the triangle agg
+    shuffles the skinny (cohort_day, offset, user) rows. At 100 TB the
+    distinct-user count per cell would swap to approx_count_distinct
+    (documented trade in table_stats); exact here so the oracle hashes."""
+    tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy(
+            # ISO string so both engines materialize identical dtypes
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+    SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day - cohort_day AS INT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_gaps_islands": events_gaps_islands,
     "events_funnel_conversion": events_funnel_conversion,
     "events_spine_fill": events_spine_fill,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 ORACLE_SQL = {
     "events_gaps_islands": GAPS_SQL,
     "events_funnel_conversion": FUNNEL_SQL,
     "events_spine_fill": SPINE_SQL,
+    "events_retention_cohorts": RETENTION_SQL,
 }
