@@ -612,22 +612,34 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     its best corpus match by signature agreement and a keep/drop
     verdict at jaccard_est >= 0.5.
 
-    Output: (doc_id, is_dup, best_match, best_est) for every new doc —
-    unmatched docs surface with NULL match, never dropped silently."""
+    Output: (doc_id, is_dup, best_match, best_est) for EVERY new doc —
+    anchored on the document table itself, not the signature frame, so
+    a doc too short to produce a bigram shingle (no signature) still
+    surfaces with NULL match / is_dup=FALSE instead of vanishing (the
+    oracle anchors on documents WHERE source='src0')."""
     tune(spark)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sigs = _signatures(spark, sf_dir).localCheckpoint()
     sigs_src = sigs.join(src, "doc_id")
     new_sigs = sigs_src.where(F.col("source") == INCR_NEW_SOURCE).drop("source")
     old_sigs = sigs_src.where(F.col("source") != INCR_NEW_SOURCE).drop("source")
-    return incremental_match(new_sigs, old_sigs)
+    anchor = src.where(F.col("source") == INCR_NEW_SOURCE).select("doc_id")
+    return incremental_match(new_sigs, old_sigs, anchor=anchor)
 
 
-def incremental_match(new_sigs: DataFrame, old_sigs: DataFrame) -> DataFrame:
+def incremental_match(
+    new_sigs: DataFrame, old_sigs: DataFrame, anchor: DataFrame | None = None
+) -> DataFrame:
     """Core of incremental dedup over two signature frames (doc_id,
     h0..h15): new x old bucket collisions -> signature agreement ->
     best corpus match + verdict per new doc. Shared by the batch
-    operator above and the streaming micro-batch job."""
+    operator above and the streaming micro-batch job.
+
+    ``anchor`` is the FULL new-side doc population (doc_id column):
+    signature frames silently lack docs with <2 tokens (no bigram
+    shingles), so anchoring the left join on new_sigs would drop them.
+    Callers pass the unfiltered document slice; None falls back to
+    new_sigs (signature-complete inputs only)."""
     newb = _band_explode(new_sigs).select(
         F.col("doc_id").alias("new_id"), "band", "bucket"
     )
@@ -668,7 +680,10 @@ def incremental_match(new_sigs: DataFrame, old_sigs: DataFrame) -> DataFrame:
         (-F.col("m.neg")).alias("best_match"),
         F.col("m.est").alias("best_est"),
     )
-    news = new_sigs.select("doc_id")
+    news = (
+        anchor.select("doc_id") if anchor is not None
+        else new_sigs.select("doc_id")
+    )
     return news.join(
         best, news.doc_id == best.new_id, "left_outer"
     ).select(
@@ -729,7 +744,9 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per val/test doc: (doc_id, split, is_contaminated,
     train_match, best_est). Unmatched eval docs surface with NULL
-    match, so the clean set is auditable, not implied."""
+    match, so the clean set is auditable, not implied — including docs
+    too short to carry a minhash signature (anchored on membership,
+    not the signature frame, matching the oracle's FROM membership)."""
     from projetbigdata_spark.operators.sampling import _hash_bucket
 
     tune(spark)
@@ -743,7 +760,8 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs_m = sigs.join(membership, "doc_id")
     eval_sigs = sigs_m.where(F.col("split") != "train").drop("split")
     train_sigs = sigs_m.where(F.col("split") == "train").drop("split")
-    matched = incremental_match(eval_sigs, train_sigs)
+    anchor = membership.where(F.col("split") != "train").select("doc_id")
+    matched = incremental_match(eval_sigs, train_sigs, anchor=anchor)
     return matched.join(membership, "doc_id").select(
         "doc_id",
         "split",

@@ -204,7 +204,13 @@ def window_distribution_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     Spark's HALF_UP round and DuckDB's half-even round disagree —
     found by the sf0.1 harness sweep (3 rows diverged; sf0.01 happened
     to dodge every half-point). Truncating integer division on the 1e6
-    grid is engine-exact at every sf."""
+    grid is engine-exact at every sf.
+
+    rn/n are promoted to BIGINT before the 1e6 multiply: row_number is
+    IntegerType, and (rn - 1) * 1000000 overflows 32-bit for any
+    partition with >= 2148 rows (ANSI mode would raise
+    ARITHMETIC_OVERFLOW; the DuckDB oracle's row_number is already
+    BIGINT). Regression-tested on a 3000-row partition."""
     tune(spark)
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -223,11 +229,18 @@ def window_distribution_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             "c_nationkey",
             F.when(
                 F.col("n") > 1,
-                F.expr("((rn - 1) * 1000000) div (n - 1)") / 1_000_000.0,
+                F.expr(
+                    "((CAST(rn AS BIGINT) - 1) * 1000000)"
+                    " div (CAST(n AS BIGINT) - 1)"
+                )
+                / 1_000_000.0,
             )
             .otherwise(F.lit(0.0))
             .alias("pct_rank"),
-            (F.expr("(rn * 1000000) div n") / 1_000_000.0).alias("cume"),
+            (
+                F.expr("(CAST(rn AS BIGINT) * 1000000) div CAST(n AS BIGINT)")
+                / 1_000_000.0
+            ).alias("cume"),
         )
     )
 

@@ -226,7 +226,12 @@ def incremental_dedup_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        verdicts = incremental_match(signatures_of(batch_df), corpus_sigs)
+        # anchor on the full micro-batch: docs with <2 tokens carry no
+        # signature but must still get a verdict row (is_dup=FALSE)
+        verdicts = incremental_match(
+            signatures_of(batch_df), corpus_sigs,
+            anchor=batch_df.select("doc_id"),
+        )
         verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(out_dir)

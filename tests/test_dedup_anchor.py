@@ -1,0 +1,102 @@
+"""Anchor regression for dedup_incremental / dedup_contamination.
+
+Docs with <2 whitespace tokens produce no bigram shingles, hence no
+minhash signature. The Spark operators must still emit a verdict row
+for them (is_dup=FALSE, NULL match) because the oracles anchor on the
+full document population — previously such docs silently vanished
+from the Spark side (ADVICE.md r2, medium). Fixtures here contain an
+empty doc and a one-token doc in the new/eval slice.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def short_docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("short_docs")
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # new batch (src0): one normal, one near-dup of corpus, one
+        # empty, one single-token. doc_ids 1-4 md5-hash into the
+        # train split; 5/8/14/18 hash into val/test (so the
+        # contamination query has eval docs, incl. unsigned ones).
+        (1, "the quick brown fox jumps over the lazy dog tonight", "en", "src0", 50),
+        (2, dup, "en", "src0", 56),
+        (3, "", "en", "src0", 0),
+        (4, "solitary", "en", "src0", 8),
+        # standing corpus (src1); 5=val near-dup, 8/14=test unsigned,
+        # 18=val normal, 10-12=train
+        (5, dup, "en", "src1", 56),
+        (8, "solitary", "en", "src1", 8),
+        (14, "", "en", "src1", 0),
+        (18, "an ordinary evaluation document with plenty of words inside", "en", "src1", 59),
+        (10, dup, "en", "src1", 56),
+        (11, "completely unrelated corpus text about weather patterns today", "en", "src1", 61),
+        (12, "x", "en", "src1", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare(spark, sf_dir, fn, sql, id_col="doc_id"):
+    got = {r[id_col]: r.asDict() for r in fn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(sql)
+    names = [c[0] for c in cur.description]
+    want = {r[names.index(id_col)]: dict(zip(names, r)) for r in cur.fetchall()}
+    con.close()
+    return got, want
+
+
+def test_incremental_includes_unsigned_docs(spark, short_docs_dir):
+    from projetbigdata_spark.operators.dedup import (
+        INCREMENTAL_SQL,
+        dedup_incremental,
+    )
+
+    got, want = _compare(spark, short_docs_dir, dedup_incremental, INCREMENTAL_SQL)
+    # all four src0 docs must be present, including the unsigned ones
+    assert set(got) == {1, 2, 3, 4}
+    assert set(got) == set(want)
+    for k in got:
+        g, w = got[k], want[k]
+        assert g["is_dup"] == w["is_dup"], (k, g, w)
+        assert g["best_match"] == w["best_match"], (k, g, w)
+    # unsigned docs: explicit non-dup with NULL match
+    for k in (3, 4):
+        assert got[k]["is_dup"] is False
+        assert got[k]["best_match"] is None
+    # the near-dup pair is flagged
+    assert got[2]["is_dup"] is True and got[2]["best_match"] is not None
+
+
+def test_contamination_includes_unsigned_docs(spark, short_docs_dir):
+    from projetbigdata_spark.operators.dedup import (
+        CONTAMINATION_SQL,
+        dedup_contamination,
+    )
+
+    got, want = _compare(
+        spark, short_docs_dir, dedup_contamination, CONTAMINATION_SQL
+    )
+    assert set(got) == set(want)
+    # eval population: 5 (val, near-dup of train), 8/14 (test,
+    # unsigned), 18 (val, clean)
+    assert set(got) == {5, 8, 14, 18}
+    for k in got:
+        assert got[k]["is_contaminated"] == want[k]["is_contaminated"], k
+        assert got[k]["train_match"] == want[k]["train_match"], k
+    for k in (8, 14):
+        assert got[k]["is_contaminated"] is False
+        assert got[k]["train_match"] is None
+    assert got[5]["is_contaminated"] is True
