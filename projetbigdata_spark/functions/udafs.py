@@ -32,9 +32,20 @@ def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def geomean(v: pd.Series) -> float:
+        import math
+
         import numpy as np
 
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+        # math.fsum is exactly rounded regardless of summand order, so
+        # the result is identical however Arrow batches/partition order
+        # feed the group — np.mean's pairwise summation was
+        # partition-order-dependent near 6dp half-points (ADVICE r2).
+        # Residual risk vs the oracle: DuckDB's avg(ln) accumulates
+        # sequentially, so a group whose true mean sits within ~1 ulp
+        # of a 5e-7 boundary could still round differently; that gap is
+        # inherent to holding a float aggregate to a value-exact hash.
+        logs = np.log(v.to_numpy())
+        return float(math.exp(math.fsum(logs) / len(logs)))
 
     e = load_events(spark, sf_dir).where(F.col("value") > 0)
     # a GROUPED_AGG pandas UDF cannot share an agg() with JVM

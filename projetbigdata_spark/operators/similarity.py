@@ -190,7 +190,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors it CTE-for-CTE and the check stays value-exact.
     Pairs whose signatures never collide in any band are missed —
     that's the LSH trade; recall vs. the exact all-pairs spelling
-    (_neardup_allpairs, kept as the small-scale baseline) is pinned in
+    (sim_neardup_allpairs_exact, registered as the small-scale baseline) is pinned in
     tests/test_similarity_recall.py."""
     tune(spark)
     # pre-partitioned on the self-join key: both sides read the one
@@ -224,9 +224,15 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs baseline (O(n^2) — test oracle only, NOT
-    registered): ground truth for the LSH-pruned recall gate."""
+def sim_neardup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-duplicate pairs (O(n^2)) — registered under
+    its own name for consumers that need exact recall at small scale.
+    sim_neardup_pairs switched from this spelling to banded-LSH pruning
+    in r2 (an output-reducing change: recall floor pinned in
+    tests/test_similarity_recall.py, see COVERAGE.md release note);
+    this variant preserves the original exact semantics and is the
+    ground truth for that recall gate. Deliberate non-equi nested-loop
+    join — the declared small-scale baseline, not the 100 TB path."""
     tune(spark)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
@@ -765,6 +771,7 @@ QUALIFY rnk <= {TOP_K}
 
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -774,6 +781,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
+    "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,
     "sim_lsh_buckets": LSH_SQL,
     "sim_neardup_pairs": NEARDUP_SQL,
     "sim_ann_lsh_topk": ANN_SQL,

@@ -26,6 +26,9 @@ CARTESIAN_OK = {
     # (broadcast) nested-loop the intended plan; the scale paths are
     # the LSH-bucketed variants (sim_ann_lsh_topk, sim_neardup_pairs)
     "sim_topk_bruteforce",
+    # exact all-pairs neardup baseline, registered by name for exact-
+    # recall consumers after sim_neardup_pairs moved to LSH pruning
+    "sim_neardup_allpairs_exact",
 }
 
 

@@ -121,13 +121,13 @@ NEARDUP_RECALL_FLOOR = 0.6  # theory ~0.87 at the 0.4 boundary with
 
 def test_neardup_recall_and_precision_vs_allpairs(spark):
     from projetbigdata_spark.operators.similarity import (
-        _neardup_allpairs,
+        sim_neardup_allpairs_exact,
         sim_neardup_pairs,
     )
 
     truth = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in _neardup_allpairs(spark, SF_CHECK).collect()
+        for r in sim_neardup_allpairs_exact(spark, SF_CHECK).collect()
     }
     pruned = {
         (r.vec_a, r.vec_b): r.cosine
