@@ -64,6 +64,8 @@ _PRIORITY = (
     "sim_topk_bruteforce",
     # new in r3: exact all-pairs neardup baseline registered by name
     "sim_neardup_allpairs_exact",
+    # new in r3: universal-tagset rule tier (NLTK divergence audit)
+    "text_pos_universal",
 )
 
 # Ordered so the driver's correctness budget reaches every family:

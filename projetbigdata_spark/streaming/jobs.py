@@ -45,18 +45,31 @@ def open_events_stream(spark: SparkSession, source: dict) -> DataFrame:
     if kind == "files":
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # FileStreamSource needs a user schema; peek at the directory
         # with a one-footer batch read so the declared ts type matches
         # whatever physical layout this fixture generation used
         # (TIMESTAMP(NANOS) -> long under nanosAsLong; TIMESTAMP(MICROS)
-        # with/without tz -> timestamp/timestamp_ntz). An empty or
-        # not-yet-created directory (watch-before-first-file) falls
-        # back to the nanos layout the fixtures use.
+        # with/without tz -> timestamp/timestamp_ntz). nanosAsLong is a
+        # session-wide legacy conf, so probe WITHOUT it first and set it
+        # only when the footer really is TIMESTAMP(NANOS) — a MICROS
+        # fixture must not leave the legacy conf flipped for every
+        # later reader in the session (same hygiene as
+        # sources/catalog.load_events). An empty or not-yet-created
+        # directory (watch-before-first-file) falls back to the nanos
+        # layout the fixtures use.
         try:
             ts_physical = spark.read.parquet(source["path"]).schema["ts"].dataType
-        except Exception:  # AnalysisException: empty/missing dir
-            ts_physical = T.LongType()
+        except Exception:
+            if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+                ts_physical = T.LongType()  # empty/missing dir, conf already legacy
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                try:  # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) -> retry as long
+                    ts_physical = (
+                        spark.read.parquet(source["path"]).schema["ts"].dataType
+                    )
+                except Exception:  # genuinely empty/missing dir
+                    ts_physical = T.LongType()
         nanos = isinstance(ts_physical, T.LongType)
         # rebuild the declared schema field-by-field from the observed
         # physical type (no substring surgery on the DDL string)

@@ -275,3 +275,65 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
     cols = ["doc_id", "is_dup", "best_match", "best_est"]
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_kafka_transport_construction_boundary(spark, events_dir):
+    """The kafka spec of open_events_stream is exercised up to the
+    classpath boundary: in this container the spark-sql-kafka connector
+    jar is absent, so construction must fail with Spark's
+    connector-missing guidance (DATA_SOURCE_NOT_FOUND naming the
+    --packages coordinate), NOT a KeyError/TypeError in our own spec
+    plumbing. If the jar IS on the classpath (deployment), the branch
+    must instead yield the same normalized schema as every other
+    transport. Deployment recipe: SCALE.md §Streaming."""
+    import pytest
+
+    from projetbigdata_spark.streaming.jobs import open_events_stream
+
+    spec = {
+        "kind": "kafka",
+        "bootstrap_servers": "localhost:9092",
+        "topic": "events",
+        "max_offsets_per_trigger": 1000,
+    }
+    try:
+        kafka = open_events_stream(spark, spec)
+    except Exception as e:  # connector absent: the expected local outcome
+        msg = str(e)
+        assert "kafka" in msg.lower()
+        assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
+    else:  # connector present: full transport-agnostic schema contract
+        files = open_events_stream(spark, {"kind": "files", "path": events_dir})
+        assert kafka.isStreaming
+        assert [f.name for f in kafka.schema] == [f.name for f in files.schema]
+
+
+def test_files_transport_micros_fixture_no_conf_mutation(spark, tmp_path):
+    """A TIMESTAMP(MICROS) events directory must stream without
+    flipping the session-wide legacy nanosAsLong conf (which would
+    change how every LATER reader in the session sees NANOS files).
+    Probe-first hygiene, same as sources/catalog.load_events."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.streaming.jobs import open_events_stream
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, "false")
+    micros_dir = str(tmp_path / "micros_events")
+    spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") % 3).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(micros_dir)
+    try:
+        spark.conf.set(key, "false")
+        stream = open_events_stream(spark, {"kind": "files", "path": micros_dir})
+        assert dict(stream.dtypes)["ts"] == "timestamp"
+        assert spark.conf.get(key) == "false", (
+            "MICROS fixture must not flip the session-wide nanosAsLong conf"
+        )
+    finally:
+        spark.conf.set(key, prev)
