@@ -314,18 +314,23 @@ WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
 """
 
 
-def _banded_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, band, bucket): the 8 sign bits split into 4 bands of 2
-    — standard banded LSH; a pair is a candidate iff it collides in AT
-    LEAST one band. Band width tunes the recall/candidate trade: the
-    fixture embeddings are uniform-random (LSH's worst case — true
-    top-k neighbors sit near 90 deg), so narrow 2-bit bands buy recall
-    at the cost of a denser candidate set; clustered real-world
-    embeddings would use wider bands. Recall floor pinned in
-    tests/test_similarity_recall.py.
+def _banded_buckets(
+    spark: SparkSession, sf_dir: str, band_bits: int = 2
+) -> DataFrame:
+    """(vec_id, band, bucket): the 8 sign bits split into bands of
+    `band_bits` — standard banded LSH; a pair is a candidate iff it
+    collides in AT LEAST one band. Band width tunes the
+    recall/candidate trade: the fixture embeddings are uniform-random
+    (LSH's worst case — true top-k neighbors sit near 90 deg), so the
+    registered queries keep narrow 2-bit bands (4 bands: background
+    collision 1-0.75^4 ~ 0.68) to buy recall; at deployment scale,
+    where true neighbors ARE near, 4-bit bands (2 bands: background
+    ~ 0.12) prune ~6x with no recall loss — both layouts measured at
+    20k vectors in the soak study (SCALE.md §Similarity; floors pinned
+    in tests/test_similarity_recall.py).
 
     In-row like sim_lsh_buckets: each band's bucket is a fold against
-    two literal planes, the (band, bucket) rows come from ONE
+    band_bits literal planes, the (band, bucket) rows come from ONE
     generator — no shuffle at all until a consumer joins."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -333,10 +338,10 @@ def _banded_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = _plane_literals()
     bands = []
-    for b in range(N_PLANES // 2):
+    for b in range(N_PLANES // band_bits):
         bucket = None
-        for j in range(2):
-            p = b * 2 + j
+        for j in range(band_bits):
+            p = b * band_bits + j
             bit = F.when(
                 _plane_dot(F.col("e"), rows[p]) > 0,
                 F.lit(1 << j).cast("bigint"),
@@ -352,7 +357,9 @@ def _banded_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, band_bits: int = 2
+) -> DataFrame:
     """End-to-end ANN (the 100 TB path): banded-LSH candidate
     generation + exact cosine rerank, top-5 per query vector.
 
@@ -360,11 +367,13 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |bucket collisions|, never all pairs. The exact rerank touches
     candidates only. Recall vs sim_topk_bruteforce is asserted in
     tests/test_similarity_recall.py; missing a true neighbor whose
-    signatures never collide is inherent to LSH (that's the trade)."""
+    signatures never collide is inherent to LSH (that's the trade).
+    band_bits widens the bands for deployment-scale pruning (see
+    _banded_buckets); the registered query keeps the default."""
     from pyspark.sql.window import Window
 
     tune(spark)
-    bb = _banded_buckets(spark, sf_dir)
+    bb = _banded_buckets(spark, sf_dir, band_bits)
     qb = bb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )

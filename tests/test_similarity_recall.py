@@ -164,3 +164,86 @@ def test_ann_candidates_prune(spark):
         .count()
     )
     assert ncand < 0.9 * N_QUERIES * (n - 1)
+
+
+# --------------------------------------------------------------------------
+# Soak-scale recall study (VERDICT r2 item 5): 20,000 vectors from
+# examples/gen_ann_soak.py — 10 deterministic hash-noise replicas of the
+# sf0.1 corpus, so every query vector has 9 genuinely-NEAR true
+# neighbors (the realistic regime, unlike the uniform-random small
+# fixtures). Measured r3 (SCALE.md §Similarity):
+#   band_bits=2 (registered): recall 1.000, candidate ratio 0.681
+#   band_bits=4 (deployment): recall 0.960, candidate ratio 0.124
+#   sim_ivf_topk 1.000 / sim_ivf_sampled_topk 0.980
+# Gated on the generated corpus being present.
+# --------------------------------------------------------------------------
+import os as _os
+
+import pytest as _pytest
+
+ANN_SOAK_DIR = "/tmp/soak/ann"
+_soak = _pytest.mark.skipif(
+    not _os.path.isdir(f"{ANN_SOAK_DIR}/embeddings.parquet"),
+    reason="ANN soak corpus absent — python examples/gen_ann_soak.py",
+)
+
+
+def _topk_pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+@_pytest.fixture(scope="module")
+def soak_truth(spark):
+    from projetbigdata_spark.operators.similarity import sim_topk_bruteforce
+
+    return _topk_pairs(sim_topk_bruteforce(spark, ANN_SOAK_DIR))
+
+
+@_soak
+@_pytest.mark.parametrize(
+    "bits,recall_floor,cand_ceiling",
+    [(2, 0.95, 0.75), (4, 0.85, 0.20)],
+)
+def test_soak_ann_recall_and_candidate_ratio(
+    spark, soak_truth, bits, recall_floor, cand_ceiling
+):
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        N_QUERIES,
+        _banded_buckets,
+        sim_ann_lsh_topk,
+    )
+
+    got = _topk_pairs(sim_ann_lsh_topk(spark, ANN_SOAK_DIR, band_bits=bits))
+    recall = len(soak_truth & got) / len(soak_truth)
+    assert recall >= recall_floor, f"bits={bits} recall {recall:.3f}"
+
+    bb = _banded_buckets(spark, ANN_SOAK_DIR, bits)
+    n = bb.select("vec_id").distinct().count()
+    qb = bb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), "band", "bucket"
+    )
+    ncand = (
+        bb.join(qb, ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("q"))
+        .select("q", "vec_id")
+        .distinct()
+        .count()
+    )
+    ratio = ncand / (N_QUERIES * (n - 1))
+    assert ratio <= cand_ceiling, f"bits={bits} candidate ratio {ratio:.3f}"
+
+
+@_soak
+def test_soak_ivf_sampled_recall(spark):
+    """The faiss-style train-on-20%-slice tier must hold recall at 10x
+    the fixture scale — the quantizer sees 4k of 20k vectors."""
+    from projetbigdata_spark.operators.similarity import sim_ivf_sampled_topk
+
+    from projetbigdata_spark.operators.similarity import sim_topk_bruteforce
+
+    truth = _topk_pairs(sim_topk_bruteforce(spark, ANN_SOAK_DIR))
+    got = _topk_pairs(sim_ivf_sampled_topk(spark, ANN_SOAK_DIR))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.90, f"sampled IVF soak recall {recall:.3f}"
