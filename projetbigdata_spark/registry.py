@@ -66,6 +66,14 @@ _PRIORITY = (
     "sim_neardup_allpairs_exact",
     # new in r3: universal-tagset rule tier (NLTK divergence audit)
     "text_pos_universal",
+    # new in r3: TPC-H suite completion (relational5)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
 )
 
 # Ordered so the driver's correctness budget reaches every family:
@@ -94,6 +102,7 @@ _MODULES = (
     "projetbigdata_spark.operators.relational2",
     "projetbigdata_spark.operators.relational3",
     "projetbigdata_spark.operators.relational4",
+    "projetbigdata_spark.operators.relational5",
     "projetbigdata_spark.operators.quality",
     "projetbigdata_spark.operators.features",
 )

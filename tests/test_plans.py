@@ -29,6 +29,10 @@ CARTESIAN_OK = {
     # exact all-pairs neardup baseline, registered by name for exact-
     # recall consumers after sim_neardup_pairs moved to LSH pruning
     "sim_neardup_allpairs_exact",
+    # 1-row scalar-aggregate cross joins (broadcast): Q11's total-value
+    # threshold and Q22's positive-balance average
+    "q11_important_stock",
+    "q22_sales_opportunity",
 }
 
 
