@@ -532,6 +532,15 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed and reused by the candidate side (via bands) and
     # both agreement sides
     sigs = _signatures(spark, sf_dir).localCheckpoint()
+    return _estimate_edges(sigs)
+
+
+def _estimate_edges(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate join + signature agreement over an already
+    materialized signature frame -> (doc_a, doc_b, jaccard_est). The
+    core of dedup_minhash_estimate, reusable on a signature SUBSET
+    (dedup_components_prefiltered runs it on exact-group
+    representatives only)."""
     # band-exploded buckets pre-partitioned on the join key so the
     # self-join reads both sides from one materialization (no per-side
     # exchange — ReuseExchange can't dedupe the aliased branches)
@@ -1053,6 +1062,57 @@ GROUP BY a
 """
 
 
+def dedup_components_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_components_minhash with an exact-duplicate collapse FIRST
+    (NEXT r2 item 5 — the replica-heavy-corpus composition): identical
+    texts have identical signatures, so an exact-dup group of size k is
+    a complete k-clique (est 1.0 in every band) in the estimate graph —
+    k(k-1)/2 edges that label propagation then has to carry every
+    round. Collapse each group to its min-doc_id representative first
+    (one md5 hash-agg), run banded estimate + min-label propagation
+    over REPRESENTATIVES only, then fan labels back out.
+
+    Row-identical to dedup_components_minhash by construction (same
+    oracle SQL): rep = group min, so min-reachable-over-reps equals
+    min-reachable-over-docs; a rep isolated in the rep graph surfaces
+    only when its exact group has >= 2 members — exactly the est-1.0
+    clique edges the full graph would have produced. Docs too short to
+    shingle have no signature on either path and stay absent.
+
+    At crawl-scale corpora where exact replicas dominate (the gen_soak
+    fixture: 10x clones -> 45-edge cliques each) the edge set shrinks
+    ~k^2-fold; on the near-dup-free sf fixtures it costs one extra
+    hash-agg (measured in SCALE.md)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_h")
+    )
+    sigs = _signatures(spark, sf_dir).localCheckpoint()
+    signed = docs.join(sigs.select("doc_id"), "doc_id")
+    groups = signed.groupBy("text_h").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_exact")
+    )
+    rep_map = signed.join(groups, "text_h").select("doc_id", "rep", "n_exact")
+    rep_sigs = sigs.join(
+        rep_map.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint()
+    edges = (
+        _estimate_edges(rep_sigs)
+        .where(F.col("jaccard_est") >= EST_COMPONENT_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = _min_label_components(edges)
+    return (
+        rep_map.join(labels, rep_map.rep == labels.node, "left_outer")
+        .where(F.col("label").isNotNull() | (F.col("n_exact") >= 2))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("rep")).alias("component_id"),
+        )
+    )
+
+
 LEVENSHTEIN_CAP = 200
 
 
@@ -1135,6 +1195,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
     "dedup_components_minhash": dedup_components_minhash,
+    "dedup_components_prefiltered": dedup_components_prefiltered,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
@@ -1150,6 +1211,7 @@ ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
     "dedup_components": COMPONENTS_SQL,
     "dedup_components_minhash": COMPONENTS_MINHASH_SQL,
+    "dedup_components_prefiltered": COMPONENTS_MINHASH_SQL,
     "dedup_embedding_cosine": EMBED_COSINE_SQL,
     "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,

@@ -66,6 +66,8 @@ _PRIORITY = (
     "sim_neardup_allpairs_exact",
     # new in r3: universal-tagset rule tier (NLTK divergence audit)
     "text_pos_universal",
+    # new in r3: exact-collapse prefilter tier for components
+    "dedup_components_prefiltered",
     # new in r3: TPC-H suite completion (relational5)
     "q2_min_cost_supplier",
     "q11_important_stock",

@@ -207,3 +207,19 @@ def test_headline_exchange_budget(spark, name):
         f"{name}: {n} exchanges, budget {EXCHANGE_BUDGET[name]} — a new "
         f"shuffle appeared; check broadcasts/partition reuse\n{plan}"
     )
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SOAK_DIR),
+    reason="sf1 soak fixtures absent — regenerate with examples/gen_soak.py",
+)
+def test_soak_components_prefilter_equivalent(spark):
+    """dedup_components_prefiltered must be row-identical to
+    dedup_components_minhash on the replica-heavy soak corpus (where
+    the exact-collapse actually collapses: 10x clone cliques). The
+    speedup (17.3s -> 7.5s at sf1, SCALE.md) is the point; this pins
+    that the fast path never changes the answer."""
+    a = QUERIES["dedup_components_minhash"](spark, SOAK_DIR)
+    b = QUERIES["dedup_components_prefiltered"](spark, SOAK_DIR)
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
