@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import STOPWORDS, tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel, load_table
 
 _SW_ARRAY = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
 
@@ -229,12 +229,76 @@ FROM documents
 """
 
 
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: how many NEW distinct tokens
+    each decile of the corpus (by doc_id order) contributes, plus the
+    cumulative vocabulary size — the corpus-planning statistic that
+    answers 'how fast is my vocab still growing' before committing to
+    a tokenizer/vocab budget.
+
+    Each token is charged to the decile of its FIRST document:
+    min(doc_id) per token (one hash-agg over the exploded tokens, the
+    only big shuffle), decile = (first_doc*10) div (max_doc+1) against
+    the 1-row corpus max (broadcast cross join), then a 10-row window
+    cumsum. All integer arithmetic — no float drift."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    docs = load_documents_parallel(spark, sf_dir)
+    first = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = docs.agg(F.max("doc_id").alias("max_doc"))
+    growth = (
+        first.crossJoin(F.broadcast(mx))
+        .select(
+            ((F.col("first_doc") * 10) / (F.col("max_doc") + 1))
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return growth.select(
+        "decile",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).alias("cum_vocab"),
+    ).orderBy("decile")
+
+
+VOCAB_GROWTH_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS token
+    FROM documents
+),
+first AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token),
+mx AS (SELECT max(doc_id) AS max_doc FROM documents),
+growth AS (
+    SELECT CAST((first_doc * 10) // (max_doc + 1) AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_new_tokens
+    FROM first, mx
+    GROUP BY 1
+)
+SELECT decile, n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM growth
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "text_clean_lower": text_clean_lower,
     "text_quality_scores": text_quality_scores,
     "text_lang_guess": text_lang_guess,
     "text_token_counts": text_token_counts,
     "text_fingerprints": text_fingerprints,
+    "corpus_vocab_growth": corpus_vocab_growth,
 }
 
 ORACLE_SQL = {
@@ -243,4 +307,5 @@ ORACLE_SQL = {
     "text_lang_guess": LANG_SQL,
     "text_token_counts": TOKCOUNT_SQL,
     "text_fingerprints": FINGERPRINT_SQL,
+    "corpus_vocab_growth": VOCAB_GROWTH_SQL,
 }

@@ -68,6 +68,8 @@ _PRIORITY = (
     "text_pos_universal",
     # new in r3: exact-collapse prefilter tier for components
     "dedup_components_prefiltered",
+    # new in r3: Heaps-law vocabulary growth curve
+    "corpus_vocab_growth",
     # new in r3: TPC-H suite completion (relational5)
     "q2_min_cost_supplier",
     "q11_important_stock",

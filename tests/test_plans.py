@@ -30,9 +30,11 @@ CARTESIAN_OK = {
     # recall consumers after sim_neardup_pairs moved to LSH pruning
     "sim_neardup_allpairs_exact",
     # 1-row scalar-aggregate cross joins (broadcast): Q11's total-value
-    # threshold and Q22's positive-balance average
+    # threshold, Q22's positive-balance average, vocab growth's corpus
+    # max-doc denominator
     "q11_important_stock",
     "q22_sales_opportunity",
+    "corpus_vocab_growth",
 }
 
 

@@ -337,3 +337,40 @@ def test_files_transport_micros_fixture_no_conf_mutation(spark, tmp_path):
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def test_rate_source_state_bounded(spark):
+    """20s micro-soak of the session-window job on the rate transport
+    (full soak: examples/rate_soak.py, SCALE.md §Streaming): the
+    watermark must BOUND state — the rate source emits one event per
+    user forever, so numRowsTotal plateaus at |users| open sessions;
+    monotonic growth here is the unbounded-state bug this guards."""
+    import time
+
+    from projetbigdata_spark.streaming.jobs import (
+        open_events_stream,
+        session_windows_stream,
+    )
+
+    events = open_events_stream(spark, {"kind": "rate", "rows_per_second": 500})
+    q = (
+        session_windows_stream(events)
+        .writeStream.format("memory")
+        .queryName("rate_micro_soak")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        rows = []
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            time.sleep(4)
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                rows.append(
+                    sum(op.get("numRowsTotal", 0) for op in p["stateOperators"])
+                )
+    finally:
+        q.stop()
+    assert rows, "no progress sampled in 20s"
+    assert max(rows) <= 150, f"state grew past the user count: {rows}"
