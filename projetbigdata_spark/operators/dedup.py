@@ -1191,8 +1191,64 @@ WHERE levenshtein(a.text, b.text) <= {LEVENSHTEIN_CAP}
 """
 
 
+def corpus_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile: how many distinct shingles
+    (and how many posting rows) live in each power-of-2 df bucket —
+    the measurement behind SHINGLE_DF_CAP. A healthy cap sits where
+    the bucket histogram's posting mass goes flat; a cap below the
+    knee blinds the inverted index to template shingles, above it the
+    candidate join quadratically explodes. Bucket = bit-length of df
+    (floor(log2)+1), computed as length(bin(df)) — exact integers in
+    both engines.
+
+    Two hash-aggs over the shingle explode (df per shingle, then the
+    ~20-row histogram); at 100 TB this is the same profile a daily
+    index build would emit as telemetry."""
+    tune(spark)
+    df_per_sh = (
+        _shingles(spark, sf_dir)
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        df_per_sh.select(
+            F.length(F.conv(F.col("df"), 10, 2)).cast("int").alias(
+                "df_bucket_pow2"
+            ),
+            "df",
+        )
+        .groupBy("df_bucket_pow2")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+        )
+        .orderBy("df_bucket_pow2")
+    )
+
+
+SHINGLE_STATS_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+SELECT CAST(length(bin(df)) AS INT) AS df_bucket_pow2,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS n_postings
+FROM dfs
+GROUP BY 1
+ORDER BY df_bucket_pow2
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "corpus_shingle_stats": corpus_shingle_stats,
     "dedup_components": dedup_components,
     "dedup_components_minhash": dedup_components_minhash,
     "dedup_components_prefiltered": dedup_components_prefiltered,
@@ -1209,6 +1265,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
+    "corpus_shingle_stats": SHINGLE_STATS_SQL,
     "dedup_components": COMPONENTS_SQL,
     "dedup_components_minhash": COMPONENTS_MINHASH_SQL,
     "dedup_components_prefiltered": COMPONENTS_MINHASH_SQL,

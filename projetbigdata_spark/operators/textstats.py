@@ -230,13 +230,16 @@ FROM documents
 
 
 def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps-law vocabulary growth curve: how many NEW distinct tokens
-    each decile of the corpus (by doc_id order) contributes, plus the
-    cumulative vocabulary size — the corpus-planning statistic that
-    answers 'how fast is my vocab still growing' before committing to
-    a tokenizer/vocab budget.
+    """Heaps-law vocabulary growth curve over the BIGRAM vocabulary:
+    how many NEW distinct bigrams each decile of the corpus (by doc_id
+    order) contributes, plus the cumulative count — the corpus-
+    planning statistic that answers 'how fast is my vocab still
+    growing' before committing to a tokenizer/vocab budget. (Bigrams,
+    not unigrams: the fixture's unigram vocabulary saturates within
+    the first docs, while the bigram space keeps growing — the same
+    reason real BPE budgets are driven by multi-token units.)
 
-    Each token is charged to the decile of its FIRST document:
+    Each bigram is charged to the decile of its FIRST document:
     min(doc_id) per token (one hash-agg over the exploded tokens, the
     only big shuffle), decile = (first_doc*10) div (max_doc+1) against
     the 1-row corpus max (broadcast cross join), then a 10-row window
@@ -244,9 +247,16 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql.window import Window
 
+    from projetbigdata_spark.functions.text import ngrams
+
     docs = load_documents_parallel(spark, sf_dir)
     first = (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(ngrams(tokenize("text"), 2))
+            ).alias("token"),
+        )
         .groupBy("token")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -271,12 +281,15 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOCAB_GROWTH_SQL = """
 WITH toks AS (
-    SELECT doc_id,
-           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                              t -> t <> '')) AS token
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
     FROM documents
 ),
-first AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token),
+grams AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS token
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+first AS (SELECT token, min(doc_id) AS first_doc FROM grams GROUP BY token),
 mx AS (SELECT max(doc_id) AS max_doc FROM documents),
 growth AS (
     SELECT CAST((first_doc * 10) // (max_doc + 1) AS INT) AS decile,

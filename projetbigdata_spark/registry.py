@@ -70,6 +70,8 @@ _PRIORITY = (
     "dedup_components_prefiltered",
     # new in r3: Heaps-law vocabulary growth curve
     "corpus_vocab_growth",
+    # new in r3: shingle-df histogram (df-cap telemetry)
+    "corpus_shingle_stats",
     # new in r3: TPC-H suite completion (relational5)
     "q2_min_cost_supplier",
     "q11_important_stock",
