@@ -11,7 +11,7 @@ Prints one JSON line per sampled progress and a final summary:
      ..., "last_state_rows": ..., "state_bounded": true, ...}
 
 Usage:
-    python examples/rate_soak.py [seconds=120] [rows_per_second=500]
+    python examples/rate_soak.py [seconds=120] [rows_per_second=500] [users=100]
 """
 
 from __future__ import annotations
@@ -30,12 +30,12 @@ from projetbigdata_spark.streaming.jobs import (  # noqa: E402
     tumbling_counts_stream,
 )
 
-N_USERS = 100  # rate transport maps user_id = value % 100
+N_USERS = 100  # default; overridden by argv[3]
 
 
-def soak(spark, job_fn, name: str, seconds: int, rps: int) -> dict:
+def soak(spark, job_fn, name: str, seconds: int, rps: int, users: int = N_USERS) -> dict:
     events = open_events_stream(
-        spark, {"kind": "rate", "rows_per_second": rps}
+        spark, {"kind": "rate", "rows_per_second": rps, "users": users}
     )
     q = (
         job_fn(events)
@@ -73,7 +73,7 @@ def soak(spark, job_fn, name: str, seconds: int, rps: int) -> dict:
         q.stop()
     # bounded = the tail stopped growing: last sample within a small
     # slack of the max, and max under the structural ceiling
-    ceiling = N_USERS + 50 if name == "session" else 200
+    ceiling = users + users // 2 + 50 if name == "session" else 200
     summary = {
         "job": name,
         "samples": len(state_rows),
@@ -91,6 +91,7 @@ def soak(spark, job_fn, name: str, seconds: int, rps: int) -> dict:
 def main() -> int:
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     rps = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    users = int(sys.argv[3]) if len(sys.argv) > 3 else N_USERS
     spark = get_spark("rate-soak")
     spark.sparkContext.setLogLevel("ERROR")
     ok = True
@@ -98,7 +99,7 @@ def main() -> int:
         ("session", session_windows_stream),
         ("tumbling", tumbling_counts_stream),
     ):
-        s = soak(spark, fn, name, seconds, rps)
+        s = soak(spark, fn, name, seconds, rps, users)
         ok = ok and s["state_bounded"] and s["rows_per_sec"] > 0
     spark.stop()
     print(json.dumps({"rate_soak_ok": ok}))

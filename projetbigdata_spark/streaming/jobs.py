@@ -34,9 +34,11 @@ def open_events_stream(spark: SparkSession, source: dict) -> DataFrame:
             decoded with from_json against the same schema. Needs the
             spark-sql-kafka connector on the classpath (absent in this
             container — construction is the tested surface elsewhere).
-      {"kind": "rate", "rows_per_second": N}
+      {"kind": "rate", "rows_per_second": N, "users": U}
           — built-in synthetic source mapped deterministically onto the
-            events schema; soak/load testing with zero fixtures.
+            events schema (user_id = counter % U, default 100);
+            soak/load testing with zero fixtures — `users` sizes the
+            keyed-state cardinality under test.
 
     Jobs stay transport-agnostic; only this function changes between
     local runs and the cluster."""
@@ -115,7 +117,7 @@ def open_events_stream(spark: SparkSession, source: dict) -> DataFrame:
         return raw.select(
             F.col("value").alias("event_id"),
             F.col("timestamp").alias("ts"),
-            (F.col("value") % 100).alias("user_id"),
+            (F.col("value") % int(source.get("users", 100))).alias("user_id"),
             F.element_at(
                 F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
                 (F.col("value") % 3 + 1).cast("int"),
