@@ -202,6 +202,55 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in `pyspark.ml.feature.MinHashLSH` estimator tier
+    (SURVEY.md §4.3's mllib-LSH candidate): bigram shingles ->
+    CountVectorizer(binary=True) -> MinHashLSH(seed) ->
+    approxSimilarityJoin at Jaccard distance <= 0.7 — the estimator
+    spelling of operators/dedup.dedup_jaccard_pairs (same shingle
+    universe, same exact-Jaccard rerank on candidates; candidates come
+    from Spark's internal seeded hash family instead of the md5-derived
+    one, so this is rows-only — the internal hashes aren't
+    SQL-reproducible). Parity with the expression tier is pinned in
+    tests/test_ml.py (value-exact jaccard on shared pairs, recall
+    floor on the pair set).
+
+    At 100 TB this path inherits MinHashLSH's OR-amplified banding:
+    approxSimilarityJoin explodes each side by numHashTables and
+    equi-joins on (table, hash) — the same never-all-pairs shape as
+    the expression tier."""
+    tune(spark)
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from projetbigdata_spark.functions.text import ngrams, tokenize
+    from projetbigdata_spark.sources.catalog import load_documents_parallel
+
+    docs = load_documents_parallel(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(ngrams(tokenize("text"), 2)).alias("shingles"),
+    ).where(F.size("shingles") > 0)  # MinHashLSH needs >= 1 nonzero entry
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True
+    ).fit(grams)
+    vecs = cv.transform(grams).select("doc_id", "features")
+    model = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=8,
+        seed=42,
+    ).fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, 0.7, distCol="jdist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jdist"), 6).alias("jaccard_ml"),
+        )
+    )
+
+
 QUERIES = {
     "ml_kmeans_clusters": ml_kmeans_clusters,
     "ml_chisq_tokens": ml_chisq_tokens,
@@ -209,6 +258,7 @@ QUERIES = {
     "ml_crossval_metrics": ml_crossval_metrics,
     "ml_crossval_dt_metrics": ml_crossval_dt_metrics,
     "ml_chisq_select_vectors": ml_chisq_select_vectors,
+    "ml_minhash_pairs": ml_minhash_pairs,
 }
 
 ORACLE_SQL = {

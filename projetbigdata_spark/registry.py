@@ -72,6 +72,8 @@ _PRIORITY = (
     "corpus_vocab_growth",
     # new in r3: shingle-df histogram (df-cap telemetry)
     "corpus_shingle_stats",
+    # new in r3: built-in MinHashLSH estimator tier (rows-only)
+    "ml_minhash_pairs",
     # new in r3: TPC-H suite completion (relational5)
     "q2_min_cost_supplier",
     "q11_important_stock",

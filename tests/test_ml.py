@@ -157,3 +157,33 @@ def test_chisq_expression_vs_mllib(spark):
     }
     for token, chi2 in ours.items():
         assert abs(stats[token] - chi2) < 1e-4, (token, stats[token], chi2)
+
+
+def test_ml_minhash_lsh_parity_with_expression_tier(spark):
+    """The built-in MinHashLSH estimator tier must agree with the
+    expression tier (dedup_jaccard_pairs): same shingle universe, so
+    shared pairs carry the same exact Jaccard (the expression tier
+    floors to the 1e-6 grid, the ml tier rounds — tolerance 2e-6) and
+    the pair sets overlap at >= 0.9 recall each way (candidate
+    generation differs: seeded internal hashes vs md5-derived
+    universal hashes with a df-capped index)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from projetbigdata_spark.ml.queries import ml_minhash_pairs
+    from projetbigdata_spark.operators.dedup import dedup_jaccard_pairs
+    from tests.conftest import SF_CHECK
+
+    expr_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_pairs(spark, SF_CHECK).collect()
+    }
+    ml_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_ml
+        for r in ml_minhash_pairs(spark, SF_CHECK).collect()
+    }
+    assert expr_pairs and ml_pairs
+    shared = set(expr_pairs) & set(ml_pairs)
+    assert len(shared) >= 0.9 * len(expr_pairs)
+    assert len(shared) >= 0.9 * len(ml_pairs)
+    for p in shared:
+        assert abs(expr_pairs[p] - ml_pairs[p]) <= 2e-6, (p, expr_pairs[p], ml_pairs[p])
