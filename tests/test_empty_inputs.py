@@ -36,6 +36,16 @@ REPRESENTATIVES = [
     "sample_hash_documents",     # sampling
     "quality_constraints",       # constraint report (5 rows of zeros)
     "multimodal_meta",           # mapInPandas binary plumbing
+    # r3 additions
+    "q2_min_cost_supplier",      # correlated min over derived partsupp
+    "q11_important_stock",       # HAVING over 1-row total (null on empty)
+    "q15_top_supplier",          # equality with max over empty rev
+    "q21_waiting_supplier",      # multi-agg self composition
+    "q22_sales_opportunity",     # anti-join + scalar avg (null threshold)
+    "corpus_vocab_growth",       # decile charge vs null max_doc
+    "corpus_shingle_stats",      # df histogram
+    "dedup_components_prefiltered",  # exact-collapse + propagation loop
+    "text_pos_universal",        # universal-tag CASE chain
 ]
 
 # these legitimately return constant-row reports even on empty input
