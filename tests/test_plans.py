@@ -115,7 +115,17 @@ SOAK_DIR = "/tmp/soak/sf1"
     not __import__("os").path.isdir(SOAK_DIR),
     reason="sf1 soak fixtures absent — regenerate with examples/gen_soak.py",
 )
-@pytest.mark.parametrize("name,floor", [("q5_local_supplier", 3), ("q7_nation_volume", 2)])
+@pytest.mark.parametrize(
+    "name,floor",
+    [
+        ("q5_local_supplier", 3),
+        ("q7_nation_volume", 2),
+        # r3 TPC-H completions: part/nation/region (q2) and the 1-row
+        # max aggregate + supplier dim (q15) must still broadcast
+        ("q2_min_cost_supplier", 2),
+        ("q15_top_supplier", 1),
+    ],
+)
 def test_soak_scale_still_broadcasts_dims(spark, name, floor):
     """VERDICT r1 item 7: the broadcast choice for nation/region dims
     must survive a 10x scale-up — at soak scale AQE must still pick
