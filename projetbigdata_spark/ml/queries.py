@@ -58,6 +58,11 @@ def ml_chisq_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = F.round((n.cast("double") * det * det) / denom, 6)
     from pyspark.sql.window import Window
 
+    # Unpartitioned window = single-reducer sort — acceptable ONLY
+    # because it runs post-aggregation over |vocab| rows (same class as
+    # vocab_topk). If vocab cardinality ever approaches corpus scale
+    # (e.g. ngram vocabularies), switch to orderBy().limit(k)
+    # (TakeOrderedAndProject: per-partition top-k + driver merge).
     w = Window.orderBy(F.col("chi2").desc(), F.col("token"))
     return (
         with_cells.select("token", "a", "b", chi2.alias("chi2"))

@@ -60,3 +60,35 @@ def test_ngrams_matches_python_model(spark, tokens, n):
     df = spark.createDataFrame([(tokens,)], "toks array<string>")
     got = list(df.select(ngrams(F.col("toks"), n).alias("g")).first().g)
     assert got == py_ngrams(tokens, n), (tokens, n, got)
+
+
+# ---------------------------------------------------------------------------
+# Float-determinism policy property (r3): every equality/threshold
+# comparison on an aggregated ratio in this engine goes through the
+# integer-grid spelling  (micros - micros % den) / den / 1e6  (jaccard,
+# window_distribution, q11/q15 revenue). Property: the grid value
+# always equals the true rational floored to 6dp — i.e. the spelling
+# is EXACTLY floor(num/den * 1e6) / 1e6, independent of float
+# summation order, for any positive integers.
+# ---------------------------------------------------------------------------
+from fractions import Fraction
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(
+    num=st.integers(min_value=0, max_value=10**9),
+    den=st.integers(min_value=1, max_value=10**9),
+)
+def test_integer_grid_division_is_exact_6dp_floor(num, den):
+    micros = num * 1_000_000
+    # the engine spelling, evaluated exactly as Spark/DuckDB would:
+    # (micros - micros % den) is divisible by den, the quotient is an
+    # integer < 2^53 (exact in double), and the final /1e6 is ONE
+    # division of that exact integer — identical in every engine.
+    grid = (micros - micros % den) / den / 1_000_000.0
+    q = micros // den  # floor(num * 1e6 / den), exactly
+    assert (micros - micros % den) // den == q
+    assert q < 2**53
+    assert grid == q / 1_000_000.0
