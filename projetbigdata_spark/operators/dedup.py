@@ -134,7 +134,10 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard inverted-index build. Collision risk vs the string-
     keyed oracle is ~n^2/2^65 — negligible at any tested sf.
     """
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a stopped session's id()
+    # can be reused by a new session object at the same address, which
+    # would hand back DataFrames bound to the dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _POSTINGS_CACHE:
         from pyspark import StorageLevel
 

@@ -305,6 +305,83 @@ ORDER BY decile
 """
 
 
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus telemetry: the daily-ingest health dashboard a
+    training-data pipeline watches (volume, exact-dup pressure,
+    language spread, token budget, short-doc pollution) as long-form
+    (metric, value) rows — all exact integers, so the report is
+    hash-stable at any scale.
+
+    Single scan + one hash-agg per metric family; the exact-dup
+    numbers reuse dedup_exact's md5-group semantics (n_docs minus
+    distinct texts = docs that would drop in exact dedup)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower("text")).alias("h"),
+        F.size(tokenize("text")).alias("n_tok"),
+    )
+    agg = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.max("n_tok").alias("max_doc_tokens"),
+        F.sum(F.when(F.col("n_tok") < 10, 1).otherwise(0)).alias("n_short_docs"),
+    )
+    metrics = [
+        ("n_docs", F.col("n_docs")),
+        ("n_distinct_texts", F.col("n_distinct_texts")),
+        ("n_exact_dup_docs", F.col("n_docs") - F.col("n_distinct_texts")),
+        ("n_langs", F.col("n_langs")),
+        ("total_tokens", F.col("total_tokens")),
+        ("max_doc_tokens", F.col("max_doc_tokens").cast("bigint")),
+        ("n_short_docs", F.col("n_short_docs")),
+    ]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("metric"), expr.cast("bigint").alias("value"))
+            for name, expr in metrics
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("m"))
+        .select("m.metric", "m.value")
+        .orderBy("metric")
+    )
+
+
+HEALTH_SQL = """
+WITH base AS (
+    SELECT doc_id, lang, md5(lower(text)) AS h,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')) AS n_tok
+    FROM documents
+),
+agg AS (
+    SELECT count(*) AS n_docs,
+           count(DISTINCT h) AS n_distinct_texts,
+           count(DISTINCT lang) AS n_langs,
+           sum(n_tok) AS total_tokens,
+           max(n_tok) AS max_doc_tokens,
+           sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS n_short_docs
+    FROM base
+)
+SELECT metric, CAST(value AS BIGINT) AS value
+FROM agg, LATERAL (VALUES
+    ('n_docs', n_docs),
+    ('n_distinct_texts', n_distinct_texts),
+    ('n_exact_dup_docs', n_docs - n_distinct_texts),
+    ('n_langs', n_langs),
+    ('total_tokens', total_tokens),
+    ('max_doc_tokens', max_doc_tokens),
+    ('n_short_docs', n_short_docs)) AS t(metric, value)
+ORDER BY metric
+"""
+
+
 QUERIES = {
     "text_clean_lower": text_clean_lower,
     "text_quality_scores": text_quality_scores,
@@ -312,6 +389,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "text_fingerprints": text_fingerprints,
     "corpus_vocab_growth": corpus_vocab_growth,
+    "corpus_health_report": corpus_health_report,
 }
 
 ORACLE_SQL = {
@@ -321,4 +399,5 @@ ORACLE_SQL = {
     "text_token_counts": TOKCOUNT_SQL,
     "text_fingerprints": FINGERPRINT_SQL,
     "corpus_vocab_growth": VOCAB_GROWTH_SQL,
+    "corpus_health_report": HEALTH_SQL,
 }

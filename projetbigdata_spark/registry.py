@@ -74,6 +74,8 @@ _PRIORITY = (
     "corpus_shingle_stats",
     # new in r3: built-in MinHashLSH estimator tier (rows-only)
     "ml_minhash_pairs",
+    # new in r3: corpus telemetry report
+    "corpus_health_report",
     # new in r3: TPC-H suite completion (relational5)
     "q2_min_cost_supplier",
     "q11_important_stock",
