@@ -46,10 +46,15 @@ REPRESENTATIVES = [
     "corpus_shingle_stats",      # df histogram
     "dedup_components_prefiltered",  # exact-collapse + propagation loop
     "text_pos_universal",        # universal-tag CASE chain
+    "corpus_health_report",      # telemetry report (7 rows, zero/null)
 ]
 
 # these legitimately return constant-row reports even on empty input
-NONZERO_ON_EMPTY = {"quality_constraints", "corpus_mix_plan"}
+NONZERO_ON_EMPTY = {
+    "quality_constraints",
+    "corpus_mix_plan",
+    "corpus_health_report",
+}
 
 
 @pytest.fixture(scope="module")
