@@ -256,6 +256,43 @@ def incremental_dedup_stream(
     )
 
 
+def user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static per-user enrichment dim derived from the historical
+    events table: lifetime event count + total purchase value. The
+    static side of the stream-static join below; at deployment this is
+    any slowly-changing dim or feature table (broadcast under the
+    auto threshold, shuffle-join above it)."""
+    from projetbigdata_spark.sources.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("lifetime_events"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                  .otherwise(0.0)),
+            2,
+        ).alias("lifetime_purchase_value"),
+    )
+
+
+def enriched_events_stream(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static INNER join (native Structured Streaming support —
+    no state store involved: the static side is re-planned per
+    micro-batch, so a dim refresh lands without restarting the query).
+    Every event is enriched with the user's historical profile; the
+    batch twin is a plain events⋈profile join, asserted equal in
+    tests/test_streaming.py."""
+    return events.join(profile, "user_id").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "lifetime_events",
+        "lifetime_purchase_value",
+    )
+
+
 def run_to_memory_sink(df: DataFrame, name: str, mode: str = "append"):
     """Drain a stream with availableNow into an in-memory table;
     returns the finished StreamingQuery."""

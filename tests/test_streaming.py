@@ -374,3 +374,30 @@ def test_rate_source_state_bounded(spark):
         q.stop()
     assert rows, "no progress sampled in 20s"
     assert max(rows) <= 150, f"state grew past the user count: {rows}"
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    """Stream-static join: the streamed enrichment must equal the
+    batch join row-for-row once drained (the static side re-plans per
+    micro-batch; no state involved)."""
+    from projetbigdata_spark.sources.catalog import load_events
+    from projetbigdata_spark.streaming.jobs import (
+        enriched_events_stream,
+        open_events_stream,
+        run_to_memory_sink,
+        user_profile,
+    )
+
+    profile = user_profile(spark, SF_SMOKE).localCheckpoint()
+    stream = open_events_stream(spark, {"kind": "files", "path": events_dir})
+    run_to_memory_sink(
+        enriched_events_stream(stream, profile), "enriched_sink"
+    )
+    streamed = spark.table("enriched_sink")
+
+    batch = load_events(spark, SF_SMOKE).join(profile, "user_id").select(
+        *streamed.columns
+    )
+    assert streamed.count() == batch.count() > 0
+    assert streamed.subtract(batch).count() == 0
+    assert batch.subtract(streamed).count() == 0
