@@ -395,16 +395,25 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("ns"),
+    # pair-level pre-aggregation: per (order, supplier) latest shipdate.
+    # "supplier has a line at the order's max shipdate" is equivalent to
+    # "their pair_max == the order max", so the at-max probe runs on the
+    # pair aggregate (|distinct pairs| rows) instead of re-joining the
+    # raw fact — at 30M lineitem rows this removed a fact-wide join +
+    # distinct (sf5 soak: 16.7s -> 14.8s, SCALE.md). ns (distinct
+    # suppliers) falls out of the same pair frame as a plain count.
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("pair_max")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.max("pair_max").alias("max_ship"),
+        F.count("*").alias("ns"),
     )
     at_max = (
-        li.join(per_order, "l_orderkey")
-        .where(F.col("l_shipdate") == F.col("max_ship"))
+        pair.join(per_order, "l_orderkey")
+        .where(F.col("pair_max") == F.col("max_ship"))
         .where(F.col("ns") >= 2)
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     sole = (
         at_max.withColumn(
