@@ -245,12 +245,60 @@ GROUP BY 1, 2
 """
 
 
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media content-hash dedup — the image/audio counterpart of
+    dedup_exact: hash the raw payload bytes INSIDE the Arrow batch
+    iterator (hashlib over the binary column, the shape a real media
+    pipeline uses since media bytes never decode to strings), then one
+    hash-agg for (keep_id, n_copies) per distinct payload.
+
+    Oracle: the fixture payload is the utf-8 encoding of text, so
+    DuckDB's md5(text) (VARCHAR md5 hashes the string's utf-8 bytes)
+    reproduces the binary-side digest exactly — asserting the Arrow
+    binary round-trip is byte-faithful end to end. Scale: map-side
+    hash (constant memory per Arrow batch) + shuffle of
+    |distinct payloads| skinny rows."""
+    import hashlib
+
+    tune(spark)
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "content_md5": [
+                        hashlib.md5(bytes(x)).hexdigest() for x in b["payload"]
+                    ],
+                }
+            )
+
+    hashed = docs.select("doc_id", "payload").mapInPandas(
+        hash_batches, "doc_id long, content_md5 string"
+    )
+    return hashed.groupBy("content_md5").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+CONTENT_DEDUP_SQL = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_meta": multimodal_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_fake_decode": multimodal_fake_decode,
+    "multimodal_content_dedup": multimodal_content_dedup,
 }
 
 ORACLE_SQL = {
@@ -258,4 +306,5 @@ ORACLE_SQL = {
     "multimodal_meta": META_SQL,
     "multimodal_resize": RESIZE_SQL,
     "multimodal_frame_sample": FRAME_SQL,
+    "multimodal_content_dedup": CONTENT_DEDUP_SQL,
 }

@@ -56,12 +56,13 @@ _PRIORITY = (
     "sim_neardup_pairs",
     "dedup_embedding_cosine",
     "text_tfidf_top",
-    "sim_lsh_buckets",
     "sim_ann_lsh_topk",
     "dedup_simhash",
     "dedup_minhash_buckets",
     "dedup_components_minhash",
-    "sim_topk_bruteforce",
+    # (sim_topk_bruteforce / sim_lsh_buckets dropped from the priority
+    # block in r3: green r2 driver rows, untouched since — budget goes
+    # to queries needing a fresh row)
     # new in r3: exact all-pairs neardup baseline registered by name
     "sim_neardup_allpairs_exact",
     # new in r3: universal-tagset rule tier (NLTK divergence audit)
@@ -76,6 +77,8 @@ _PRIORITY = (
     "ml_minhash_pairs",
     # new in r3: corpus telemetry report
     "corpus_health_report",
+    # new in r3: media content-hash dedup through the Arrow binary path
+    "multimodal_content_dedup",
     # new in r3: TPC-H suite completion (relational5)
     "q2_min_cost_supplier",
     "q11_important_stock",
