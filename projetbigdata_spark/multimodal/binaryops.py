@@ -268,8 +268,12 @@ def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
+                    # NULL payloads (failed media fetches) stay NULL so
+                    # they group under the NULL key like dedup_exact —
+                    # never crash the batch (found by test_null_inputs)
                     "content_md5": [
-                        hashlib.md5(bytes(x)).hexdigest() for x in b["payload"]
+                        None if x is None else hashlib.md5(bytes(x)).hexdigest()
+                        for x in b["payload"]
                     ],
                 }
             )

@@ -1,0 +1,96 @@
+"""Null/empty-value robustness: real crawl corpora carry NULL text,
+empty strings, and NULL metadata. Fixture tables have none, so this
+stages a documents table with nulls injected and asserts the text /
+dedup / stats operators neither crash nor silently multiply rows.
+
+Accounting contract per family:
+  - tokenize-based per-doc ops keep the row (null -> empty tokens);
+  - explode-based ops drop null-token docs (no shingles to emit);
+  - hash dedup groups all-null texts together (md5(NULL) IS NULL).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, TABLES
+
+N_NULL = 5
+N_EMPTY = 5
+
+
+@pytest.fixture(scope="module")
+def nulled_sf_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("nulled_sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") < N_NULL, F.lit(None).cast("string"))
+                .when(F.col("doc_id") < N_NULL + N_EMPTY, F.lit(""))
+                .otherwise(F.col("text")),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return str(d)
+
+
+PER_DOC_KEEPERS = [
+    # every input doc must still be present (null text -> degenerate row)
+    "text_quality_scores",
+    "text_token_counts",
+    "text_pos_universal",
+    "text_wordpunct_tokens",
+    "corpus_health_report",  # report rows, not per-doc — just no crash
+]
+
+EXPLODE_DROPPERS = [
+    # null/empty docs legitimately vanish (nothing to explode)
+    "text_tf",
+    "dedup_minhash_buckets",
+    "corpus_vocab_growth",
+    "corpus_shingle_stats",
+]
+
+DEDUP_FAMILY = [
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_components_prefiltered",
+    "multimodal_content_dedup",
+]
+
+
+@pytest.mark.parametrize(
+    "name", PER_DOC_KEEPERS + EXPLODE_DROPPERS + DEDUP_FAMILY
+)
+def test_runs_with_null_and_empty_text(spark, nulled_sf_dir, name):
+    from projetbigdata_spark import registry
+
+    queries, _ = registry.collect()
+    out = queries[name](spark, nulled_sf_dir)
+    rows = out.count()  # executes; must not raise
+    if name in PER_DOC_KEEPERS and name != "corpus_health_report":
+        total_docs = spark.read.parquet(
+            f"{nulled_sf_dir}/documents.parquet"
+        ).count()
+        assert rows == total_docs, (
+            f"{name}: per-doc op dropped rows on null text "
+            f"({rows} != {total_docs})"
+        )
+
+
+def test_exact_dedup_groups_null_and_empty(spark, nulled_sf_dir):
+    """md5(lower(NULL)) is NULL -> all null-text docs form ONE group
+    (groupBy treats NULL as a key); empty strings form another."""
+    from projetbigdata_spark import registry
+
+    queries, _ = registry.collect()
+    out = queries["dedup_exact"](spark, nulled_sf_dir).collect()
+    by_hash = {r.content_md5: r for r in out}
+    assert None in by_hash and by_hash[None].n_copies == N_NULL
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert by_hash[empty_md5].n_copies == N_EMPTY
