@@ -94,3 +94,67 @@ def test_exact_dedup_groups_null_and_empty(spark, nulled_sf_dir):
 
     empty_md5 = hashlib.md5(b"").hexdigest()
     assert by_hash[empty_md5].n_copies == N_EMPTY
+
+
+@pytest.fixture(scope="module")
+def nulled_events_emb_dir(spark, tmp_path_factory):
+    """events with NULL event_type/value/props rows; embeddings with
+    NULL vectors — the failed-ingest shapes a real pipeline sees."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("nulled_ev_emb")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        if t == "events":
+            df = (
+                df.withColumn(
+                    "event_type",
+                    F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("string"))
+                    .otherwise(F.col("event_type")),
+                )
+                .withColumn(
+                    "value",
+                    F.when(F.col("event_id") % 89 == 0, F.lit(None).cast("double"))
+                    .otherwise(F.col("value")),
+                )
+                .withColumn(
+                    "props",
+                    F.when(F.col("event_id") % 83 == 0, F.lit(None).cast("string"))
+                    .otherwise(F.col("props")),
+                )
+            )
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 101 == 0,
+                    F.lit(None).cast("array<float>"),
+                ).otherwise(F.col("embedding")),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_gaps_islands",
+        "events_funnel_conversion",
+        "events_tumbling_1h",
+        "events_session_30m",
+        "events_multi_rollup",
+        "json_extract",
+        "embed_l2norm",
+        "embed_quantize_int8",
+        "sim_lsh_buckets",
+        "sim_topk_bruteforce",
+        "dedup_embedding_cosine",
+    ],
+)
+def test_runs_with_null_events_and_embeddings(
+    spark, nulled_events_emb_dir, name
+):
+    from projetbigdata_spark import registry
+
+    queries, _ = registry.collect()
+    queries[name](spark, nulled_events_emb_dir).count()  # must not raise
