@@ -111,3 +111,22 @@ def test_orc_sink_source_roundtrip(spark, tmp_path):
     a = src.agg(F.sum("vec_id")).first()[0]
     b = back.agg(F.sum("vec_id")).first()[0]
     assert a == b
+
+
+def test_cli_entry_points(spark, capsys):
+    """python -m projetbigdata_spark {list,oracle} — the switch-over
+    CLI surface (run/explain covered implicitly: same registry path +
+    the session factory the whole suite uses)."""
+    from projetbigdata_spark.__main__ import main
+
+    assert main(["list", "q1"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary  [SQL]" in out
+
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    assert main(["oracle", "ml_crossval_metrics"]) == 0
+    assert "rows-only" in capsys.readouterr().out
+
+    assert main(["oracle", "nonexistent_query"]) == 2
