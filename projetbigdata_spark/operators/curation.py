@@ -1,0 +1,393 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between raw ingest and tokenization: n-gram eval decontamination
+(the GPT-3-style overlap check), unigram corpus-frequency quality
+scoring (the exact-arithmetic sibling of a CCNet LM-perplexity
+filter), the final keep/canonical dedup materialization, and PII
+redaction for log-derived text.
+
+Complements the minhash-based dedup_contamination
+(operators/dedup.py): minhash answers "is this eval doc a near-dup of
+a train doc"; the n-gram overlap here answers the finer "what fraction
+of this eval doc's n-grams appear ANYWHERE in train" — the form used
+to decontaminate benchmark suites, where a single leaked passage
+matters even if the doc as a whole is novel.
+
+Scale posture (100 TB):
+  - every join is an equi-join on a fixed-width hashed key (15-hex-digit
+    md5 prefix → bigint), never on the raw n-gram string — a 13-gram
+    shuffle key would be ~100 bytes/row; the hash is 8;
+  - the train n-gram side is a distinct hash-agg (map-side partial);
+  - all ratios are exact integers (ppb / micros via integer division),
+    so the DuckDB oracle hashes bit-identically — no float order risk;
+  - redaction is one codegen'd projection pass, zero exchanges.
+
+Reference tie-in: the reference's dictionary-membership filter
+(script3.py:75-77 `if w in dico`) is the same shape as the train-gram
+membership probe here — re-expressed as a distributed semi-join
+instead of a broadcast Python dict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.functions.text import ngrams, tokenize
+from projetbigdata_spark.operators.sampling import _hash_bucket
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+NGRAM_N = 5  # production decontamination uses 8-13; fixture docs are
+# ~50 tokens from a ~40-word vocabulary, so 5-grams already make chance
+# collisions negligible (40^5 possible vs ~2e4 train grams) while
+# leaving true duplicate passages detectable.
+
+
+def _gram_key(gram: Column) -> Column:
+    """60-bit join key for an n-gram: first 15 hex digits of md5 →
+    bigint. Engine-portable (same md5, same base-16 conv), collision
+    probability ~n²/2⁶¹ — and any collision affects Spark and the
+    oracle identically, so parity is unaffected."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+
+
+def _split_col() -> Column:
+    """The deterministic md5-bucket split shared with
+    split_assign_documents (operators/sampling.py) — doc membership
+    never moves between runs or engines."""
+    b = _hash_bucket(F.col("doc_id"))
+    return (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document n-gram decontamination score: the fraction of
+    the doc's distinct 5-grams that occur in ANY train-split document.
+
+    Output (one row per val/test doc, short docs included):
+      doc_id, split, n_grams, n_hit, overlap_ppm (exact integer parts-
+      per-million, NULL when the doc is too short to have a 5-gram),
+      is_contaminated (any hit).
+
+    Plan: train grams → distinct hash-agg on the 60-bit key; eval grams
+    left-join that key (AQE broadcasts the train side when it fits,
+    shuffle-joins otherwise); one groupBy(doc_id); anchor right-join so
+    docs with < NGRAM_N tokens surface with n_grams=0 instead of
+    vanishing (the dedup_incremental anchoring lesson, ADVICE r2)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        _split_col().alias("split"),
+        F.array_distinct(ngrams(tokenize("text"), NGRAM_N)).alias("grams"),
+    )
+    train_keys = (
+        d.where(F.col("split") == "train")
+        .select(F.explode("grams").alias("gram"))
+        .select(_gram_key(F.col("gram")).alias("k"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = d.where(F.col("split") != "train")
+    eval_grams = ev.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", _gram_key(F.col("gram")).alias("k"))
+    scored = (
+        eval_grams.join(train_keys, "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    anchor = ev.select("doc_id", "split")
+    ppm = (F.col("n_hit") * F.lit(1_000_000)).cast("bigint")
+    return (
+        anchor.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) > 0 "
+                "THEN (n_hit * CAST(1000000 AS BIGINT)) div n_grams END"
+            ).alias("overlap_ppm"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+CONTAMINATION_NGRAM_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, split,
+           list_distinct(
+               CASE WHEN len(w) >= {NGRAM_N} THEN
+                   [array_to_string(w[i:i+{NGRAM_N - 1}], ' ')
+                    for i in generate_series(1, len(w) - {NGRAM_N - 1})]
+               ELSE [] END) AS gs
+    FROM toks
+),
+train_keys AS (
+    SELECT DISTINCT
+           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k
+    FROM grams, LATERAL unnest(gs) AS t(g)
+    WHERE split = 'train'
+),
+eval_grams AS (
+    SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k
+    FROM grams, LATERAL unnest(gs) AS t(g)
+    WHERE split <> 'train'
+),
+scored AS (
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN tk.k IS NULL THEN 0 ELSE 1 END) AS n_hit
+    FROM eval_grams e LEFT JOIN train_keys tk ON e.k = tk.k
+    GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       g.split,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN coalesce(s.n_grams, 0) > 0
+                 THEN (s.n_hit * CAST(1000000 AS BIGINT)) // s.n_grams
+            END AS BIGINT) AS overlap_ppm,
+       coalesce(s.n_hit, 0) > 0 AS is_contaminated
+FROM grams g LEFT JOIN scored s ON g.doc_id = s.doc_id
+WHERE g.split <> 'train'
+"""
+
+
+def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy in exact integer arithmetic: per doc,
+    the mean corpus frequency of its tokens in parts-per-billion, the
+    minimum token count, and the hapax count (tokens occurring exactly
+    once corpus-wide). Low mean frequency / many hapaxes ≈ the noisy,
+    OOV-heavy docs a CCNet-style perplexity filter drops.
+
+    A true LM log-likelihood needs ln(), whose last-ulp behavior
+    differs between Java and libm (the documented geomean residual,
+    functions/udafs.py) — so the registered, hash-checked score stays
+    in integers: freq_ppb(w) = count(w)·1e9 div N (associative integer
+    sums, order-independent), doc score = sum(freq_ppb) div n_tokens.
+
+    Plan: one token-count hash-agg, one equi-join token→count, one
+    1-row total crossJoin (broadcast), one groupBy(doc_id), anchored
+    left-join so token-less docs surface with n_tokens=0."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    per_tok = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "c",
+            F.expr("(c * CAST(1000000000 AS BIGINT)) div n_total").alias(
+                "freq_ppb"
+            ),
+        )
+    )
+    scored = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.min("c").alias("min_count"),
+        F.expr("sum(freq_ppb) div count(*)").alias("mean_freq_ppb"),
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_hapax"), F.lit(0)).cast("bigint").alias("n_hapax"),
+        F.col("min_count").cast("bigint").alias("min_count"),
+        F.col("mean_freq_ppb").cast("bigint").alias("mean_freq_ppb"),
+    )
+
+
+UNIGRAM_FREQ_SQL = """
+WITH tok AS (
+    SELECT doc_id, t AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+),
+counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+total AS (SELECT sum(c) AS n_total FROM counts),
+per_tok AS (
+    SELECT tok.doc_id, counts.c,
+           (counts.c * CAST(1000000000 AS BIGINT)) // total.n_total
+               AS freq_ppb
+    FROM tok JOIN counts USING (token), total
+),
+scored AS (
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           min(c) AS min_count,
+           sum(freq_ppb) // count(*) AS mean_freq_ppb
+    FROM per_tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(s.min_count AS BIGINT) AS min_count,
+       CAST(s.mean_freq_ppb AS BIGINT) AS mean_freq_ppb
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned-corpus materialization at the end of the dedup
+    ladder: every document labeled with its canonical representative
+    (the min doc_id of its near-dup component, itself when it has no
+    near-dup) and a keep flag — exactly the frame a pipeline joins
+    against to emit the deduplicated training corpus.
+
+    Consumes dedup_components (verified-Jaccard edges → min-label
+    propagation); docs outside every component pass through the left
+    join untouched, so the output is always full-corpus (one row per
+    document, keep-count + drop-count add up — auditable, not
+    implied)."""
+    from projetbigdata_spark.operators.dedup import dedup_components
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir)
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+            "canonical_id"
+        ),
+        (
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        ).alias("keep"),
+        "n_chars",
+    )
+
+
+def _keep_canonical_sql() -> str:
+    from projetbigdata_spark.operators.dedup import COMPONENTS_SQL
+
+    return f"""
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS canonical_id,
+       (c.component_id IS NULL OR c.component_id = d.doc_id) AS keep,
+       d.n_chars
+FROM documents d
+LEFT JOIN ({COMPONENTS_SQL}) c ON d.doc_id = c.doc_id
+"""
+
+
+# --- PII redaction -----------------------------------------------------
+# The fixtures contain no real PII (synthetic word-salad documents,
+# numeric event props), so the registered query derives contact-shaped
+# strings from events columns — the regexes fire on every row, which is
+# what actually verifies Java-regex ↔ RE2 dialect parity; behavioral
+# coverage on free-form text (mixed/absent/multiple PII spans) lives in
+# tests/test_curation_ops.py on constructed rows. Patterns avoid
+# lookaround/backrefs so Spark (java.util.regex) and DuckDB (RE2)
+# accept the identical strings.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails, then phone numbers, then IPv4 addresses (ordered
+    so earlier replacements can't manufacture later matches)."""
+    c = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(c, IP_RE, "<IP>")
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over log-derived text: build each event's contact
+    line (user email, support phone, client IP — derived
+    deterministically from events columns), count each PII class, and
+    emit the scrubbed string. Zero exchanges — one codegen'd projection
+    pass, the shape this runs as over 100 TB of raw logs."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    contact = F.concat(
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com +1-555-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip=10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    base = ev.select("event_id", contact.alias("contact"))
+    return base.select(
+        "event_id",
+        F.size(F.regexp_extract_all("contact", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("contact", F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("contact", F.lit(IP_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        redact_pii(F.col("contact")).alias("redacted"),
+    )
+
+
+REDACT_SQL = f"""
+WITH base AS (
+    SELECT event_id,
+           'user' || user_id || '@example.com +1-555-' ||
+           lpad((event_id % 10000)::VARCHAR, 4, '0') ||
+           ' ip=10.' || (user_id % 256) || '.0.' || (event_id % 256)
+               AS contact
+    FROM events
+)
+SELECT event_id,
+       CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(contact, '{PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       CAST(len(regexp_extract_all(contact, '{IP_RE}')) AS BIGINT)
+           AS n_ips,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(contact, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IP_RE}', '<IP>', 'g') AS redacted
+FROM base
+"""
+
+
+QUERIES = {
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+    "text_unigram_freq_score": text_unigram_freq_score,
+    "dedup_keep_canonical": dedup_keep_canonical,
+    "text_redact_pii": text_redact_pii,
+}
+
+ORACLE_SQL = {
+    "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,
+    "text_unigram_freq_score": UNIGRAM_FREQ_SQL,
+    "dedup_keep_canonical": _keep_canonical_sql(),
+    "text_redact_pii": REDACT_SQL,
+}

@@ -87,6 +87,13 @@ _PRIORITY = (
     "q20_potential_promotion",
     "q21_waiting_supplier",
     "q22_sales_opportunity",
+    # new in r3 (slot 50 of the driver's check budget): regex-dialect
+    # parity is the riskiest new surface, so the PII redaction query
+    # takes the last checked slot; the other curation queries
+    # (contamination_ngram_overlap, text_unigram_freq_score,
+    # dedup_keep_canonical) queue for the r4 budget and are local-
+    # harness-verified meanwhile.
+    "text_redact_pii",
 )
 
 # Ordered so the driver's correctness budget reaches every family:
@@ -105,6 +112,7 @@ _MODULES = (
     "projetbigdata_spark.operators.sessionize",
     "projetbigdata_spark.operators.upsert",
     "projetbigdata_spark.operators.dedup",
+    "projetbigdata_spark.operators.curation",
     "projetbigdata_spark.operators.similarity",
     "projetbigdata_spark.streaming.events_batch",
     "projetbigdata_spark.ml.queries",

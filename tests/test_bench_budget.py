@@ -80,17 +80,22 @@ def warm_queries(spark):
 
 @pytest.mark.parametrize("name", sorted(CEILINGS))
 def test_bench_budget(spark, warm_queries, name):
+    # best-of-3: a structural regression (lost broadcast, new shuffle)
+    # is typically 2-10x and fails all three runs; a load transient on
+    # a busy container (observed once in r3: bow_vectorize tripped its
+    # 1.5s floor in a full-suite run, passed in isolation) rarely hits
+    # the same query three times in a row.
     ceiling = CEILINGS[name]
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         warm_queries[name](spark, SF_BENCH).write.format("noop").mode(
             "overwrite"
         ).save()
         best = min(best, time.perf_counter() - t0)
-        if best <= ceiling:  # already under budget — skip the second run
+        if best <= ceiling:  # already under budget — skip further runs
             break
     assert best <= ceiling, (
-        f"{name}: best-of-2 {best:.2f}s exceeds budget {ceiling:.2f}s "
+        f"{name}: best-of-3 {best:.2f}s exceeds budget {ceiling:.2f}s "
         f"(calibrated {_CALIBRATED[name]:.2f}s) — a plan regression?"
     )

@@ -1,0 +1,129 @@
+"""Behavioral tests for operators/curation.py — the oracle checks
+value parity on the fixtures; these pin the semantics the fixtures
+can't reach (mixed/absent/multiple PII spans, short-doc anchoring,
+keep-accounting invariants) on constructed rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.operators.curation import (
+    contamination_ngram_overlap,
+    dedup_keep_canonical,
+    redact_pii,
+    text_redact_pii,
+    text_unigram_freq_score,
+)
+from tests.conftest import SF_CHECK
+
+
+def test_redact_pii_on_freeform_text(spark):
+    rows = [
+        ("no pii here at all",),
+        ("mail me at jane.doe+spam@sub.example.co.uk thanks",),
+        ("call +1-555-0199 or +33-555-0042",),
+        ("server 192.168.254.1 and 10.0.0.7 are down",),
+        ("jane@x.io met +1-555-1234 from 8.8.8.8",),
+        ("not-an-email@nodot and 999.999 and +1-55-0042",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(redact_pii(F.col("text")).alias("r")).collect()
+    assert out[0].r == "no pii here at all"
+    assert out[1].r == "mail me at <EMAIL> thanks"
+    assert out[2].r == "call <PHONE> or <PHONE>"
+    assert out[3].r == "server <IP> and <IP> are down"
+    assert out[4].r == "<EMAIL> met <PHONE> from <IP>"
+    # no valid TLD / not 4-digit tail / not a dotted quad: untouched
+    assert out[5].r == "not-an-email@nodot and 999.999 and +1-55-0042"
+
+
+def test_redact_pii_counts_every_row(spark):
+    """The derived contact line contains exactly one of each PII class
+    per event — the regexes must fire on every row (this is what makes
+    the registered query a real dialect-parity check, not a no-op)."""
+    out = text_redact_pii(spark, SF_CHECK)
+    n = out.count()
+    all_hit = out.where(
+        (F.col("n_emails") == 1) & (F.col("n_phones") == 1)
+        & (F.col("n_ips") == 1)
+    ).count()
+    assert n > 0 and all_hit == n
+    leaked = out.where(
+        F.col("redacted").rlike("@example|555-[0-9]|10\\.[0-9]")
+    ).count()
+    assert leaked == 0
+
+
+def test_contamination_flags_train_neardups(spark):
+    """Eval docs that near-duplicate a train doc (the minhash
+    contamination tier finds them) must show high n-gram overlap, and
+    overlap must never exceed 1.0 (ppm 1e6)."""
+    from projetbigdata_spark.operators.dedup import dedup_contamination
+
+    ngram = contamination_ngram_overlap(spark, SF_CHECK)
+    assert ngram.where(F.col("overlap_ppm") > 1_000_000).count() == 0
+    minhash_hits = {
+        r.doc_id
+        for r in dedup_contamination(spark, SF_CHECK)
+        .where(F.col("is_contaminated"))
+        .collect()
+    }
+    if minhash_hits:  # fixture-dependent, present at sf0.01
+        flagged = {
+            r.doc_id
+            for r in ngram.where(F.col("is_contaminated")).collect()
+        }
+        # n-gram overlap is strictly finer-grained than whole-doc
+        # minhash: everything minhash calls contaminated shares
+        # verbatim n-grams with train
+        assert minhash_hits <= flagged
+
+
+def test_contamination_anchors_short_docs(spark):
+    """A doc with < 5 tokens has no 5-gram but must still appear with
+    n_grams=0 / NULL ratio (the ADVICE-r2 anchoring rule)."""
+    out = contamination_ngram_overlap(spark, SF_CHECK)
+    from projetbigdata_spark.operators.sampling import _hash_bucket
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_CHECK, "documents")
+    n_eval = docs.where(
+        _hash_bucket(F.col("doc_id")) >= 80
+    ).count()
+    assert out.count() == n_eval
+
+
+def test_unigram_freq_score_bounds(spark):
+    """mean_freq_ppb is a probability in ppb: within (0, 1e9]; hapax
+    count never exceeds token count; min_count >= 1."""
+    out = text_unigram_freq_score(spark, SF_CHECK).where(
+        F.col("n_tokens") > 0
+    )
+    assert out.where(
+        (F.col("mean_freq_ppb") <= 0)
+        | (F.col("mean_freq_ppb") > 1_000_000_000)
+    ).count() == 0
+    assert out.where(F.col("n_hapax") > F.col("n_tokens")).count() == 0
+    assert out.where(F.col("min_count") < 1).count() == 0
+
+
+def test_keep_canonical_accounting(spark):
+    """Full-corpus output; canonical ids are themselves kept; kept +
+    dropped = corpus; dropped docs all point at a kept canonical."""
+    from projetbigdata_spark.sources.catalog import load_table
+
+    out = dedup_keep_canonical(spark, SF_CHECK).cache()
+    n_docs = load_table(spark, SF_CHECK, "documents").count()
+    assert out.count() == n_docs
+    kept = out.where(F.col("keep"))
+    dropped = out.where(~F.col("keep"))
+    assert kept.count() + dropped.count() == n_docs
+    # every canonical_id referenced by a dropped row is a kept doc_id
+    dangling = (
+        dropped.select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+        .join(kept.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    assert dangling == 0
+    out.unpersist()

@@ -35,6 +35,9 @@ CARTESIAN_OK = {
     "q11_important_stock",
     "q22_sales_opportunity",
     "corpus_vocab_growth",
+    # unigram score crossJoins the 1-row corpus-total aggregate
+    # (broadcast) — same class as text_idf
+    "text_unigram_freq_score",
 }
 
 
@@ -154,6 +157,13 @@ def test_pack_is_single_shard_shuffle(spark):
     plan = pi.physical_plan(df)
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_redact_pii_zero_exchanges(spark):
+    """PII redaction is one codegen'd projection pass — any Exchange
+    means someone added a shuffle to a map-only operator."""
+    plan = pi.physical_plan(QUERIES["text_redact_pii"](spark, SF_CHECK))
+    assert plan.count("Exchange") == 0, plan
 
 
 def test_new_ops_prune_columns(spark):

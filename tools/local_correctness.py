@@ -55,6 +55,44 @@ def _value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _check_one(spark, con, name, fn, oracle: str | None, sf: str) -> dict:
+    """One full query-vs-oracle comparison; raises on any failure to
+    produce the Spark frame so the caller can retry."""
+    rec: dict = {}
+    t0 = time.time()
+    sdf = fn(spark, sf).toPandas()
+    rec["spark_sec"] = round(time.time() - t0, 2)
+    rec["spark_rows"] = len(sdf)
+    if oracle is None:
+        rec["status"] = "rows_only"
+        return rec
+    t1 = time.time()
+    odf = con.execute(oracle).df()
+    rec["oracle_sec"] = round(time.time() - t1, 2)
+    rec["oracle_rows"] = len(odf)
+    rec["rows_match"] = len(sdf) == len(odf)
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    rec["schema_match"] = s_cols == o_cols
+    if rec["schema_match"]:
+        s_dtypes = [str(sdf[c].dtype) for c in s_cols]
+        o_dtypes = [str(odf[c].dtype) for c in o_cols]
+        rec["dtype_match"] = s_dtypes == o_dtypes
+        if not rec["dtype_match"]:
+            rec["dtypes"] = {
+                c: [sd, od]
+                for c, sd, od in zip(s_cols, s_dtypes, o_dtypes)
+                if sd != od
+            }
+        rec["hash_match"] = _value_hash(sdf) == _value_hash(odf)
+    else:
+        rec["dtype_match"] = False
+        rec["hash_match"] = False
+        rec["cols"] = {"spark": s_cols, "oracle": o_cols}
+    ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+    rec["status"] = "pass" if ok else "FAIL"
+    return rec
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
@@ -83,61 +121,47 @@ def main() -> int:
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
         rec: dict = {}
-        t0 = time.time()
         try:
-            sdf = fn(spark, args.sf).toPandas()
-            rec["spark_sec"] = round(time.time() - t0, 2)
-            rec["spark_rows"] = len(sdf)
-            if name not in oracles:
-                rec["status"] = "rows_only"
-                n_rows_only += 1
+            rec = _check_one(spark, con, name, fn, oracles.get(name), args.sf)
+        except Exception as e:  # noqa: BLE001
+            # retry once: one of seven full r3 driver-sim runs reported
+            # a single unreproducible failure right after a heavy pytest
+            # run (NEXT.md watch item) — absorb load transients, but
+            # record the first error so a genuinely flaky query stays
+            # visible in the JSON.
+            first_err = f"{type(e).__name__}: {e}"
+            try:
+                rec = _check_one(
+                    spark, con, name, fn, oracles.get(name), args.sf)
+                rec["first_attempt_err"] = first_err
+                print(f"{name:40s} RETRY (first attempt: {first_err[:80]})")
+            except Exception as e2:  # noqa: BLE001
+                rec = {"status": "err",
+                       "err": f"{type(e2).__name__}: {e2}",
+                       "first_attempt_err": first_err}
+                n_err += 1
+                print(f"{name:40s} ERR  {rec['err'][:120]}")
+                traceback.print_exc(limit=3)
                 results[name] = rec
-                print(f"{name:40s} ROWS_ONLY {rec['spark_rows']:>8} rows "
-                      f"{rec['spark_sec']:>6.2f}s")
                 continue
-            t1 = time.time()
-            odf = con.execute(oracles[name]).df()
-            rec["oracle_sec"] = round(time.time() - t1, 2)
-            rec["oracle_rows"] = len(odf)
-            rec["rows_match"] = len(sdf) == len(odf)
-            s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
-            rec["schema_match"] = s_cols == o_cols
-            if rec["schema_match"]:
-                s_dtypes = [str(sdf[c].dtype) for c in s_cols]
-                o_dtypes = [str(odf[c].dtype) for c in o_cols]
-                rec["dtype_match"] = s_dtypes == o_dtypes
-                if not rec["dtype_match"]:
-                    rec["dtypes"] = {
-                        c: [sd, od]
-                        for c, sd, od in zip(s_cols, s_dtypes, o_dtypes)
-                        if sd != od
-                    }
-                rec["hash_match"] = _value_hash(sdf) == _value_hash(odf)
-            else:
-                rec["dtype_match"] = False
-                rec["hash_match"] = False
-                rec["cols"] = {"spark": s_cols, "oracle": o_cols}
-            ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
-            rec["status"] = "pass" if ok else "FAIL"
+        status = rec["status"]
+        if status == "rows_only":
+            n_rows_only += 1
+            print(f"{name:40s} ROWS_ONLY {rec['spark_rows']:>8} rows "
+                  f"{rec['spark_sec']:>6.2f}s")
+        else:
+            ok = status == "pass"
             n_pass += ok
             n_fail += not ok
-            flag = "pass" if ok else "FAIL"
             extra = ""
             if not ok:
                 extra = " " + json.dumps({
                     k: rec[k] for k in
                     ("rows_match", "schema_match", "dtype_match", "hash_match",
                      "dtypes", "cols") if k in rec})
-            print(f"{name:40s} {flag} {rec['spark_rows']:>8} rows "
+            print(f"{name:40s} {status:4s} {rec['spark_rows']:>8} rows "
                   f"{rec['spark_sec']:>6.2f}s spark "
                   f"{rec['oracle_sec']:>5.2f}s duck{extra}")
-        except Exception as e:  # noqa: BLE001
-            rec["status"] = "err"
-            rec["err"] = f"{type(e).__name__}: {e}"
-            rec["spark_sec"] = round(time.time() - t0, 2)
-            n_err += 1
-            print(f"{name:40s} ERR  {rec['err'][:120]}")
-            traceback.print_exc(limit=3)
         results[name] = rec
 
     total_sec = sum(r.get("spark_sec", 0) + r.get("oracle_sec", 0)
