@@ -222,15 +222,83 @@ GROUP BY GROUPING SETS ((hh, event_type), (dd, event_type))
 """
 
 
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM interval join
+    (streaming/jobs.py:click_attribution_stream): every purchase
+    paired with every click by the same user in the preceding 30
+    minutes — the classic ad-attribution shape. Unlike the as-of join
+    (join_asof_purchase_click: last click only, single window pass)
+    this emits ALL qualifying pairs, which is exactly what a
+    watermarked stream-stream inner join produces, so this plan is the
+    spec the streaming job is asserted equal to.
+
+    Scale: equi-join on user_id with the time predicate as a post-join
+    filter; streaming bounds the state instead (clicks retained
+    watermark + 30 min). delta_s is exact integer seconds (µs div),
+    no float time arithmetic."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(click_ts)) "
+                "div 1000000"
+            ).alias("delta_s"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delta_s
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "events_multi_rollup": events_multi_rollup,
     "events_tumbling_1h": events_tumbling_1h,
     "events_sliding_15m_5m": events_sliding_15m_5m,
     "events_session_30m": events_session_30m,
     "events_dedup_keyed": events_dedup_keyed,
+    "events_click_attribution": events_click_attribution,
 }
 
 ORACLE_SQL = {
+    "events_click_attribution": ATTRIBUTION_SQL,
     "events_multi_rollup": MULTI_ROLLUP_SQL,
     "events_tumbling_1h": TUMBLING_SQL,
     "events_sliding_15m_5m": SLIDING_SQL,

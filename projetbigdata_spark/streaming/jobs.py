@@ -293,6 +293,53 @@ def enriched_events_stream(events: DataFrame, profile: DataFrame) -> DataFrame:
     )
 
 
+def click_attribution_stream(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """STREAM-STREAM inner join with watermark-bounded state: each
+    purchase joined to every click by the same user within the
+    preceding 30 minutes. Both sides carry a 1-hour watermark and the
+    join condition is time-bounded, so the state store retains clicks
+    for only (watermark delay + 30 min) of event time — the
+    requirements Structured Streaming imposes before it will agree to
+    clean up join state at all. Batch twin (oracle-checked spec):
+    events_batch.events_click_attribution; equality asserted in
+    tests/test_streaming.py.
+
+    Takes the two pre-filtered streams (usually both derived from one
+    open_events_stream) so tests and deployments can feed independent
+    transports per side — the common case where clicks and purchases
+    arrive on different topics."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "1 hour")
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("delta_s"),
+    )
+
+
 def run_to_memory_sink(df: DataFrame, name: str, mode: str = "append"):
     """Drain a stream with availableNow into an in-memory table;
     returns the finished StreamingQuery."""

@@ -401,3 +401,33 @@ def test_stream_static_join_equals_batch(spark, events_dir):
     assert streamed.count() == batch.count() > 0
     assert streamed.subtract(batch).count() == 0
     assert batch.subtract(streamed).count() == 0
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join: purchases ⋈ clicks (same user,
+    click in the 30 min before the purchase) drained with availableNow
+    must equal the oracle-checked batch twin pair-for-pair. Exercises
+    the one streaming join class the other jobs don't: BOTH sides
+    streaming, watermark + time-bound condition bounding the state."""
+    from projetbigdata_spark.streaming.events_batch import (
+        events_click_attribution,
+    )
+    from projetbigdata_spark.streaming.jobs import (
+        click_attribution_stream,
+        open_events_stream,
+        run_to_memory_sink,
+    )
+    from pyspark.sql import functions as F
+
+    ev = open_events_stream(spark, {"kind": "files", "path": events_dir})
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    run_to_memory_sink(
+        click_attribution_stream(purchases, clicks), "attrib_sink"
+    )
+    streamed = spark.table("attrib_sink")
+
+    batch = events_click_attribution(spark, SF_SMOKE)
+    assert streamed.count() == batch.count() > 0
+    assert streamed.subtract(batch).count() == 0
+    assert batch.subtract(streamed).count() == 0
