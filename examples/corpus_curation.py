@@ -11,6 +11,8 @@ families composed into ONE distributed dataflow:
                             components, keep component representative)
       -> split assignment  (deterministic md5-bucket train/val/test —
                             re-runs and engine changes never move a doc)
+      -> eval decontamination (contamination_ngram_overlap: val/test
+                            docs with >50% train 5-gram overlap dropped)
       -> sequence packing  (pack_assign: per-shard 2048-token packs)
       -> partitioned parquet sink (write.partitionBy("split"))
       + corpus mixture plan printed for the survivors (mix_plan_of)
@@ -34,6 +36,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from projetbigdata_spark.operators.curation import (  # noqa: E402
+    contamination_ngram_overlap,
+)
 from projetbigdata_spark.operators.dedup import (  # noqa: E402
     dedup_components_minhash,
     dedup_exact,
@@ -56,6 +61,8 @@ MIN_WORDS = 20
 MAX_STOPWORD_RATIO = 0.6
 MAX_DUP_WORD_FRAC = 0.70  # Gopher-style repetition ceilings
 MAX_TOP_BIGRAM_SHARE = 0.10
+MAX_EVAL_OVERLAP_PPM = 500_000  # eval doc dropped if >50% of its
+# 5-grams appear in train (GPT-3-style decontamination ceiling)
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,6 +121,16 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     kept = kept.withColumn("split", split)
+
+    # 4b. eval decontamination — drop val/test survivors whose n-gram
+    # overlap with train exceeds the ceiling (a contaminated eval doc
+    # inflates held-out metrics; train rows are never dropped here)
+    contaminated = (
+        contamination_ngram_overlap(spark, sf_dir)
+        .where(F.col("overlap_ppm") > MAX_EVAL_OVERLAP_PPM)
+        .select("doc_id")
+    )
+    kept = kept.join(contaminated, "doc_id", "left_anti")
 
     # 5. sequence packing over the survivors — every doc gets its
     # training-sequence slot (per-shard, no global cumsum)

