@@ -47,6 +47,12 @@ REPRESENTATIVES = [
     "dedup_components_prefiltered",  # exact-collapse + propagation loop
     "text_pos_universal",        # universal-tag CASE chain
     "corpus_health_report",      # telemetry report (7 rows, zero/null)
+    # r3 curation tier + stream-stream batch twin
+    "contamination_ngram_overlap",  # anchored eval overlap
+    "text_unigram_freq_score",   # corpus-frequency score (1-row total)
+    "dedup_keep_canonical",      # components left-join overlay
+    "text_redact_pii",           # regex projection over events
+    "events_click_attribution",  # interval self-join on events
 ]
 
 # these legitimately return constant-row reports even on empty input

@@ -44,6 +44,10 @@ PER_DOC_KEEPERS = [
     "text_pos_universal",
     "text_wordpunct_tokens",
     "corpus_health_report",  # report rows, not per-doc — just no crash
+    # r3 curation tier: both anchor on the full document set, so null/
+    # empty texts must surface as degenerate rows, never vanish
+    "text_unigram_freq_score",
+    "dedup_keep_canonical",
 ]
 
 EXPLODE_DROPPERS = [
@@ -52,6 +56,10 @@ EXPLODE_DROPPERS = [
     "dedup_minhash_buckets",
     "corpus_vocab_growth",
     "corpus_shingle_stats",
+    # anchored on EVAL docs (not the full corpus): null-text eval docs
+    # surface with n_grams=0; the anchor invariant itself is pinned in
+    # test_curation_ops.py — here we assert it survives null text
+    "contamination_ngram_overlap",
 ]
 
 DEDUP_FAMILY = [
@@ -149,6 +157,8 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "sim_lsh_buckets",
         "sim_topk_bruteforce",
         "dedup_embedding_cosine",
+        "text_redact_pii",
+        "events_click_attribution",
     ],
 )
 def test_runs_with_null_events_and_embeddings(
