@@ -123,5 +123,53 @@ WHERE op IS NULL OR op = 'U'
 """
 
 
-QUERIES = {"merge_cdc_snapshot": merge_cdc_snapshot}
-ORACLE_SQL = {"merge_cdc_snapshot": MERGE_SQL}
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: every change to a
+    (user_id, event_type) key becomes a validity interval
+    [valid_from, valid_to) with a version number and an is_current
+    flag — the other half of the lakehouse pair (merge_cdc_snapshot is
+    "latest state"; this is "full history", what dimension tables keep
+    so facts can join AS OF any date).
+
+    One window shuffle on the dimension key (lead + row_number share
+    the frame, so Catalyst plans a single Window over a single
+    Exchange); no self-join — the naive spelling joins each version to
+    the next and doubles the shuffle."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("version_event_id"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version_n"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_type,
+       event_id AS version_event_id,
+       value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version_n,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+QUERIES = {
+    "merge_cdc_snapshot": merge_cdc_snapshot,
+    "scd2_history": scd2_history,
+}
+ORACLE_SQL = {
+    "merge_cdc_snapshot": MERGE_SQL,
+    "scd2_history": SCD2_SQL,
+}

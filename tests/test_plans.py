@@ -159,6 +159,15 @@ def test_pack_is_single_shard_shuffle(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_scd2_single_window_single_exchange(spark):
+    """lead + row_number + is_current share one frame: the plan must
+    carry exactly one Window over one Exchange — a second of either
+    means the expressions stopped sharing the sort."""
+    plan = pi.physical_plan(QUERIES["scd2_history"](spark, SF_CHECK))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
 def test_redact_pii_zero_exchanges(spark):
     """PII redaction is one codegen'd projection pass — any Exchange
     means someone added a shuffle to a map-only operator."""
