@@ -293,6 +293,68 @@ def enriched_events_stream(events: DataFrame, profile: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf Python package
+    for its state-server protocol; absent in this container (no pip),
+    so the TWS tier is construction-tested and gated, exactly like the
+    kafka jar and the NLTK/pillow tiers."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_stream_tws(events: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas spelling of running_totals_stream
+    — Spark 4's replacement for applyInPandasWithState: explicit typed
+    state variables on a handle (value/list/map state, timers, TTL)
+    instead of one opaque state tuple, and the processor outlives a
+    single batch. Same semantics as the applyInPandasWithState job
+    above, asserted equal to the batch totals when the runtime
+    supports it (tws_available()); requires the RocksDB state store
+    provider (set by the caller on the session, see
+    tests/test_streaming.py)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self.state.get()
+            n, total = prev if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def click_attribution_stream(
     purchases: DataFrame, clicks: DataFrame
 ) -> DataFrame:

@@ -431,3 +431,58 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     assert streamed.count() == batch.count() > 0
     assert streamed.subtract(batch).count() == 0
     assert batch.subtract(streamed).count() == 0
+
+
+def test_transform_with_state_construction_or_totals(spark, events_dir):
+    """Spark 4's transformWithStateInPandas tier: the query must
+    CONSTRUCT against the streaming source unconditionally (API wiring
+    is right), and when the runtime supports it (protobuf present —
+    absent in this container) the drained totals must equal the batch
+    aggregation, mirroring the applyInPandasWithState test."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.sources.catalog import load_events
+    from projetbigdata_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        running_totals_stream_tws,
+        tws_available,
+    )
+
+    stream = running_totals_stream_tws(read_events_stream(spark, events_dir))
+    assert stream.isStreaming and set(stream.columns) == {
+        "user_id", "n_events", "total_value"
+    }
+    if not tws_available():
+        pytest.skip("protobuf absent: transformWithState runtime blocked "
+                    "(construction verified)")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory_sink(stream, "tws_totals_sink", mode="update")
+        streamed = (
+            spark.table("tws_totals_sink")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+        )
+        batch = (
+            load_events(spark, SF_SMOKE)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("bn"), F.sum("value").alias("bv"))
+        )
+        j = streamed.join(batch, "user_id", "full_outer")
+        bad = j.where(
+            F.col("n_events").isNull()
+            | F.col("bn").isNull()
+            | (F.col("n_events") != F.col("bn"))
+            | (F.abs(F.col("total_value") - F.col("bv")) > 1e-6)
+        )
+        assert bad.count() == 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
