@@ -521,7 +521,56 @@ GROUP BY o_orderpriority
 """
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar surface (the sibling of array_functions /
+    json_extract): build a per-user map event_type → count with
+    map_from_entries over a SORTED entry list (collect_list order is
+    nondeterministic; the sort pins both map iteration order and the
+    oracle), then exercise element_at / map_filter / transform_values /
+    map_values / map_keys, flattening back to plain columns so the
+    DuckDB oracle can state the same result without MAP support.
+    All whole-stage codegen; two hash aggs = two exchanges."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "click").alias("click_n"),
+        F.size(F.map_filter("m", lambda k, v: v >= 5)).alias("n_busy_types"),
+        F.aggregate(
+            F.map_values(F.transform_values("m", lambda k, v: v * 2)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("doubled_total"),
+        F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
+    )
+
+
+MAP_FUNCS_SQL = """
+WITH per AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_types,
+       CAST(max(CASE WHEN event_type = 'click' THEN n END) AS BIGINT)
+           AS click_n,
+       CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS INT)
+           AS n_busy_types,
+       CAST(sum(n * 2) AS BIGINT) AS doubled_total,
+       string_agg(event_type, ',' ORDER BY event_type) AS keys_csv
+FROM per GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "map_functions": map_functions,
     "agg_stats_exact": agg_stats_exact,
     "join_bucketed_priority_counts": join_bucketed_priority_counts,
     "join_interval_binned": join_interval_binned,
@@ -537,6 +586,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "map_functions": MAP_FUNCS_SQL,
     "agg_stats_exact": STATS_SQL,
     "join_bucketed_priority_counts": BUCKETED_JOIN_SQL,
     "join_interval_binned": INTERVAL_SQL,
