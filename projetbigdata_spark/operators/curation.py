@@ -182,6 +182,106 @@ WHERE g.split <> 'train'
 """
 
 
+SPAN_K = 10  # token-window width for span-level dedup
+
+
+def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile — the granularity between
+    whole-document dedup and n-gram contamination: for every document,
+    how many of its 10-token windows (stride 1) also occur in an
+    EARLIER document (doc_id order = keep-first semantics, matching
+    dedup_exact's keeper rule). The corpus-wide duplicated-span rate
+    is what substring-dedup pipelines (exact-substring dedup on
+    suffix-array clusters) decide to cut; this profile is the audit
+    that tells you whether that pass is worth running.
+
+    Plan: spans hashed in-array to 60-bit keys (8-byte explode/shuffle
+    rows, as in contamination_ngram_overlap); one groupBy(span) for
+    (min_doc, df); the span→stats join arrives already partitioned on
+    the span key; one groupBy(doc); anchor join resurfaces short docs
+    with n_spans=0."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    skeys = F.array_distinct(
+        F.transform(
+            ngrams(tokenize("text"), SPAN_K), lambda g: _gram_key(g)
+        )
+    )
+    d = docs.select("doc_id", skeys.alias("sk"))
+    spans = d.select("doc_id", F.explode("sk").alias("k"))
+    stats = spans.groupBy("k").agg(
+        F.min("doc_id").alias("first_doc"), F.count("*").alias("df")
+    )
+    per_doc = (
+        spans.join(stats, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.when(
+                    (F.col("df") > 1) & (F.col("doc_id") > F.col("first_doc")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_spans"),
+        F.expr(
+            "CASE WHEN coalesce(n_spans, 0) > 0 THEN "
+            "(n_dup_spans * CAST(1000000 AS BIGINT)) div n_spans END"
+        ).alias("dup_span_ppm"),
+    )
+
+
+SPAN_PROFILE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+keys AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(w) >= {SPAN_K} THEN
+                   [CAST('0x' || substr(md5(
+                        array_to_string(w[i:i+{SPAN_K - 1}], ' ')), 1, 15)
+                        AS BIGINT)
+                    for i in generate_series(1, len(w) - {SPAN_K - 1})]
+               ELSE [] END) AS sk
+    FROM toks
+),
+spans AS (
+    SELECT doc_id, k FROM keys, LATERAL unnest(sk) AS t(k)
+),
+stats AS (
+    SELECT k, min(doc_id) AS first_doc, count(*) AS df
+    FROM spans GROUP BY k
+),
+per_doc AS (
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN st.df > 1 AND s.doc_id > st.first_doc
+                    THEN 1 ELSE 0 END) AS n_dup_spans
+    FROM spans s JOIN stats st USING (k)
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(CASE WHEN coalesce(p.n_spans, 0) > 0
+                 THEN (p.n_dup_spans * CAST(1000000 AS BIGINT))
+                      // p.n_spans
+            END AS BIGINT) AS dup_span_ppm
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality proxy in exact integer arithmetic: per doc,
     the mean corpus frequency of its tokens in parts-per-billion, the
@@ -392,6 +492,7 @@ FROM base
 QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "text_unigram_freq_score": text_unigram_freq_score,
+    "dedup_span_profile": dedup_span_profile,
     "dedup_keep_canonical": dedup_keep_canonical,
     "text_redact_pii": text_redact_pii,
 }
@@ -399,6 +500,7 @@ QUERIES = {
 ORACLE_SQL = {
     "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,
+    "dedup_span_profile": SPAN_PROFILE_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),
     "text_redact_pii": REDACT_SQL,
 }

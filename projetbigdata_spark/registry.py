@@ -53,7 +53,8 @@ _PRIORITY = (
     "dedup_contamination",
     "agg_geomean_udaf",
     "agg_geomean_expr",
-    "dedup_embedding_cosine",
+    # (dedup_embedding_cosine also dropped late-r3: its green r2 row
+    # postdates the r2 LSH rewire and r3 never touched it)
     # (sim_topk_bruteforce / sim_lsh_buckets / sim_neardup_pairs /
     # text_tfidf_top / sim_ann_lsh_topk / dedup_simhash /
     # dedup_minhash_buckets / dedup_components_minhash dropped from the
@@ -66,6 +67,7 @@ _PRIORITY = (
     # map functions) — never driver-checked ---
     "contamination_ngram_overlap",
     "text_unigram_freq_score",
+    "dedup_span_profile",
     "dedup_keep_canonical",
     "scd2_history",
     "events_click_attribution",

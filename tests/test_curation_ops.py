@@ -127,3 +127,31 @@ def test_keep_canonical_accounting(spark):
     )
     assert dangling == 0
     out.unpersist()
+
+
+def test_span_profile_keep_first_semantics(spark):
+    """Bounds + keep-first: ratios never exceed 1e6 ppm, and every
+    exact-duplicate LOSER (same text as a lower doc_id) must have all
+    its spans marked duplicated — its keeper saw them first."""
+    from projetbigdata_spark.operators.curation import dedup_span_profile
+    from projetbigdata_spark.operators.dedup import dedup_exact
+    from projetbigdata_spark.sources.catalog import load_table
+
+    prof = dedup_span_profile(spark, SF_CHECK).cache()
+    assert prof.where(F.col("dup_span_ppm") > 1_000_000).count() == 0
+    assert prof.where(F.col("n_dup_spans") > F.col("n_spans")).count() == 0
+
+    docs = load_table(spark, SF_CHECK, "documents")
+    losers = (
+        docs.withColumn("content_md5", F.md5(F.lower("text")))
+        .join(dedup_exact(spark, SF_CHECK), "content_md5")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    bad = (
+        prof.join(losers, "doc_id")
+        .where((F.col("n_spans") > 0) & (F.col("dup_span_ppm") < 1_000_000))
+        .count()
+    )
+    assert bad == 0
+    prof.unpersist()

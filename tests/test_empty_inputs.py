@@ -51,6 +51,7 @@ REPRESENTATIVES = [
     "contamination_ngram_overlap",  # anchored eval overlap
     "text_unigram_freq_score",   # corpus-frequency score (1-row total)
     "dedup_keep_canonical",      # components left-join overlay
+    "dedup_span_profile",        # span keys + keep-first stats
     "text_redact_pii",           # regex projection over events
     "events_click_attribution",  # interval self-join on events
 ]

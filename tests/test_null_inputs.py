@@ -44,10 +44,11 @@ PER_DOC_KEEPERS = [
     "text_pos_universal",
     "text_wordpunct_tokens",
     "corpus_health_report",  # report rows, not per-doc — just no crash
-    # r3 curation tier: both anchor on the full document set, so null/
+    # r3 curation tier: all anchor on the full document set, so null/
     # empty texts must surface as degenerate rows, never vanish
     "text_unigram_freq_score",
     "dedup_keep_canonical",
+    "dedup_span_profile",
 ]
 
 EXPLODE_DROPPERS = [
