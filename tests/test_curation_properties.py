@@ -1,0 +1,170 @@
+"""Property-based checks (hypothesis) for the curation tier: the
+registered Spark queries must agree with straightforward Python models
+on arbitrary tiny corpora — including shapes the fixtures never
+produce (empty docs, all-duplicate corpora, docs shorter than the
+gram/span width). Few examples, each a full staged-parquet run: the
+value is the adversarial corpus shapes, not volume."""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+VOCAB = ["aa", "bb", "cc", "dd"]
+
+corpora = st.lists(
+    st.lists(st.sampled_from(VOCAB), max_size=14).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _stage(spark, texts) -> str:
+    d = tempfile.mkdtemp()
+    rows = [
+        (i, t, "en", "src0", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _toks(t: str) -> list[str]:
+    return [w for w in t.lower().split() if w]
+
+
+def _key(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=corpora)
+def test_unigram_freq_score_matches_model(spark, texts):
+    from projetbigdata_spark.operators.curation import (
+        text_unigram_freq_score,
+    )
+
+    d = _stage(spark, texts)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_hapax, r.min_count, r.mean_freq_ppb)
+        for r in text_unigram_freq_score(spark, d).collect()
+    }
+    toks = {i: _toks(t) for i, t in enumerate(texts)}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    total = sum(counts.values())
+    for i, ws in toks.items():
+        if not ws:
+            assert got[i] == (0, 0, None, None), (i, got[i])
+            continue
+        ppbs = [counts[w] * 10**9 // total for w in ws]
+        expect = (
+            len(ws),
+            sum(1 for w in ws if counts[w] == 1),
+            min(counts[w] for w in ws),
+            sum(ppbs) // len(ws),
+        )
+        assert got[i] == expect, (i, texts, got[i], expect)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=corpora)
+def test_span_profile_matches_model(spark, texts):
+    from projetbigdata_spark.operators.curation import (
+        SPAN_K,
+        dedup_span_profile,
+    )
+
+    d = _stage(spark, texts)
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_ppm)
+        for r in dedup_span_profile(spark, d).collect()
+    }
+    keys = {}
+    for i, t in enumerate(texts):
+        ws = _toks(t)
+        keys[i] = {
+            _key(" ".join(ws[j : j + SPAN_K]))
+            for j in range(len(ws) - SPAN_K + 1)
+        }
+    first = {}
+    df = Counter()
+    for i in sorted(keys):
+        for k in keys[i]:
+            first.setdefault(k, i)
+            df[k] += 1
+    for i in sorted(keys):
+        n = len(keys[i])
+        dup = sum(1 for k in keys[i] if df[k] > 1 and i > first[k])
+        ppm = dup * 10**6 // n if n else None
+        assert got[i] == (n, dup, ppm), (i, texts, got[i], (n, dup, ppm))
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=corpora)
+def test_contamination_matches_model(spark, texts):
+    from projetbigdata_spark.operators.curation import (
+        NGRAM_N,
+        contamination_ngram_overlap,
+    )
+
+    d = _stage(spark, texts)
+    got = {
+        r.doc_id: (r.split, r.n_grams, r.n_hit, r.is_contaminated)
+        for r in contamination_ngram_overlap(spark, d).collect()
+    }
+    grams = {}
+    split = {}
+    for i, t in enumerate(texts):
+        ws = _toks(t)
+        grams[i] = {
+            _key(" ".join(ws[j : j + NGRAM_N]))
+            for j in range(len(ws) - NGRAM_N + 1)
+        }
+        b = _bucket(i)
+        split[i] = "train" if b < 80 else ("val" if b < 90 else "test")
+    train = set().union(
+        *(grams[i] for i in grams if split[i] == "train"), set()
+    )
+    evals = {i for i in grams if split[i] != "train"}
+    assert set(got) == evals
+    for i in evals:
+        hit = len(grams[i] & train)
+        expect = (split[i], len(grams[i]), hit, hit > 0)
+        assert got[i] == expect, (i, texts, got[i], expect)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from(list("ab1.@+- xyz")), max_size=60
+    )
+)
+def test_redact_matches_python_re(spark, text):
+    import re
+
+    from projetbigdata_spark.operators.curation import (
+        EMAIL_RE,
+        IP_RE,
+        PHONE_RE,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(redact_pii(F.col("text")).alias("r")).first().r
+    expect = re.sub(
+        IP_RE,
+        "<IP>",
+        re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", text)),
+    )
+    assert got == expect, (text, got, expect)
