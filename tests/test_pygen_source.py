@@ -101,3 +101,41 @@ def test_corpusgen_feeds_registered_operators(spark):
     queries, _ = registry.collect()
     out = queries["dedup_exact"](spark, d)
     assert out.count() == 400
+
+
+def test_corpusgen_stream_through_ingest_dedup(spark, tmp_path):
+    """Connector × curation composition: stream the corpusgen source
+    through the foreachBatch ingest-dedup job against a corpus staged
+    from the SAME generator — every streamed doc is byte-identical to
+    its corpus twin (same seed), so every doc carrying a signature
+    must come back is_dup with itself as the best match."""
+    from projetbigdata_spark.operators.dedup import signatures_of
+    from projetbigdata_spark.streaming.jobs import incremental_dedup_stream
+
+    s = _registered(spark)
+    corpus = (
+        s.read.format("corpusgen").option("rows", 200).option("seed", 7)
+        .load().select("doc_id", "text")
+    )
+    corpus_sigs = signatures_of(corpus).localCheckpoint()
+
+    stream = (
+        s.readStream.format("corpusgen")
+        .option("rows", 200)
+        .option("rows_per_batch", 80)
+        .option("seed", 7)
+        .load()
+        .select("doc_id", "text")
+    )
+    out_dir = str(tmp_path / "verdicts")
+    q = incremental_dedup_stream(stream, corpus_sigs, out_dir).start()
+    q.awaitTermination(300)
+
+    verdicts = spark.read.parquet(out_dir)
+    assert verdicts.count() == 200  # anchored: every doc has a verdict
+    signed = verdicts.where(F.col("best_match").isNotNull())
+    assert signed.count() > 0
+    wrong = signed.where(
+        (~F.col("is_dup")) | (F.col("best_match") != F.col("doc_id"))
+    )
+    assert wrong.count() == 0
