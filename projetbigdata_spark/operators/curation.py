@@ -61,6 +61,24 @@ def _split_col() -> Column:
     )
 
 
+def _spread_input(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rebalance a scan whose partition count is below the cluster's
+    parallelism. Scan parallelism is bounded by input splits; when the
+    downstream projection costs ~10× the scan (tokenize → n-gram →
+    md5 per gram), a corpus in a handful of files serializes the
+    expensive part no matter how many cores exist — measured 11.8s →
+    task-parallel on sf0.1's single ~1.5 MB documents file, and a
+    1000-executor cluster reading a few consolidated files hits the
+    identical wall. The repartition shuffles only the raw ~300 B/doc
+    text, far cheaper than the projection it unlocks; when the input
+    already has enough splits (the 100 TB case) it's skipped
+    entirely."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-eval-document n-gram decontamination score: the fraction of
     the doc's distinct 5-grams that occur in ANY train-split document.
@@ -86,7 +104,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the cheap map-side part of the plan — the right trade at
     100 TB."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
     gkeys = F.array_distinct(
         F.transform(
             ngrams(tokenize("text"), NGRAM_N), lambda g: _gram_key(g)
@@ -201,7 +219,7 @@ def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the span key; one groupBy(doc); anchor join resurfaces short docs
     with n_spans=0."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
     skeys = F.array_distinct(
         F.transform(
             ngrams(tokenize("text"), SPAN_K), lambda g: _gram_key(g)
