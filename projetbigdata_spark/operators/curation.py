@@ -72,7 +72,12 @@ def _spread_input(spark: SparkSession, df: DataFrame) -> DataFrame:
     identical wall. The repartition shuffles only the raw ~300 B/doc
     text, far cheaper than the projection it unlocks; when the input
     already has enough splits (the 100 TB case) it's skipped
-    entirely."""
+    entirely.
+
+    Conditional variant of sources/catalog.load_documents_parallel
+    (which always repartitions, trading one exchange for document-size
+    skew evening); here the gram projection dominates so the exchange
+    is only paid when parallelism is actually missing."""
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
