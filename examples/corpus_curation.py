@@ -50,7 +50,7 @@ from projetbigdata_spark.operators.packing import (  # noqa: E402
 from projetbigdata_spark.operators.repetition import (  # noqa: E402
     text_repetition_scores,
 )
-from projetbigdata_spark.operators.sampling import _hash_bucket  # noqa: E402
+from projetbigdata_spark.operators.sampling import split_col  # noqa: E402
 from projetbigdata_spark.operators.textstats import (  # noqa: E402
     text_quality_scores,
 )
@@ -115,12 +115,9 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = kept.join(losers, "doc_id", "left_anti")
 
-    # 4. deterministic split assignment (80/10/10 by md5 bucket)
-    bucket = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
-    kept = kept.withColumn("split", split)
+    # 4. deterministic split assignment (80/10/10 by md5 bucket —
+    # the shared split_col definition, so step 4b can never drift)
+    kept = kept.withColumn("split", split_col())
 
     # 4b. eval decontamination — drop val/test survivors whose n-gram
     # overlap with train exceeds the ceiling (a contaminated eval doc

@@ -52,13 +52,12 @@ def _gram_key(gram: Column) -> Column:
 
 
 def _split_col() -> Column:
-    """The deterministic md5-bucket split shared with
-    split_assign_documents (operators/sampling.py) — doc membership
-    never moves between runs or engines."""
-    b = _hash_bucket(F.col("doc_id"))
-    return (
-        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-    )
+    """The deterministic md5-bucket split — the ONE definition in
+    operators/sampling.split_col, so decontamination can never drift
+    from the assigned splits."""
+    from projetbigdata_spark.operators.sampling import split_col
+
+    return split_col()
 
 
 def _spread_input(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -460,7 +459,12 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the scrubbed string. Zero exchanges — one codegen'd projection
     pass, the shape this runs as over 100 TB of raw logs."""
     tune(spark)
-    ev = load_table(spark, sf_dir, "events")
+    from projetbigdata_spark.sources.catalog import load_events
+
+    # load_events, not load_table: a TIMESTAMP(NANOS) fixture fails
+    # footer conversion at read time even though this query never
+    # touches ts — every events consumer goes through the probe
+    ev = load_events(spark, sf_dir)
     contact = F.concat(
         F.lit("user"),
         F.col("user_id").cast("string"),

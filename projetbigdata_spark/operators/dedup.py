@@ -795,15 +795,11 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     match, so the clean set is auditable, not implied — including docs
     too short to carry a minhash signature (anchored on membership,
     not the signature frame, matching the oracle's FROM membership)."""
-    from projetbigdata_spark.operators.sampling import _hash_bucket
+    from projetbigdata_spark.operators.sampling import split_col
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    bucket = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
-    membership = docs.select("doc_id", split.alias("split"))
+    membership = docs.select("doc_id", split_col().alias("split"))
     sigs = _signatures(spark, sf_dir).localCheckpoint()
     sigs_m = sigs.join(membership, "doc_id")
     eval_sigs = sigs_m.where(F.col("split") != "train").drop("split")

@@ -532,7 +532,13 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     All whole-stage codegen; two hash aggs = two exchanges."""
     tune(spark)
     e = load_events(spark, sf_dir)
-    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # a null event_type would be a legal group key but an ILLEGAL map
+    # key (Spark NULL_MAP_KEY throws); coalesce to a sentinel in BOTH
+    # engines so failed-ingest rows survive instead of crashing
+    evt = F.coalesce(F.col("event_type"), F.lit("(null)"))
+    per = e.groupBy("user_id", evt.alias("event_type")).agg(
+        F.count("*").alias("n")
+    )
     m = per.groupBy("user_id").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("event_type", "n")))
@@ -554,8 +560,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_FUNCS_SQL = """
 WITH per AS (
-    SELECT user_id, event_type, count(*) AS n
-    FROM events GROUP BY user_id, event_type
+    SELECT user_id, coalesce(event_type, '(null)') AS event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
 )
 SELECT user_id,
        CAST(count(*) AS INT) AS n_types,

@@ -60,6 +60,16 @@ WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4) AS BIGINT) % 100
 """
 
 
+def split_col(key: Column | None = None) -> Column:
+    """The canonical 80/10/10 train/val/test expression over the md5
+    buckets — THE single definition every consumer must share
+    (split_assign_documents, dedup_contamination, the curation tier,
+    examples/corpus_curation.py): a drifted copy silently
+    decontaminates against the wrong split."""
+    b = _hash_bucket(key if key is not None else F.col("doc_id"))
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
 def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment from the same hash buckets
     (80/10/10) + per-split profile. The split column is a pure
@@ -68,10 +78,7 @@ def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing document between splits."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    bucket = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    split = split_col()
     return (
         docs.withColumn("split", split)
         .groupBy("split")

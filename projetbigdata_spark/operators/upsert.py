@@ -137,8 +137,11 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next and doubles the shuffle."""
     tune(spark)
     e = load_events(spark, sf_dir)
+    # asc_nulls_last explicitly: Spark defaults ASC NULLS FIRST while
+    # DuckDB defaults NULLS LAST — a null ts would silently reorder
+    # every version of its key between the engines
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
+        F.asc_nulls_last("ts"), "event_id"
     )
     return e.select(
         "user_id",
@@ -161,7 +164,8 @@ SELECT user_id, event_type,
        CAST(row_number() OVER w AS INT) AS version_n,
        lead(ts) OVER w IS NULL AS is_current
 FROM events
-WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY ts NULLS LAST, event_id)
 """
 
 

@@ -160,6 +160,8 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "dedup_embedding_cosine",
         "text_redact_pii",
         "events_click_attribution",
+        "map_functions",   # null event_type must coalesce, not crash
+        "scd2_history",    # pinned NULLS LAST ordering
     ],
 )
 def test_runs_with_null_events_and_embeddings(

@@ -55,7 +55,7 @@ def _value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def _check_one(spark, con, name, fn, oracle: str | None, sf: str) -> dict:
+def _check_one(spark, con, fn, oracle: str | None, sf: str) -> dict:
     """One full query-vs-oracle comparison; raises on any failure to
     produce the Spark frame so the caller can retry."""
     rec: dict = {}
@@ -122,7 +122,7 @@ def main() -> int:
             continue
         rec: dict = {}
         try:
-            rec = _check_one(spark, con, name, fn, oracles.get(name), args.sf)
+            rec = _check_one(spark, con, fn, oracles.get(name), args.sf)
         except Exception as e:  # noqa: BLE001
             # retry once: one of seven full r3 driver-sim runs reported
             # a single unreproducible failure right after a heavy pytest
@@ -132,7 +132,7 @@ def main() -> int:
             first_err = f"{type(e).__name__}: {e}"
             try:
                 rec = _check_one(
-                    spark, con, name, fn, oracles.get(name), args.sf)
+                    spark, con, fn, oracles.get(name), args.sf)
                 rec["first_attempt_err"] = first_err
                 print(f"{name:40s} RETRY (first attempt: {first_err[:80]})")
             except Exception as e2:  # noqa: BLE001
