@@ -302,7 +302,70 @@ GROUP BY 1
 """
 
 
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of agg_pivot and the last
+    relational verb the surface was missing: a wide per-nation metrics
+    row (order count, revenue cents, max single order) melted to long
+    (nation, metric, value) form, the shape metric stores and plotting
+    layers want. Values stay exact BIGINTs (revenue in cents via the
+    decimal fixture column — no float paths), so the long frame
+    hash-matches DuckDB's UNPIVOT exactly. Plan: one broadcast dim
+    join + one hash agg, then Expand (3 rows per nation) — no extra
+    shuffle for the unpivot itself."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    wide = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            # floor(x*100 + 0.5): double->bigint casts TRUNCATE in
+            # Spark but ROUND in DuckDB — the explicit-floor spelling
+            # (same as embed_quantize_int8) is identical in both
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("revenue_cents"),
+            F.max(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("max_order_cents"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_orders", "revenue_cents", "max_order_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_order_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, revenue_cents, max_order_cents))
+"""
+
+
 QUERIES = {
+    "unpivot_nation_metrics": unpivot_nation_metrics,
     "agg_histogram_bins": agg_histogram_bins,
     "q13_customer_distribution": q13_customer_distribution,
     "q16_supplier_breadth": q16_supplier_breadth,
@@ -312,6 +375,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "unpivot_nation_metrics": UNPIVOT_SQL,
     "agg_histogram_bins": HISTOGRAM_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q16_supplier_breadth": Q16_SQL,
