@@ -70,8 +70,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "explain":
         df.explain("formatted")
     else:
+        # cache so show + count execute the pipeline once, not twice
+        # (minutes apart for the iterative dedup queries at soak)
+        df = df.cache()
         df.show(args.limit, truncate=False)
         print(f"({df.count()} rows total)")
+        df.unpersist()
     spark.stop()
     return 0
 

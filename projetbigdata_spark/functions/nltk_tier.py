@@ -107,11 +107,19 @@ def nltk_pos_tags_udf(tagset: str = "universal"):
 
 def pos_tags(tokens_col: str | Column, tagset: str = "universal") -> Column:
     """Best-available POS tags for a tokens array column: real NLTK
-    perceptron when importable, else the deterministic rule tagger
-    (same universal tagset, divergence documented in features.py)."""
+    perceptron when importable, else the deterministic rule tagger.
+    The fallback exists only for the universal tagset (the one the
+    reference uses, script4_bis.py:49) — asking for another tagset
+    without NLTK raises instead of silently answering in the wrong
+    tagset (review finding r3)."""
     col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     if NLTK_AVAILABLE:
-        return nltk_pos_tags_udf()(col)
+        return nltk_pos_tags_udf(tagset=tagset)(col)
+    if tagset != "universal":
+        raise NotImplementedError(
+            f"tagset={tagset!r} needs NLTK; the rule fallback only "
+            "implements the universal tagset"
+        )
     return rule_pos_tags_universal(col)
 
 

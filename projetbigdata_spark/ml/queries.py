@@ -236,7 +236,15 @@ def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(ngrams(tokenize("text"), 2)).alias("shingles"),
     ).where(F.size("shingles") > 0)  # MinHashLSH needs >= 1 nonzero entry
     cv = CountVectorizer(
-        inputCol="shingles", outputCol="features", binary=True
+        inputCol="shingles",
+        outputCol="features",
+        binary=True,
+        # default vocabSize (2^18) silently truncates the shingle
+        # vocabulary past soak scale, breaking the documented parity
+        # with the expression tier's full shingle universe — raise the
+        # ceiling well past any tested corpus (no-silent-caps policy;
+        # review finding r3)
+        vocabSize=1 << 24,
     ).fit(grams)
     vecs = cv.transform(grams).select("doc_id", "features")
     model = MinHashLSH(

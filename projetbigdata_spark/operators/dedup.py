@@ -121,7 +121,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,6 +141,12 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _POSTINGS_CACHE:
         from pyspark import StorageLevel
 
+        # evict entries from other (stopped) applications: their
+        # DataFrames are bound to dead contexts and can never be
+        # served again, so the cache would otherwise only grow across
+        # session restarts in one process (review finding r3)
+        for stale in [k for k in _POSTINGS_CACHE if k[0] != key[0]]:
+            del _POSTINGS_CACHE[stale]
         _POSTINGS_CACHE[key] = (
             _shingles(spark, sf_dir)
             .select("doc_id", F.xxhash64("sh").alias("h"))
@@ -193,12 +199,17 @@ def suggest_df_cap(
     )
     total = sum(r.n_postings for r in hist)
     cum = 0
-    cap_bucket = hist[0].df_bucket_pow2 if hist else 1
+    # floor at bucket 2 (df <= 3): the index keeps 2 <= df <= cap, so
+    # any smaller cap filters the index empty and the dedup silently
+    # reports zero pairs — even when the first bucket alone already
+    # blows the budget (head-heavy corpora), a minimal usable index
+    # beats an empty one (review finding r3)
+    cap_bucket = 2
     for r in hist:
         if (cum + r.n_postings) > posting_budget * total:
             break
         cum += r.n_postings
-        cap_bucket = r.df_bucket_pow2
+        cap_bucket = max(cap_bucket, r.df_bucket_pow2)
     return (1 << cap_bucket) - 1  # bucket b holds df in [2^(b-1), 2^b - 1]
 
 

@@ -264,8 +264,10 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth = (
         first.crossJoin(F.broadcast(mx))
         .select(
-            ((F.col("first_doc") * 10) / (F.col("max_doc") + 1))
-            .cast("int")
+            # integer div, not float /: a double quotient 1 ulp under
+            # an integer truncates differently than the oracle's floor
+            # division once doc_ids get large (review finding r3)
+            F.expr("CAST((first_doc * 10) div (max_doc + 1) AS INT)")
             .alias("decile")
         )
         .groupBy("decile")

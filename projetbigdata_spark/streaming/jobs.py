@@ -70,7 +70,19 @@ def open_events_stream(spark: SparkSession, source: dict) -> DataFrame:
                     ts_physical = (
                         spark.read.parquet(source["path"]).schema["ts"].dataType
                     )
+                    if not isinstance(ts_physical, T.LongType):
+                        # first probe failed for a non-nanos reason
+                        # (transient IO, partial write): the files are
+                        # MICROS — revert the legacy conf so the rest
+                        # of the session reads timestamps normally
+                        spark.conf.unset(
+                            "spark.sql.legacy.parquet.nanosAsLong"
+                        )
                 except Exception:  # genuinely empty/missing dir
+                    # assume the nanos layout the fixtures use; the
+                    # conf DELIBERATELY stays set — the stream we
+                    # return reads future files under it (a bigint ts
+                    # schema on NANOS parquet needs it per-batch)
                     ts_physical = T.LongType()
         nanos = isinstance(ts_physical, T.LongType)
         # rebuild the declared schema field-by-field from the observed
