@@ -486,3 +486,71 @@ def test_transform_with_state_construction_or_totals(spark, events_dir):
         assert bad.count() == 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-resume with a checkpointLocation: a file-source stream
+    drained in two separate query incarnations must deliver every
+    event exactly once into the parquet sink — the offset log replays
+    nothing and skips nothing. This is THE production property that
+    distinguishes a checkpointed stream from a re-run batch job."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.sources.catalog import load_events
+    from projetbigdata_spark.streaming.jobs import open_events_stream
+
+    # stage the corpus as 4 separate files so the offset log has
+    # several entries to remember across the restart
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    ev = load_events(spark, SF_SMOKE)
+    ev.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "staged"))
+    n = 0
+    for i, part in enumerate(
+        sorted((tmp_path / "staged").glob("part-*.parquet"))
+    ):
+        shutil.copy(part, src / f"f{i}.parquet")
+        n += 1
+    assert n == 4
+
+    def run_once(max_files):
+        stream = open_events_stream(
+            spark,
+            {"kind": "files", "path": str(src),
+             "max_files_per_trigger": max_files},
+        ).select("event_id", "user_id", "value")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # incarnation 1 drains everything; incarnation 2 restarts from the
+    # SAME checkpoint and must add nothing (offsets already committed)
+    run_once(1)
+    total = load_events(spark, SF_SMOKE).count()
+    first = spark.read.parquet(sink)
+    assert first.count() == total
+    run_once(2)
+    out = spark.read.parquet(sink)
+    assert out.count() == total  # no replays after restart
+    assert out.select("event_id").distinct().count() == total
+    # and a NEW file arriving after the restart is picked up once
+    shutil.copy(src / "f0.parquet", src / "f4_newarrival.parquet")
+    run_once(2)
+    dup_ids = spark.read.parquet(sink).groupBy("event_id").count()
+    # the new file replays f0's events: each of those ids now appears
+    # exactly twice (once per source file), everything else once
+    replayed = dup_ids.where(F.col("count") == 2).count()
+    once = dup_ids.where(F.col("count") == 1).count()
+    f0_rows = spark.read.parquet(str(src / "f0.parquet")).count()
+    assert replayed == f0_rows
+    assert once == total - f0_rows
+    assert dup_ids.where(F.col("count") > 2).count() == 0
