@@ -554,3 +554,42 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert replayed == f0_rows
     assert once == total - f0_rows
     assert dup_ids.where(F.col("count") > 2).count() == 0
+
+
+def test_rocksdb_state_store_session_windows(spark, events_dir):
+    """The RocksDB state-store provider — the backend you actually run
+    at 100 TB state (bounded executor heap, incremental checkpoints) —
+    must produce the identical session-window result as the default
+    HDFS-backed store: drain the session stream under RocksDB and
+    check it against the same watermark-filtered batch twin the
+    default-provider test uses."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.sources.catalog import load_events
+    from projetbigdata_spark.streaming.events_batch import events_session_30m
+    from projetbigdata_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        session_windows_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = session_windows_stream(read_events_stream(spark, events_dir))
+        run_to_memory_sink(stream, "rocksdb_session_sink")
+        streamed = spark.table("rocksdb_session_sink")
+
+        max_ts = load_events(spark, SF_SMOKE).agg(F.max("ts")).first()[0]
+        batch = events_session_30m(spark, SF_SMOKE).where(
+            F.col("session_end")
+            < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        )
+        assert streamed.count() == batch.count() > 0
+        assert streamed.subtract(batch).count() == 0
+        assert batch.subtract(streamed).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
