@@ -87,8 +87,13 @@ def events_sliding_15m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window starts to the epoch, i.e. start = floor(epoch/300)*300 - j*300.
 SLIDING_SQL = """
 WITH exploded AS (
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - j * 300)
-               AS TIMESTAMP) AS window_start,
+    -- epoch + interval arithmetic, NOT to_timestamp: to_timestamp
+    -- returns TIMESTAMPTZ, and casting that to TIMESTAMP goes through
+    -- DuckDB's SESSION TimeZone — the oracle would shift by the host
+    -- machine's UTC offset (review finding r3)
+    SELECT TIMESTAMP '1970-01-01'
+               + to_seconds(CAST(floor(epoch(ts) / 300) * 300 - j * 300
+                                 AS BIGINT)) AS window_start,
            value
     FROM events
     CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
@@ -129,19 +134,25 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Break a session when the gap is >= 30min (Spark merges only events
-# strictly inside the gap window); session_end = last ts + 30min.
+# Break a session when the gap is STRICTLY > 30min: Spark's
+# session_window still merges an event exactly gap minutes after the
+# last one (a 00:00/00:30 pair is ONE session — verified empirically),
+# the same boundary sessionize.py uses. ORDER BYs carry event_id so
+# duplicate timestamps at a boundary can't land in different sessions
+# between the two independent sorts (review findings r3).
+# session_end = last ts + 30min.
 SESSION_SQL = """
 WITH marked AS (
-    SELECT user_id, ts, value,
-           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                     >= INTERVAL 30 MINUTE
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS brk
     FROM events
 ),
 numbered AS (
     SELECT user_id, ts, value,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
     FROM marked
 )
@@ -160,7 +171,7 @@ def events_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the deterministic spelling of streaming
     `dropDuplicates(["user_id","event_type"])` (which keeps an
     arbitrary row in batch; we pin first-by-ts so it's oracle-checkable
-    and matches what a watermare streaming dedup emits)."""
+    and matches what a watermarked streaming dedup emits)."""
     tune(spark)
     e = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")

@@ -593,3 +593,46 @@ def test_rocksdb_state_store_session_windows(spark, events_dir):
         assert batch.subtract(streamed).count() == 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Spark's session_window MERGES an event exactly gap minutes
+    after the previous one; the SESSION_SQL oracle must agree (it
+    broke sessions at >= until the r3 review — latent because the
+    fixtures' microsecond timestamps never land on an exact 30-min
+    gap). Pin it with a constructed boundary corpus through BOTH
+    engines."""
+    import duckdb
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from projetbigdata_spark.streaming.events_batch import (
+        SESSION_SQL,
+        events_session_30m,
+    )
+
+    rows = [
+        Row(event_id=0, ts="2024-01-01 00:00:00", user_id=1,
+            event_type="click", value=1.0, props="{}"),
+        Row(event_id=1, ts="2024-01-01 00:30:00", user_id=1,
+            event_type="click", value=1.0, props="{}"),   # exact gap: merge
+        Row(event_id=2, ts="2024-01-01 01:00:00.000001", user_id=1,
+            event_type="click", value=1.0, props="{}"),   # 1µs over: break
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = events_session_30m(spark, d).collect()
+    assert len(got) == 2
+    assert sorted(r.n_events for r in got) == [1, 2]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(SESSION_SQL).df()
+    assert len(oracle) == 2
+    assert sorted(oracle.n_events) == [1, 2]
