@@ -51,15 +51,12 @@ def tokenize(col: Column | str) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
-def remove_stopwords(tokens: Column) -> Column:
-    """F1 stopword filter (transformers.py:34-36) on an array column via
-    a higher-order function — no UDF, no shuffle."""
-    return F.array_except(tokens, F.array(*[F.lit(w) for w in STOPWORDS]))
-
-
 def filter_stopwords(tokens: Column) -> Column:
-    """Like remove_stopwords but preserves duplicates + order (needed for
-    term-frequency semantics; array_except dedups)."""
+    """F1 stopword filter (transformers.py:34-36) on an array column
+    via a higher-order function — no UDF, no shuffle. Preserves
+    duplicates + order, which term-frequency semantics require; an
+    array_except spelling would dedup and reorder (the earlier
+    remove_stopwords variant was deleted for exactly that footgun)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
 

@@ -56,7 +56,17 @@ def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("value"), 6).alias("geomean_value")
     )
     n = e.groupBy("event_type").agg(F.count("*").alias("n"))
-    return g.join(n, "event_type")
+    # eqNullSafe, not join-on-name: both groupBys emit a NULL-key group
+    # for failed-ingest rows, and null-rejecting equality would drop it
+    # here while the expression twin and the oracle keep it
+    return (
+        g.alias("g")
+        .join(
+            n.alias("n"),
+            F.col("g.event_type").eqNullSafe(F.col("n.event_type")),
+        )
+        .select("g.event_type", "g.geomean_value", "n.n")
+    )
 
 
 def agg_geomean_expr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,10 +37,19 @@ def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     class ChunkTokens:
         """UDTF: (doc_id, text) -> rows (doc_id, chunk_idx, chunk,
         n_tokens). Whitespace tokenization identical to
-        functions.text.tokenize."""
+        functions.text.tokenize: ASCII \\s+ (re.ASCII pins Python's \\s
+        to Java/RE2's default — bare str.split() would also break on
+        U+00A0/U+2028 and fork from the expression twin), NULL text
+        yields no chunks like the twin's empty token array."""
 
         def eval(self, doc_id: int, text: str):
-            toks = text.lower().split()
+            import re
+
+            toks = [
+                t
+                for t in re.split(r"\s+", (text or "").lower(), flags=re.ASCII)
+                if t
+            ]
             for i in range(0, len(toks), chunk_tokens):
                 window = toks[i : i + chunk_tokens]
                 yield doc_id, i // chunk_tokens, " ".join(window), len(window)

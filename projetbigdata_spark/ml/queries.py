@@ -49,13 +49,22 @@ def ml_chisq_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cells = joined.select("token", "a", "b", "n1", "n0", c, d)
     n = F.col("n1") + F.col("n0")
     det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    # factors cast to double BEFORE multiplying: the bigint product
+    # reaches n^4 and overflows past ~55k docs under ANSI mode
     denom = (
-        (F.col("a") + F.col("b"))
-        * (F.col("c") + F.col("d"))
-        * (F.col("a") + F.col("c"))
-        * (F.col("b") + F.col("d"))
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
     )
-    chi2 = F.round((n.cast("double") * det * det) / denom, 6)
+    # a token present in EVERY doc has c=d=0 -> 0/0 = NaN, and NaN
+    # sorts ABOVE real values in DESC order — define it as chi2 = 0
+    # (zero information), in both engines (review finding r3)
+    chi2 = F.round(
+        F.when(denom > 0, (n.cast("double") * det * det) / denom)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
     from pyspark.sql.window import Window
 
     # Unpartitioned window = single-reducer sort — acceptable ONLY
@@ -102,8 +111,14 @@ cells AS (
 ),
 scored AS (
     SELECT token, a, b,
-           round(CAST(n1 + n0 AS DOUBLE) * (a * d - b * c) * (a * d - b * c)
-                 / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+           round(CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                           > 0
+                 THEN CAST(n1 + n0 AS DOUBLE)
+                      * (a * d - b * c) * (a * d - b * c)
+                      / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                 ELSE 0.0 END, 6) AS chi2
     FROM cells
 )
 SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, chi2,
@@ -187,8 +202,17 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projetbigdata_spark.sources.catalog import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        # failed-ingest rows carry NULL vectors; KMeans.fit throws on
+        # a null features vector, so exclude them from training
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.col("embedding").cast("array<double>")
+            ).alias("features"),
+        )
     )
     model = KMeans(k=8, seed=42, maxIter=10).fit(emb)
     assigned = model.transform(emb)

@@ -49,8 +49,15 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
-    """Attach the binary media column (fixture: utf-8 text bytes)."""
-    return docs.withColumn("payload", F.encode("text", "utf-8"))
+    """Attach the binary media column (fixture: utf-8 text bytes).
+    NULL text (failed media fetch) becomes an EMPTY payload, not a
+    null — every downstream pandas kernel (len / slicing /
+    np.frombuffer) would crash on None, and the robustness contract is
+    that degenerate rows survive with degenerate values rather than
+    vanish or kill the job (same rule as content_dedup's guard)."""
+    return docs.withColumn(
+        "payload", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+    )
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,7 +105,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
         raw.schema  # force footer read under the current conf
-    except Exception:  # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+    except Exception as e:
+        # only the TIMESTAMP(NANOS) footer failure earns the legacy
+        # conf; a missing path / bad parquet must surface as itself,
+        # not as a session-global conf flip plus a second confusing
+        # error (review finding r3)
+        if "PARQUET_TYPE_ILLEGAL" not in str(e) and "NANOS" not in str(e):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = raw.schema["ts"].dataType

@@ -26,9 +26,12 @@ def load_labeled_textdir(spark: SparkSession, path: str) -> DataFrame:
         F.col("value").alias("review"),
         F.input_file_name().alias("_file"),
     )
-    label = F.when(F.col("_file").contains("/pos/"), F.lit(1.0)).otherwise(
-        F.lit(0.0)
-    )
+    # match the segment immediately preceding the FILENAME, not a
+    # substring of the whole URI — a base path like /srv/pos/imdb
+    # would otherwise label every neg document positive
+    label = F.when(
+        F.col("_file").rlike("/pos/[^/]+$"), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
     return raw.select("review", label.alias("label"))
 
 

@@ -49,6 +49,9 @@ PER_DOC_KEEPERS = [
     "text_unigram_freq_score",
     "dedup_keep_canonical",
     "dedup_span_profile",
+    # null text -> EMPTY payload (with_payload guard): the row keeps
+    # n_bytes=0 / first_byte=-1 instead of crashing the pandas kernel
+    "multimodal_meta",
 ]
 
 EXPLODE_DROPPERS = [
