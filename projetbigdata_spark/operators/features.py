@@ -133,7 +133,9 @@ def label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("lang"))
+    # asc_nulls_last: a NULL-lang group tying on freq would rank first
+    # in Spark (NULLS FIRST default) but last in DuckDB
+    w = Window.orderBy(F.col("freq").desc(), F.asc_nulls_last("lang"))
     idx = counts.withColumn(
         "lang_index", (F.row_number().over(w) - 1).cast("double")
     ).select("lang", "lang_index")
@@ -146,7 +148,8 @@ LABEL_INDEX_SQL = """
 WITH counts AS (SELECT lang, count(*) AS freq FROM documents GROUP BY lang),
 idx AS (
     SELECT lang,
-           CAST(row_number() OVER (ORDER BY freq DESC, lang) - 1 AS DOUBLE)
+           CAST(row_number() OVER (ORDER BY freq DESC, lang NULLS LAST) - 1
+                AS DOUBLE)
                AS lang_index
     FROM counts
 )
@@ -251,19 +254,27 @@ def embed_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     array), all within codegen. Zero-vector guard: norm 0 -> 0s."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    # single-reference rule: the whole normalize-then-explode is ONE
-    # expression feeding ONE generator (cf. dedup._shingles).
-    normalized = F.expr(
-        """
-        transform(
-            embedding,
-            x -> CAST(x AS DOUBLE) /
-                 sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
-                                (acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))
-        )
-        """
+    # norm as a named column so the zero-vector guard references it
+    # once (an all-zero vector must yield 0s, not 0/0 = NaN — review
+    # finding r3); still one generator feeding posexplode.
+    with_norm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, y: acc + y.cast("double") * y.cast("double"),
+            )
+        ).alias("norm"),
     )
-    return emb.select(
+    normalized = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(
+            F.col("norm") > 0, x.cast("double") / F.col("norm")
+        ).otherwise(F.lit(0.0)),
+    )
+    return with_norm.select(
         "vec_id", F.posexplode(normalized).alias("dim", "val")
     ).select("vec_id", "dim", F.round("val", 6).alias("val"))
 
@@ -275,7 +286,8 @@ WITH v AS (
 n AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS norm FROM v
 )
-SELECT vec_id, dim - 1 AS dim, round(x / norm, 6) AS val
+SELECT vec_id, dim - 1 AS dim,
+       round(CASE WHEN norm > 0 THEN x / norm ELSE 0.0 END, 6) AS val
 FROM n, LATERAL (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS dim)
 """
 

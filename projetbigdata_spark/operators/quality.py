@@ -78,8 +78,12 @@ WITH base AS (
     FROM orders
 ),
 orphans AS (
-    SELECT count(*) AS n_orphans FROM orders
-    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    -- NOT EXISTS, not NOT IN: NULL keys must count as orphans (the
+    -- left_anti semantics the Spark side uses), and a NULL c_custkey
+    -- must not blank the whole check
+    SELECT count(*) AS n_orphans FROM orders o
+    WHERE NOT EXISTS
+          (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
 )
 SELECT 'orderkey_unique' AS constraint, n_keys AS observed,
        n_rows - n_keys AS violations FROM base

@@ -86,9 +86,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(
-            orders.join(
-                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
-            ),
+            # no broadcast HINT on customer: it is fact-scale (SF x
+            # 150k rows) — the module's own dim rule excludes it. At
+            # small sf the statistics-based planner still broadcasts
+            # it under the threshold; at scale AQE picks SMJ instead
+            # of OOMing on a forced multi-TB broadcast build.
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
@@ -138,7 +141,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer and supplier must be in the same nation (TPC-H Q5 semantics)
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # fact-scale: no hint
         .join(
             F.broadcast(sup),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -214,10 +217,14 @@ def join_anti_customers_without_urgent_orders(
 
 ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal
-FROM customer
-WHERE c_custkey NOT IN
-      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+FROM customer c
+WHERE NOT EXISTS
+      (SELECT 1 FROM orders
+       WHERE o_orderpriority = '1-URGENT' AND o_custkey = c.c_custkey)
 """
+# NOT EXISTS, not NOT IN: a single NULL key on either side makes
+# NOT IN return zero rows while Spark's left_anti keeps every
+# non-matching row — NOT EXISTS shares left_anti's null semantics.
 
 
 # --------------------------------------------------------------------------

@@ -75,7 +75,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # fact-scale: no hint
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -161,7 +161,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # fact-scale: no hint
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -241,7 +241,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # fact-scale: no hint
         .select(
             "c_custkey",
             "c_name",
@@ -400,16 +400,22 @@ ON cnk = snk
 def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     e = load_events(spark, sf_dir)
+    # no `value` column: it was carried through the union/shuffle/sort
+    # but never consumed — dead shuffle width at 10^11 rows.
     tagged = e.where(F.col("event_type").isin("purchase", "click")).select(
         "user_id",
         "ts",
         "event_id",
-        "value",
         F.when(F.col("event_type") == "click", 0).otherwise(1).alias("type_rank"),
     )
+    # event_id tiebreak: two clicks at one (user_id, ts) made the
+    # matched click partition-order-dependent. The DuckDB ASOF oracle
+    # is itself ambiguous on such ties (no tiebreak syntax); fixtures
+    # are tie-free at every sf, and the Spark side is now deterministic
+    # by decree.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "type_rank")
+        .orderBy("ts", "type_rank", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_info = F.when(

@@ -149,7 +149,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))  # fact-scale: no hint
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("s_natkey"))
         .select(
@@ -321,7 +321,7 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     wide = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)  # fact-scale: no hint
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
