@@ -216,7 +216,16 @@ def suggest_df_cap(
 def dedup_jaccard_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:
-    """Near-dup pairs by exact bigram-shingle Jaccard >= 0.3.
+    """Near-dup pairs by df-CAPPED bigram-shingle Jaccard >= 0.3.
+
+    The emitted `jaccard` is a LOWER BOUND on the true shingle
+    Jaccard, not the exact value: the intersection counts only
+    shingles with 2 <= df <= cap (the index drops ubiquitous
+    shingles), while the union uses full per-doc sizes — a pair whose
+    overlap is mostly hot shingles scores low here by design (the
+    oracle mirrors the same formula). Consumers needing the EXACT
+    full-posting Jaccard use dedup_jaccard_verified, which recomputes
+    it on LSH candidates without the cap.
 
     Plan (one corpus scan via the persisted posting list):
       1. postings (doc_id, h): shingles hashed to 8-byte keys — strings
@@ -1058,9 +1067,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     da = docs.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
     db = docs.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
+    # no broadcast hints: docs is the CORPUS side (the r3 review
+    # caught the hints pointing at it — forcing a corpus broadcast is
+    # exactly the driver-OOM shape at scale); the near-dup pair set is
+    # the tiny side, and AQE broadcasts it on its own
     return (
-        pairs.join(F.broadcast(da), "vec_a")
-        .join(F.broadcast(db), "vec_b")
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
         .select(
             F.col("vec_a").alias("doc_a"),
             F.col("vec_b").alias("doc_b"),

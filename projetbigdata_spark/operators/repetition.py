@@ -39,8 +39,15 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar = toks.select(
         "doc_id",
         F.size("w").alias("n_tokens"),
+        # empty/whitespace-only doc: 0 tokens -> NULL fraction (the
+        # oracle's 0/0.0 is NULL too); an unguarded divide crashes
+        # under Spark 4's default ANSI mode (review finding r3)
         F.round(
-            1 - F.size(F.array_distinct("w")) / F.size("w"), 6
+            F.when(
+                F.size("w") > 0,
+                1 - F.size(F.array_distinct("w")) / F.size("w"),
+            ),
+            6,
         ).alias("dup_word_frac"),
     )
     bi = toks.select("doc_id", F.explode(ngrams(F.col("w"), 2)).alias("bigram"))

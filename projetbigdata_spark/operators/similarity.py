@@ -42,11 +42,16 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
+    """norm is NULL (not 0) for zero/empty vectors: every cosine
+    divides by it, and x/0 crashes under Spark 4's default ANSI mode
+    while the DuckDB oracles' x/0.0 yields NULL and drops the pair —
+    the NULL norm gives both engines that same drop semantics."""
     e = F.transform("embedding", lambda x: x.cast("double"))
+    n = F.sqrt(_dot(e, e))
     return df.select(
         "vec_id",
         e.alias("e"),
-        F.sqrt(_dot(e, e)).alias("norm"),
+        F.when(n > 0, n).alias("norm"),
     )
 
 
@@ -529,6 +534,24 @@ def _lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+_VEC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_micro_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted micro-unit vector table, keyed by (applicationId,
+    sf_dir) like dedup._POSTINGS_CACHE — a bare per-call persist()
+    leaked one cache entry per invocation (bench re-runs, multi-sf
+    test sessions) with nothing ever unpersisting it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VEC_CACHE:
+        for stale in [k for k in _VEC_CACHE if k[0] != key[0]]:
+            del _VEC_CACHE[stale]
+        _VEC_CACHE[key] = _micro_arr(
+            load_table(spark, sf_dir, "embeddings")
+        ).persist()
+    return _VEC_CACHE[key]
+
+
 def _seed_centroids(vec: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
     return vec.where(
         (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_LO + k)
@@ -613,8 +636,7 @@ def sim_ivf_topk(
     fraction fell 4x); the registered query keeps the fixture-tuned,
     oracle-checked k=16/nprobe=4."""
     tune(spark)
-    vec = _micro_arr(load_table(spark, sf_dir, "embeddings"))
-    vec.persist()  # reused by 3 assignments + 2 mean updates
+    vec = _cached_micro_arr(spark, sf_dir)  # reused by 3 assignments + 2 mean updates
 
     cents = _seed_centroids(vec, k)
     for _ in range(2):  # Lloyd iterations, unrolled in the oracle SQL
@@ -645,8 +667,7 @@ def sim_ivf_sampled_topk(
     is a pure modulus — no RNG — so the oracle unrolls to the same
     deterministic CTEs and the check stays value-exact."""
     tune(spark)
-    vec = _micro_arr(load_table(spark, sf_dir, "embeddings"))
-    vec.persist()  # final assignment + rerank reuse
+    vec = _cached_micro_arr(spark, sf_dir)  # final assignment + rerank reuse
     train = vec.where(F.col("vec_id") % IVF_SAMPLE_MOD == 0).localCheckpoint()
 
     cents = _seed_centroids(vec, k)

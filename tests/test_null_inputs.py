@@ -64,6 +64,9 @@ EXPLODE_DROPPERS = [
     # surface with n_grams=0; the anchor invariant itself is pinned in
     # test_curation_ops.py — here we assert it survives null text
     "contamination_ngram_overlap",
+    # empty text -> 0 tokens: dup_word_frac must go NULL, not
+    # DIVIDE_BY_ZERO under ANSI (review finding r3)
+    "text_repetition_scores",
 ]
 
 DEDUP_FAMILY = [
