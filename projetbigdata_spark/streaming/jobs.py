@@ -357,7 +357,10 @@ def running_totals_stream_tws(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
-            pass
+            """Mandatory StatefulProcessor teardown hook. Nothing to
+            release: the value-state handle is owned and closed by the
+            JVM state store, and this processor holds no Python-side
+            resources (no files, sockets, or executors)."""
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningTotals(),

@@ -103,3 +103,42 @@ def test_curation_accounting_and_determinism(spark):
         again.select("doc_id", "split", "pack_id")
     ).count() == 0
     out.unpersist()
+
+
+def test_registered_audit_matches_example_survivors(spark):
+    """The registered corpus_curate audit query (operators/curation.py)
+    and the example pipeline are the SAME composition: where(kept) must
+    reproduce the example's survivor doc set exactly, and the audit's
+    per-stage flags must be consistent with the final verdict."""
+    from projetbigdata_spark.operators.curation import corpus_curate
+
+    audit = corpus_curate(spark, SF_CHECK).cache()
+    example_docs = {
+        r.doc_id
+        for r in curation.curate(spark, SF_CHECK).select("doc_id").collect()
+    }
+    audit_docs = {
+        r.doc_id for r in audit.where("kept").select("doc_id").collect()
+    }
+    assert audit_docs == example_docs
+
+    # kept implies every stage flag; any failed stage implies not kept
+    assert (
+        audit.where(
+            F.col("kept")
+            & ~(
+                F.col("pass_quality")
+                & F.col("pass_repetition")
+                & F.col("is_exact_keeper")
+                & F.col("is_neardup_keeper")
+                & ~F.col("is_contaminated")
+            )
+        ).count()
+        == 0
+    )
+    # audit is full-corpus: one row per document
+    from projetbigdata_spark.sources.catalog import load_table
+
+    assert audit.count() == load_table(spark, SF_CHECK, "documents").count()
+    assert audit.select("doc_id").distinct().count() == audit.count()
+    audit.unpersist()
