@@ -687,8 +687,151 @@ LEFT JOIN cont ct USING (doc_id)
 """
 
 
+def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE (domain) curation telemetry — the frame behind
+    domain-level triage decisions in web-corpus pipelines (CCNet /
+    RefinedWeb drop or down-weight whole domains, not documents, when
+    a domain is mostly boilerplate): docs, token mass, language
+    spread, exact-duplicate rate, and the share of docs passing the
+    registered quality gate, one row per source.
+
+    All ratios are exact integer ppm (associative sums + one integral
+    divide), so the oracle hashes bit-identically. Scale posture: one
+    map-side token/flag projection + one hash-agg on the domain key —
+    domains are the natural partition of a web corpus, and the output
+    is |domains| rows (small); skewed mega-domains cost one hot
+    reducer for ONE row's partial-agg merge, not a fan-out."""
+    from projetbigdata_spark.operators.textstats import _SW_ARRAY
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5(F.lower("text")).alias("content_md5"),
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.size(toks) >= CURATE_MIN_TOKENS)
+            & (
+                F.size(
+                    F.filter(
+                        toks,
+                        lambda t: F.array_contains(F.expr(_SW_ARRAY), t),
+                    )
+                    # stop_ratio <= cap on the exact 1e6 grid, spelled
+                    # multiplication-only so no division NULLs appear:
+                    # n_stop*1e6 <= cap*1e6*n_tokens
+                )
+                * F.lit(1_000_000)
+                <= F.lit(int(CURATE_MAX_STOPWORD_RATIO * 1_000_000))
+                * F.size(toks)
+            )
+        ).alias("pass_quality"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("content_md5").cast("bigint").alias("n_unique_texts"),
+        F.expr(
+            "((count(*) - count(DISTINCT content_md5)) "
+            "* CAST(1000000 AS BIGINT)) div count(*)"
+        ).alias("dup_ppm"),
+        F.expr(
+            "(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) "
+            "* CAST(1000000 AS BIGINT)) div count(*)"
+        ).alias("quality_pass_ppm"),
+    )
+
+
+def _domain_stats_sql() -> str:
+    from projetbigdata_spark.functions.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    cap = int(CURATE_MAX_STOPWORD_RATIO * 1_000_000)
+    return f"""
+WITH per_doc AS (
+    SELECT source, lang, md5(lower(text)) AS content_md5,
+           len(w) AS n_tokens,
+           (len(w) >= {CURATE_MIN_TOKENS}
+            AND len(list_filter(w, t -> t IN ({sw}))) * 1000000
+                <= {cap} * len(w)) AS pass_quality
+    FROM (SELECT source, lang, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS w
+          FROM documents)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT content_md5) AS BIGINT) AS n_unique_texts,
+       CAST(((count(*) - count(DISTINCT content_md5)) * 1000000)
+            // count(*) AS BIGINT) AS dup_ppm,
+       CAST((sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS quality_pass_ppm
+FROM per_doc
+GROUP BY source
+"""
+
+
+def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-SIZE histogram: for the minhash component
+    graph, how many clusters have exactly s members — the audit that
+    tells you whether duplication is a few mega-clusters (template
+    spam: collapse wins huge) or a long tail of pairs (marginal).
+    Isolated docs (no near-dup) are excluded — components carries only
+    docs in some cluster, and every cluster there has >= 2 members by
+    construction. Output: (cluster_size, n_clusters, n_docs).
+
+    Plan: two skinny hash-aggs over the component labels (|docs in
+    clusters| rows, then |clusters| rows) — telemetry-priced at any
+    scale."""
+    from projetbigdata_spark.operators.dedup import dedup_components_minhash
+
+    tune(spark)
+    comp = dedup_components_minhash(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+    )
+
+
+def _component_sizes_sql() -> str:
+    from projetbigdata_spark.operators.dedup import COMPONENTS_MINHASH_SQL
+
+    return f"""
+WITH comp AS (SELECT * FROM ({COMPONENTS_MINHASH_SQL})),
+sizes AS (
+    SELECT component_id, count(*) AS cluster_size
+    FROM comp GROUP BY component_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
+    "corpus_domain_stats": corpus_domain_stats,
+    "dedup_component_sizes": dedup_component_sizes,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "text_unigram_freq_score": text_unigram_freq_score,
     "dedup_span_profile": dedup_span_profile,
@@ -698,6 +841,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "corpus_curate": _corpus_curate_sql(),
+    "corpus_domain_stats": _domain_stats_sql(),
+    "dedup_component_sizes": _component_sizes_sql(),
     "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,
     "dedup_span_profile": SPAN_PROFILE_SQL,

@@ -214,7 +214,7 @@ def suggest_df_cap(
 
 
 def dedup_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+    spark: SparkSession, sf_dir: str, df_cap: int | str = SHINGLE_DF_CAP
 ) -> DataFrame:
     """Near-dup pairs by df-CAPPED bigram-shingle Jaccard >= 0.3.
 
@@ -241,11 +241,15 @@ def dedup_jaccard_pairs(
     only divergence risk vs the string-keyed oracle.
 
     df_cap is the index-selectivity dial: the registered query keeps
-    the oracle-mirrored absolute cap; deployments pass
-    suggest_df_cap(...) to place the cap at the corpus's posting-mass
-    knee instead (SCALE.md §Dedup).
+    the oracle-mirrored absolute cap; deployments pass df_cap="auto"
+    (NEXT r3 item 3) to place the cap at the corpus's posting-mass
+    knee via suggest_df_cap — one extra ~20-row histogram agg before
+    planning, corpus-adaptive selectivity after (SCALE.md §Dedup) —
+    or any explicit int.
     """
     tune(spark)
+    if df_cap == "auto":
+        df_cap = suggest_df_cap(spark, sf_dir)
     exploded = _hashed_shingles(spark, sf_dir)
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (

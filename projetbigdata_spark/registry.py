@@ -16,93 +16,77 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r3): the 17 queries never driver-checked across r1/r2 (ml,
-# multimodal, the 5 events window twins, sim_ivf_sampled_topk), then
-# the 5 r1 hash-fails that were fixed in r2 but never driver
-# re-verified, then the queries most recently modified (r2 perf
-# rewrites + r3 ADVICE fixes). Everything else follows in module
-# order. collect() raises if a priority name is not registered.
+# round (r4): the one query never driver-checked in any round
+# (unpivot_nation_metrics — VERDICT r3 item 1, the only gap in
+# cumulative coverage), then the queries ADDED or BEHAVIORALLY
+# MODIFIED this round, then dedup_embedding_cosine (its green r2 row
+# predates the r3 inverted-broadcast fix in 233bb36 — the only
+# checked-before-last-touch query left), then the 45 queries whose
+# latest green row is r1 — the oldest rows in the ledger, refreshed
+# wholesale now that r3 re-verified the entire r2-era surface. That
+# fills the 50-slot budget exactly; the r2/r3-green remainder follows
+# in module order. collect() raises if a priority name is not
+# registered.
 _PRIORITY = (
-    # --- never driver-checked (r1∪r2) ---
-    "ml_kmeans_clusters",
-    "ml_chisq_tokens",
-    "ml_sentiment_predictions",
-    "ml_crossval_metrics",
-    "ml_crossval_dt_metrics",
-    "ml_chisq_select_vectors",
-    "multimodal_feature_extract",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_fake_decode",
-    "events_multi_rollup",
-    "events_tumbling_1h",
-    "events_sliding_15m_5m",
-    "events_session_30m",
-    "events_dedup_keyed",
-    "sim_ivf_sampled_topk",
-    # --- r1 fails fixed in r2, never driver re-checked ---
-    "json_extract",
-    "agg_distinct",
-    "agg_pivot",
-    "table_stats",
-    "quality_constraints",
-    # --- r3 ADVICE fixes: their r2 rows predate the fix, need fresh ---
-    "window_distribution",
-    "dedup_incremental",
-    "dedup_contamination",
-    "agg_geomean_udaf",
-    "agg_geomean_expr",
-    # (dedup_embedding_cosine also dropped late-r3: its green r2 row
-    # postdates the r2 LSH rewire and r3 never touched it)
-    # (sim_topk_bruteforce / sim_lsh_buckets / sim_neardup_pairs /
-    # text_tfidf_top / sim_ann_lsh_topk / dedup_simhash /
-    # dedup_minhash_buckets / dedup_components_minhash dropped from the
-    # priority block late in r3: their green r2 rows POSTDATE the r2
-    # rewrites and nothing touched them since (the r3 dial params
-    # default to the registered behavior, equality pytest-pinned) —
-    # those slots go to the late-r3 queries below so the whole
-    # registered surface has a driver row after this round)
-    # --- late-r3 additions (curation tier, SCD2, stream-stream twin,
-    # map functions) — never driver-checked ---
-    "contamination_ngram_overlap",
+    # --- never driver-checked (any round) ---
+    "unpivot_nation_metrics",
+    # --- new in r4: composed curation-ladder audit + domain triage
+    # telemetry + cluster-size histogram ---
+    "corpus_curate",
+    "corpus_domain_stats",
+    "dedup_component_sizes",
+    # --- modified r4: DECIMAL(38,0) widening of the ppb product ---
     "text_unigram_freq_score",
-    "dedup_span_profile",
-    "dedup_keep_canonical",
-    "scd2_history",
-    "events_click_attribution",
-    "map_functions",
-    # new in r3: exact all-pairs neardup baseline registered by name
-    "sim_neardup_allpairs_exact",
-    # new in r3: universal-tagset rule tier (NLTK divergence audit)
-    "text_pos_universal",
-    # new in r3: exact-collapse prefilter tier for components
-    "dedup_components_prefiltered",
-    # new in r3: Heaps-law vocabulary growth curve
-    "corpus_vocab_growth",
-    # new in r3: shingle-df histogram (df-cap telemetry)
-    "corpus_shingle_stats",
-    # new in r3: built-in MinHashLSH estimator tier (rows-only)
-    "ml_minhash_pairs",
-    # new in r3: corpus telemetry report
-    "corpus_health_report",
-    # new in r3: media content-hash dedup through the Arrow binary path
-    "multimodal_content_dedup",
-    # new in r3: TPC-H suite completion (relational5)
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    # new in r3 (slot 50 of the driver's check budget): regex-dialect
-    # parity is the riskiest new surface, so the PII redaction query
-    # takes the last checked slot; the other curation queries
-    # (contamination_ngram_overlap, text_unigram_freq_score,
-    # dedup_keep_canonical) queue for the r4 budget and are local-
-    # harness-verified meanwhile.
-    "text_redact_pii",
+    # --- green row predates its last behavioral change (r3 233bb36) ---
+    "dedup_embedding_cosine",
+    # --- last green row is r1: refresh the oldest ledger entries ---
+    "vocab_topk",
+    "chunk_documents_udtf",
+    "chunk_documents_expr",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_semi_urgent",
+    "join_anti_no_urgent",
+    "join_range_late",
+    # (scalar_functions yields its slot to the r4 additions: the
+    # lowest-risk r1-green query — pure codegen'd projections, no
+    # join/agg surface — keeps its r1 row and follows in module order)
+    "agg_rollup",
+    "agg_cube",
+    "set_ops",
+    "topk_customers",
+    "sql_frontend_yearly_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "join_left_outer",
+    "join_full_outer",
+    "join_asof_purchase_click",
+    "agg_stats_exact",
+    "join_bucketed_priority_counts",
+    "join_interval_binned",
+    "agg_maxby",
+    "subquery_above_nation_avg",
+    "array_functions",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "datetime_functions",
+    "agg_salted_user_totals",
+    "agg_histogram_bins",
+    "q13_customer_distribution",
+    "q16_supplier_breadth",
+    "q17_small_quantity_revenue",
+    "q9_product_profit",
+    "q8_market_share",
+    "bow_vectorize",
+    "label_index",
+    "pos_trigrams",
+    "embed_l2norm",
 )
 
 # Ordered so the driver's correctness budget reaches every family:

@@ -42,6 +42,69 @@ def test_jaccard_df_cap_dial_monotone(spark):
     assert tight <= loose
 
 
+import os as _os
+
+import pytest as _pytest
+
+SOAK_DIR = "/tmp/soak/sf1"
+
+
+@_pytest.mark.skipif(
+    not _os.path.isdir(SOAK_DIR),
+    reason="sf1 soak fixtures absent — regenerate with examples/gen_soak.py",
+)
+def test_jaccard_auto_df_cap_at_soak(spark):
+    """The opt-in df_cap="auto" wiring (NEXT r3 item 3) at soak scale:
+    the adaptive cap lands at the corpus's posting-mass knee, the
+    resulting pair set obeys the monotone-in-cap contract vs the fixed
+    registered cap, and the dial has a real selectivity EFFECT — the
+    df-capped inverted index it admits carries measurably different
+    posting mass than the fixed cap's."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        _hashed_shingles,
+        dedup_jaccard_pairs,
+        suggest_df_cap,
+    )
+
+    cap = suggest_df_cap(spark, SOAK_DIR)
+    assert cap >= 3  # usable index floor
+
+    auto_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_pairs(spark, SOAK_DIR, df_cap="auto").collect()
+    }
+    fixed_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_pairs(spark, SOAK_DIR).collect()
+    }
+    # monotone-in-cap contract holds whichever side the knee lands on
+    if cap <= SHINGLE_DF_CAP:
+        assert auto_pairs <= fixed_pairs
+    else:
+        assert fixed_pairs <= auto_pairs
+
+    # the dial genuinely moves index selectivity: posting mass admitted
+    # under each cap differs when the caps differ
+    df_hist = (
+        _hashed_shingles(spark, SOAK_DIR)
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+    )
+    auto_mass = df_hist.where(F.col("df") <= cap).agg(
+        F.sum("df")
+    ).collect()[0][0]
+    fixed_mass = df_hist.where(F.col("df") <= SHINGLE_DF_CAP).agg(
+        F.sum("df")
+    ).collect()[0][0]
+    assert auto_mass and auto_mass > 0
+    if cap != SHINGLE_DF_CAP:
+        assert auto_mass != fixed_mass
+
+
 def test_ivf_k_nprobe_dials(spark):
     """Non-default k/nprobe still yield a full exact-reranked top-k
     result per query (the contract), and probing every list at the

@@ -235,6 +235,34 @@ def test_soak_ann_recall_and_candidate_ratio(
     assert ratio <= cand_ceiling, f"bits={bits} candidate ratio {ratio:.3f}"
 
 
+ANN_100K_DIR = "/tmp/soak/ann100k"
+_soak100k = _pytest.mark.skipif(
+    not _os.path.isdir(f"{ANN_100K_DIR}/embeddings.parquet"),
+    reason="100k ANN soak corpus absent — "
+    "python examples/gen_ann_soak.py 50 0.05 /root/testdata/sf0.1 "
+    + ANN_100K_DIR,
+)
+
+
+@_soak100k
+def test_soak_ivf_k128_recall_100k(spark):
+    """Deployment-realistic quantizer at the 100k corpus (VERDICT r3
+    item 4): the sampled trainer at k=128/nprobe=8 — probing only
+    ~6% of the corpus — must hold recall@5 >= 0.95 vs brute force.
+    Measured r4: 1.000 (full sweep table in SCALE.md)."""
+    from projetbigdata_spark.operators.similarity import (
+        sim_ivf_sampled_topk,
+        sim_topk_bruteforce,
+    )
+
+    truth = _topk_pairs(sim_topk_bruteforce(spark, ANN_100K_DIR))
+    got = _topk_pairs(
+        sim_ivf_sampled_topk(spark, ANN_100K_DIR, k=128, nprobe=8)
+    )
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, f"k=128 100k-soak recall {recall:.3f}"
+
+
 @_soak
 def test_soak_ivf_sampled_recall(spark):
     """The faiss-style train-on-20%-slice tier must hold recall at 10x

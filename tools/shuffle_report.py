@@ -8,7 +8,14 @@ Uses a dedicated session with the UI enabled and reads per-stage
 shuffleWriteBytes from the status REST API after each query's noop
 write (plan-tree metric walking is unreliable under AQE reuse).
 
-Usage: python tools/shuffle_report.py [--sf /root/testdata/sf0.1]
+Usage:
+    python tools/shuffle_report.py [--sf /root/testdata/sf0.1]  # SHUFFLE.md
+    python tools/shuffle_report.py --check                      # CI gate
+
+--check (VERDICT r3 item 8) runs only the budgeted queries and exits 1
+if any query's shuffle write exceeds its pinned byte ceiling — the
+per-query shuffle-VOLUME twin of test_plans.py's exchange-count
+budgets, wired into CI via tests/test_shuffle_budget.py.
 """
 
 from __future__ import annotations
@@ -58,9 +65,47 @@ QUERIES = [
 ]
 
 
+# Shuffle-write BYTE budgets (--check): ceiling = 2 x the SHUFFLE.md
+# r4 measurement, floored at 1.0 MB so sub-MB shuffles don't trip on
+# per-run framing noise. Only queries whose measured volume is big
+# enough to carry signal are gated — near-zero-shuffle queries are
+# already covered by the exchange-COUNT budgets in tests/test_plans.py
+# (a new shuffle there is the only way they can regress). A breach here
+# with the exchange count unchanged means the SAME shuffle got fatter:
+# lost column pruning, lost map-side partial agg, or a raw string
+# where a hashed key used to travel.
+BYTE_BUDGET_MB = {
+    "vocab_topk": 2.0,
+    "q18_large_orders": 2.5,
+    "join_asof_purchase_click": 2.0,
+    "window_rank_orders": 1.5,
+    "text_tfidf_top": 8.6,
+    "bow_vectorize": 3.4,
+    "dedup_jaccard_pairs": 2.2,
+    "dedup_minhash_buckets": 2.5,
+    "events_session_30m": 5.6,
+    "events_gaps_islands": 4.1,
+    "dedup_components_minhash": 3.3,
+    "contamination_ngram_overlap": 5.7,
+    "dedup_span_profile": 9.2,
+    "scd2_history": 6.7,
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="gate budgeted queries against BYTE_BUDGET_MB; exit 1 on breach",
+    )
+    ap.add_argument(
+        "--budget-scale",
+        type=float,
+        default=1.0,
+        help="multiply every ceiling (e.g. 0.1 to demo a failing gate)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -87,8 +132,9 @@ def main() -> int:
     def stages():
         return json.load(urllib.request.urlopen(url))
 
+    run_list = sorted(BYTE_BUDGET_MB) if args.check else QUERIES
     rows = []
-    for name in QUERIES:
+    for name in run_list:
         before = {s["stageId"] for s in stages()}
         t0 = time.time()
         queries[name](spark, args.sf).write.format("noop").mode(
@@ -117,6 +163,25 @@ def main() -> int:
             f"{rows[-1]['shuffle_rows']:>10} rows {len(new):>3} stages "
             f"{sec:6.2f}s"
         )
+
+    if args.check:
+        breaches = [
+            r
+            for r in rows
+            if r["shuffle_mb"]
+            > BYTE_BUDGET_MB[r["name"]] * args.budget_scale
+        ]
+        spark.stop()
+        if breaches:
+            for r in breaches:
+                print(
+                    f"BREACH {r['name']}: {r['shuffle_mb']:.2f} MB > "
+                    f"{BYTE_BUDGET_MB[r['name']] * args.budget_scale:.2f}"
+                    " MB budget — same-shuffle fattening?"
+                )
+            return 1
+        print(f"OK: {len(rows)} queries within shuffle-byte budgets")
+        return 0
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
