@@ -169,12 +169,124 @@ FROM per_lang, tot
 """
 
 
+def corpus_sample_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_mix_plan made EXECUTABLE: a deterministic per-document
+    repeat count that realizes the target language mixture. Each doc
+    gets n_repeats = floor(epochs) plus one more iff its md5 bucket
+    (over a 1e6 grid) falls below the fractional part — so a language
+    at epochs 2.3 has every doc appear twice and a reproducible 30%
+    slice appear a third time, and the expected token mixture equals
+    the target exactly. Hash buckets, not rand(): re-runs, engine
+    changes, and corpus appends never flip an existing doc's count —
+    the same stability contract as split_assign_documents.
+
+    All arithmetic is integer-exact for the oracle: epochs in micros
+    via DECIMAL(38,0) widening (target_micros x total_tokens reaches
+    ~1e19 at a 100 TB corpus — past int64, same overflow class as the
+    unigram ppb fix), one integral divide per language. Languages
+    outside the target mixture get n_repeats 0 (dropped), mirroring
+    the mix plan's missing-target semantics.
+
+    Plan: one corpus hash-agg for the 5-row per-language inventory,
+    the epochs table joined back on lang (broadcast), everything else
+    a codegen'd projection — zero extra shuffles over the inventory
+    agg."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize("text")).alias("n_tokens"),
+        # 8 hex digits (not _hash_bucket's 4: 16^4 = 65536 can't
+        # resolve a 1e6 grid) -> uniform bucket in [0, 1e6)
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 1000000"
+        ).alias("bucket"),
+    )
+    target_micros = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in MIX_TARGETS.items()
+            for x in (k, int(round(v * 1_000_000)))
+        ]
+    )[F.col("lang")]
+    per_lang = (
+        per_doc.groupBy("lang")
+        .agg(F.sum("n_tokens").cast("bigint").alias("lang_tokens"))
+        .withColumn("tm", target_micros)
+        .withColumn(
+            "total_tokens",
+            F.sum("lang_tokens").over(Window.partitionBy()),
+        )
+        .select(
+            "lang",
+            F.coalesce(
+                F.expr(
+                    "CAST((CAST(tm AS DECIMAL(38,0)) * total_tokens)"
+                    " div lang_tokens AS BIGINT)"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("epochs_micros"),
+        )
+    )
+    n_repeats = F.expr("epochs_micros div 1000000") + F.when(
+        F.col("bucket") < F.col("epochs_micros") % 1_000_000, 1
+    ).otherwise(0)
+    return per_doc.join(per_lang, "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "bucket",
+        "epochs_micros",
+        n_repeats.cast("bigint").alias("n_repeats"),
+    )
+
+
+_micros_cases = " ".join(
+    f"WHEN '{k}' THEN {int(round(v * 1_000_000))}"
+    for k, v in MIX_TARGETS.items()
+)
+
+SAMPLE_ASSIGN_SQL = f"""
+WITH per_doc AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 1000000 AS bucket
+    FROM documents
+),
+per_lang AS (
+    SELECT lang, sum(n_tokens) AS lang_tokens,
+           CASE lang {_micros_cases} END AS tm
+    FROM per_doc GROUP BY lang
+),
+tot AS (SELECT sum(lang_tokens) AS total_tokens FROM per_lang),
+epochs AS (
+    SELECT lang,
+           coalesce(CAST((tm::HUGEINT * total_tokens) // lang_tokens
+                         AS BIGINT), 0) AS epochs_micros
+    FROM per_lang, tot
+)
+SELECT d.doc_id, d.lang, d.n_tokens, d.bucket, e.epochs_micros,
+       CAST(e.epochs_micros // 1000000
+            + CASE WHEN d.bucket < e.epochs_micros % 1000000
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+FROM per_doc d JOIN epochs e USING (lang)
+"""
+
+
 QUERIES = {
     "docs_pack_greedy": docs_pack_greedy,
     "corpus_mix_plan": corpus_mix_plan,
+    "corpus_sample_assign": corpus_sample_assign,
 }
 
 ORACLE_SQL = {
     "docs_pack_greedy": PACK_SQL,
     "corpus_mix_plan": MIX_SQL,
+    "corpus_sample_assign": SAMPLE_ASSIGN_SQL,
 }

@@ -678,6 +678,88 @@ def sim_ivf_sampled_topk(
     return _ivf_search(spark, sf_dir, vec, cents, nprobe)
 
 
+NEW_MOD = 7  # the deterministic "new arrivals" slice for the
+NEW_REMAINDER = 3  # incremental tier: vec_id % 7 == 3 (past the seeds)
+
+
+def sim_ivf_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Incremental IVF ingest — the similarity twin of
+    dedup_incremental: a deterministic 'new arrivals' slice
+    (vec_id % 7 == 3, beyond the seed range so the codebook is
+    unaffected) is searched against the EXISTING index without any
+    retraining. The quantizer is trained on the BASE corpus's 20%
+    sample only (faiss's frozen-codebook add path); base posting
+    lists are built once; each new vector then pays exactly
+    (a) one k-row broadcast fold to rank centroids, and
+    (b) an equi-join probe into its nprobe posting lists + exact
+    cosine rerank against those candidates ONLY — new x old, never
+    new x new or a corpus rescan, which is what makes continuous
+    embedding ingest at 100 TB a per-batch cost instead of a rebuild.
+    Output: top-5 base neighbors per new vector (same schema as
+    sim_ivf_topk). No broadcast hint on the arrivals side: a
+    micro-batch is usually tiny (AQE broadcasts it), but a backfill
+    batch can be corpus-sized and must be allowed to shuffle."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    is_new = (F.col("vec_id") % NEW_MOD == NEW_REMAINDER) & (
+        F.col("vec_id") >= SEED_HI
+    )
+    base = vec.where(~is_new)
+    new = vec.where(is_new)
+    train = base.where(
+        F.col("vec_id") % IVF_SAMPLE_MOD == 0
+    ).localCheckpoint()
+
+    cents = _seed_centroids(vec, k)  # seed range is all-base by design
+    for _ in range(2):
+        cents = _lloyd_update(
+            train, _argmin_cid(_dists_to_centroids(train, cents))
+        ).localCheckpoint()
+
+    posting = _argmin_cid(_dists_to_centroids(base, cents))
+    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
+    probes = (
+        _dists_to_centroids(new, cents)
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = probes.join(posting, "cid").select("query_id", "vec_id")
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
 def _ivf_assign_cte(tag: str, cents: str, vecs: str = "v") -> str:
     """One unrolled Lloyd assignment as DuckDB CTE text (over `vecs` —
     the full table or the sampled training slice)."""
@@ -820,8 +902,76 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
+IVF_INCREMENTAL_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+vb AS (SELECT * FROM v
+       WHERE NOT (vec_id % {NEW_MOD} = {NEW_REMAINDER}
+                  AND vec_id >= {SEED_HI})),
+vn AS (SELECT * FROM v
+       WHERE vec_id % {NEW_MOD} = {NEW_REMAINDER}
+         AND vec_id >= {SEED_HI}),
+vs AS (SELECT * FROM vb WHERE vec_id % {IVF_SAMPLE_MOD} = 0),
+c0 AS (
+    SELECT CAST(vec_id - {SEED_LO} AS INT) AS cid, dim, xs AS ms
+    FROM v WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+),
+{_ivf_assign_cte("1", "c0", "vs")},
+c1 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM vs JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("2", "c1", "vs")},
+c2 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM vs JOIN a2 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("3", "c2", "vb")},
+qp AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT vn.vec_id, c.cid,
+               row_number() OVER (PARTITION BY vn.vec_id
+                                  ORDER BY sum((xs - ms) * (xs - ms)),
+                                           c.cid) AS pr
+        FROM vn JOIN c2 c USING (dim)
+        GROUP BY vn.vec_id, c.cid) WHERE pr <= {N_PROBE}
+),
+cand AS (
+    SELECT qp.query_id, a3.vec_id
+    FROM qp JOIN a3 USING (cid)
+),
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, n.e) / (q.norm * n.norm), 6) AS cosine
+    FROM cand
+    JOIN nv n ON n.vec_id = cand.vec_id
+    JOIN nv q ON q.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_ivf_incremental": sim_ivf_incremental,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
@@ -832,6 +982,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
+    "sim_ivf_incremental": IVF_INCREMENTAL_SQL,
     "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,
     "sim_lsh_buckets": LSH_SQL,
     "sim_neardup_pairs": NEARDUP_SQL,

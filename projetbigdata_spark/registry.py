@@ -35,6 +35,8 @@ _PRIORITY = (
     "corpus_curate",
     "corpus_domain_stats",
     "dedup_component_sizes",
+    "sim_ivf_incremental",
+    "corpus_sample_assign",
     # --- modified r4: DECIMAL(38,0) widening of the ppb product ---
     "text_unigram_freq_score",
     # --- green row predates its last behavioral change (r3 233bb36) ---
@@ -72,10 +74,12 @@ _PRIORITY = (
     "join_interval_binned",
     "agg_maxby",
     "subquery_above_nation_avg",
-    "array_functions",
+    # (array_functions / datetime_functions also yield their slots to
+    # the r4 additions — same zero-join codegen-projection class as
+    # scalar_functions; their r1 rows stand and they follow in module
+    # order)
     "agg_grouping_sets",
     "agg_percentiles",
-    "datetime_functions",
     "agg_salted_user_totals",
     "agg_histogram_bins",
     "q13_customer_distribution",

@@ -105,6 +105,76 @@ def test_jaccard_auto_df_cap_at_soak(spark):
         assert auto_mass != fixed_mass
 
 
+def test_ivf_incremental_contract(spark):
+    """Incremental IVF: every query is a NEW-slice vector, every
+    neighbor is a BASE vector (new x old only — never new x new), and
+    each query gets at most TOP_K exact-reranked neighbors with dense
+    ranks."""
+    from projetbigdata_spark.operators.similarity import (
+        NEW_MOD,
+        NEW_REMAINDER,
+        SEED_HI,
+        TOP_K,
+        sim_ivf_incremental,
+    )
+
+    rows = sim_ivf_incremental(spark, SF_CHECK).collect()
+    assert rows
+
+    def is_new(v):
+        return v % NEW_MOD == NEW_REMAINDER and v >= SEED_HI
+
+    per_q = {}
+    for r in rows:
+        assert is_new(r.query_id), r
+        assert not is_new(r.neighbor_id), r
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+        assert len(rnks) <= TOP_K
+
+
+def test_sample_assign_realizes_mixture(spark):
+    """corpus_sample_assign must (a) be a full-corpus assignment over
+    the target languages, (b) give every doc of one language the same
+    epochs_micros, and (c) realize the target mixture: summing
+    n_repeats * n_tokens per language lands within 2% of
+    target_share * total (the hash-bucket fractional rounding is the
+    only slack)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.packing import (
+        MIX_TARGETS,
+        corpus_sample_assign,
+    )
+
+    out = corpus_sample_assign(spark, SF_CHECK).cache()
+    per_lang = {
+        r.lang: r
+        for r in out.groupBy("lang")
+        .agg(
+            F.countDistinct("epochs_micros").alias("n_eps"),
+            F.sum(F.col("n_repeats") * F.col("n_tokens")).alias(
+                "sampled_tokens"
+            ),
+            F.sum("n_tokens").alias("natural_tokens"),
+        )
+        .collect()
+    }
+    assert all(r.n_eps == 1 for r in per_lang.values())
+    total = sum(r.natural_tokens for r in per_lang.values())
+    for lang, share in MIX_TARGETS.items():
+        if lang not in per_lang:
+            continue
+        realized = per_lang[lang].sampled_tokens / total
+        assert abs(realized - share) <= 0.02 * max(share, 1e-9) + 0.002, (
+            lang,
+            realized,
+            share,
+        )
+    out.unpersist()
+
+
 def test_ivf_k_nprobe_dials(spark):
     """Non-default k/nprobe still yield a full exact-reranked top-k
     result per query (the contract), and probing every list at the

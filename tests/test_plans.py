@@ -38,6 +38,13 @@ CARTESIAN_OK = {
     # unigram score crossJoins the 1-row corpus-total aggregate
     # (broadcast) — same class as text_idf
     "text_unigram_freq_score",
+    # incremental IVF: the centroid-distance fold is a crossJoin
+    # against the BROADCAST k-row centroid table (k=16 rows) — the
+    # same per-assignment shape sim_ivf_topk uses, visible here only
+    # because its dists feed single consumers and skip the
+    # localCheckpoint that hides the siblings' folds from the final
+    # plan. Candidate generation itself is the equi-join probe.
+    "sim_ivf_incremental",
 }
 
 
