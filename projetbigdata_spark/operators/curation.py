@@ -828,9 +828,141 @@ GROUP BY cluster_size
 """
 
 
+def corpus_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language calibration quantiles for the quality gates —
+    corpus-relative thresholds are how CCNet-style filters are
+    actually tuned (an absolute stopword cap that's right for English
+    is wrong for Chinese): discrete p10/p50/p90 of the per-doc
+    stopword ppm and duplicate-word ppm, one row per language.
+
+    Quantiles are percentile_disc semantics computed EXPLICITLY (value
+    at row ceil(p*n) of the sort, ties broken by doc_id) because
+    Spark's exact `percentile` interpolates while DuckDB's
+    quantile_disc doesn't — and the rank index uses pure-integer
+    ceilings ((n+9) div 10, (n+1) div 2, (9n+9) div 10): a float
+    0.1*n at a boundary (0.1*500 = 50.000000000000007) would ceil to
+    the WRONG row in one engine. Metrics are integer-ppm grids, so
+    output hashes bit-identically.
+
+    Scale posture: per-doc stats are one map pass; each quantile
+    needs a per-language sort — two lang-keyed window shuffles of
+    skinny (lang, ppm, doc_id) rows. A mega-language partition sorts
+    on one reducer at extreme scale; the deployment relief valve is
+    approx_percentile (t-digest, map-side mergeable) once thresholds
+    only need ~1% accuracy — this exact spelling is the calibrator
+    and the oracle anchor."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from projetbigdata_spark.operators.textstats import _SW_ARRAY
+
+    toks = tokenize("text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.expr(_SW_ARRAY), t))
+        ).alias("n_stop"),
+    ).where(F.col("n_tokens") > 0)
+    stats = d.select(
+        "doc_id",
+        "lang",
+        F.expr("(n_stop * CAST(1000000 AS BIGINT)) div n_tokens").alias(
+            "stop_ppm"
+        ),
+        F.expr(
+            "1000000 - (n_unique * CAST(1000000 AS BIGINT)) div n_tokens"
+        ).alias("dup_ppm"),
+    )
+    ws = Window.partitionBy("lang").orderBy("stop_ppm", "doc_id")
+    wd = Window.partitionBy("lang").orderBy("dup_ppm", "doc_id")
+    ranked = stats.select(
+        "lang",
+        "stop_ppm",
+        "dup_ppm",
+        F.row_number().over(ws).alias("rn_stop"),
+        F.row_number().over(wd).alias("rn_dup"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def pick(rn: str, col: str, num: int, den: int, add: int) -> Column:
+        # value at row ceil(num*n/den) == (num*n + add) div den
+        return F.max(
+            F.when(
+                F.col(rn) == F.expr(f"({num} * n + {add}) div {den}"),
+                F.col(col),
+            )
+        )
+
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        pick("rn_stop", "stop_ppm", 1, 10, 9).alias("stop_ppm_p10"),
+        pick("rn_stop", "stop_ppm", 1, 2, 1).alias("stop_ppm_p50"),
+        pick("rn_stop", "stop_ppm", 9, 10, 9).alias("stop_ppm_p90"),
+        pick("rn_dup", "dup_ppm", 1, 10, 9).alias("dup_ppm_p10"),
+        pick("rn_dup", "dup_ppm", 1, 2, 1).alias("dup_ppm_p50"),
+        pick("rn_dup", "dup_ppm", 9, 10, 9).alias("dup_ppm_p90"),
+    )
+
+
+def _quality_quantiles_sql() -> str:
+    from projetbigdata_spark.functions.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_unique,
+           len(list_filter(w, t -> t IN ({sw}))) AS n_stop
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS w
+          FROM documents)
+    WHERE len(w) > 0
+),
+stats AS (
+    SELECT doc_id, lang,
+           (n_stop * CAST(1000000 AS BIGINT)) // n_tokens AS stop_ppm,
+           1000000 - (n_unique * CAST(1000000 AS BIGINT)) // n_tokens
+               AS dup_ppm
+    FROM d
+),
+ranked AS (
+    SELECT lang, stop_ppm, dup_ppm,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY stop_ppm, doc_id) AS rn_stop,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY dup_ppm, doc_id) AS rn_dup,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM stats
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn_stop = (1 * n + 9) // 10 THEN stop_ppm END)
+           AS stop_ppm_p10,
+       max(CASE WHEN rn_stop = (1 * n + 1) // 2 THEN stop_ppm END)
+           AS stop_ppm_p50,
+       max(CASE WHEN rn_stop = (9 * n + 9) // 10 THEN stop_ppm END)
+           AS stop_ppm_p90,
+       max(CASE WHEN rn_dup = (1 * n + 9) // 10 THEN dup_ppm END)
+           AS dup_ppm_p10,
+       max(CASE WHEN rn_dup = (1 * n + 1) // 2 THEN dup_ppm END)
+           AS dup_ppm_p50,
+       max(CASE WHEN rn_dup = (9 * n + 9) // 10 THEN dup_ppm END)
+           AS dup_ppm_p90
+FROM ranked
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_domain_stats": corpus_domain_stats,
+    "corpus_quality_quantiles": corpus_quality_quantiles,
     "dedup_component_sizes": dedup_component_sizes,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "text_unigram_freq_score": text_unigram_freq_score,
@@ -842,6 +974,7 @@ QUERIES = {
 ORACLE_SQL = {
     "corpus_curate": _corpus_curate_sql(),
     "corpus_domain_stats": _domain_stats_sql(),
+    "corpus_quality_quantiles": _quality_quantiles_sql(),
     "dedup_component_sizes": _component_sizes_sql(),
     "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,

@@ -37,6 +37,7 @@ _PRIORITY = (
     "dedup_component_sizes",
     "sim_ivf_incremental",
     "corpus_sample_assign",
+    "corpus_quality_quantiles",
     # --- modified r4: DECIMAL(38,0) widening of the ppb product ---
     "text_unigram_freq_score",
     # --- green row predates its last behavioral change (r3 233bb36) ---
@@ -72,7 +73,8 @@ _PRIORITY = (
     "agg_stats_exact",
     "join_bucketed_priority_counts",
     "join_interval_binned",
-    "agg_maxby",
+    # (agg_maxby yields its slot to the r4 additions — one max_by/
+    # min_by agg over lineitem, the smallest r1-green agg surface)
     "subquery_above_nation_avg",
     # (array_functions / datetime_functions also yield their slots to
     # the r4 additions — same zero-join codegen-projection class as

@@ -62,6 +62,13 @@ QUERIES = [
     "scd2_history",
     "events_click_attribution",
     "map_functions",
+    # r4 additions
+    "corpus_curate",
+    "corpus_domain_stats",
+    "corpus_quality_quantiles",
+    "dedup_component_sizes",
+    "sim_ivf_incremental",
+    "corpus_sample_assign",
 ]
 
 
@@ -89,6 +96,10 @@ BYTE_BUDGET_MB = {
     "contamination_ngram_overlap": 5.7,
     "dedup_span_profile": 9.2,
     "scd2_history": 6.7,
+    # r4: the composed audit inherits its stages' volumes; gating the
+    # composition catches a fattening any single-stage budget misses
+    "corpus_curate": 19.1,
+    "dedup_component_sizes": 3.3,
 }
 
 
