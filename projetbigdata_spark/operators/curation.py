@@ -533,7 +533,9 @@ CURATE_MAX_EVAL_OVERLAP_PPM = 500_000  # eval doc dropped if >50% of
 # its 5-grams appear in train (GPT-3-style decontamination ceiling)
 
 
-def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_curate(
+    spark: SparkSession, sf_dir: str, thresholds: str = "fixed"
+) -> DataFrame:
     """The WHOLE curation ladder as one audited dataflow (VERDICT r3
     item 3): quality gate -> repetition gate -> exact dedup -> minhash
     near-dup components -> deterministic split -> eval
@@ -562,7 +564,18 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference tie-in: this is the reference's script1.py:33-90 dataflow
     shape (load -> clean -> filter -> dedupe -> split) re-expressed as
-    a single declarative audit."""
+    a single declarative audit.
+
+    thresholds="calibrated" (opt-in, NEXT r4 item 3) swaps the FIXED
+    quality/repetition ceilings for CORPUS-RELATIVE per-language p90s
+    from corpus_quality_quantiles (broadcast |langs|-row join) — the
+    CCNet loop closed: each language keeps its cleanest 90% by its own
+    stopword/dup-word distribution instead of sharing English-tuned
+    constants. The min-token floor, dedup, split, and decontamination
+    stages are unchanged; the registered query keeps "fixed" so the
+    oracle SQL stays constant-for-constant."""
+    if thresholds not in ("fixed", "calibrated"):
+        raise ValueError(f"thresholds must be fixed|calibrated: {thresholds!r}")
     from projetbigdata_spark.operators.dedup import (
         dedup_components_minhash,
         dedup_exact,
@@ -575,11 +588,12 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
+        "lang",
         F.md5(F.lower("text")).alias("content_md5"),
         _split_col().alias("split"),
     )
     qual = text_quality_scores(spark, sf_dir).select(
-        "doc_id", "n_tokens", "stop_ratio"
+        "doc_id", "n_tokens", "n_unique", "stop_ratio"
     )
     rep = text_repetition_scores(spark, sf_dir).select(
         "doc_id", "dup_word_frac", "top_bigram_share"
@@ -590,14 +604,45 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "overlap_ppm"
     )
 
-    pass_quality = (F.col("n_tokens") >= CURATE_MIN_TOKENS) & (
-        F.col("stop_ratio") <= CURATE_MAX_STOPWORD_RATIO
-    )
-    pass_repetition = F.coalesce(
-        (F.col("dup_word_frac") <= CURATE_MAX_DUP_WORD_FRAC)
-        & (F.col("top_bigram_share") <= CURATE_MAX_TOP_BIGRAM_SHARE),
-        F.lit(False),
-    )
+    if thresholds == "calibrated":
+        # per-lang p90 ceilings on the SAME integer-ppm grids the
+        # quantile query ranks on (stop_ratio is the floor-grid ratio,
+        # so stop_ratio*1e6 recovers stop_ppm exactly; dup_ppm is
+        # re-derived from n_unique/n_tokens)
+        qq = F.broadcast(
+            corpus_quality_quantiles(spark, sf_dir).select(
+                "lang", "stop_ppm_p90", "dup_ppm_p90"
+            )
+        )
+        docs = docs.join(qq, "lang", "left")
+        # round, not cast-truncate: stop_ratio is grid/1e6 through two
+        # IEEE roundings, so *1e6 can sit one ulp under the integer
+        pass_quality = (F.col("n_tokens") >= CURATE_MIN_TOKENS) & (
+            F.round(F.col("stop_ratio") * 1_000_000).cast("bigint")
+            <= F.col("stop_ppm_p90")
+        )
+        dup_ppm = F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                "1000000 - (n_unique * CAST(1000000 AS BIGINT))"
+                " div n_tokens"
+            ),
+        )  # NULL (not /0 crash under ANSI) for token-less docs
+        pass_repetition = F.coalesce(
+            dup_ppm <= F.col("dup_ppm_p90"), F.lit(False)
+        ) & F.coalesce(
+            F.col("top_bigram_share") <= CURATE_MAX_TOP_BIGRAM_SHARE,
+            F.lit(False),
+        )
+    else:
+        pass_quality = (F.col("n_tokens") >= CURATE_MIN_TOKENS) & (
+            F.col("stop_ratio") <= CURATE_MAX_STOPWORD_RATIO
+        )
+        pass_repetition = F.coalesce(
+            (F.col("dup_word_frac") <= CURATE_MAX_DUP_WORD_FRAC)
+            & (F.col("top_bigram_share") <= CURATE_MAX_TOP_BIGRAM_SHARE),
+            F.lit(False),
+        )
     is_exact_keeper = F.col("doc_id") == F.col("keep_id")
     is_neardup_keeper = F.col("component_id").isNull() | (
         F.col("component_id") == F.col("doc_id")

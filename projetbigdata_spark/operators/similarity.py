@@ -682,6 +682,92 @@ NEW_MOD = 7  # the deterministic "new arrivals" slice for the
 NEW_REMAINDER = 3  # incremental tier: vec_id % 7 == 3 (past the seeds)
 
 
+def _is_new_col() -> Column:
+    return (F.col("vec_id") % NEW_MOD == NEW_REMAINDER) & (
+        F.col("vec_id") >= SEED_HI
+    )
+
+
+def build_ivf_base_index(
+    spark: SparkSession, sf_dir: str, k: int = K_CENTROIDS
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialize the frozen BASE-corpus IVF index the incremental
+    tiers probe: (cents, posting, base_norm) — the k-row centroid
+    table (sampled-trained, 2 Lloyd steps), the base posting lists,
+    and the normed base embeddings for exact rerank. cents/posting are
+    localCheckpointed so repeated probes (streaming micro-batches, the
+    batch twin) never re-run training; at deployment this trio is a
+    parquet-materialized index refreshed on retrain cadence."""
+    vec = _cached_micro_arr(spark, sf_dir)
+    base = vec.where(~_is_new_col())
+    train = base.where(
+        F.col("vec_id") % IVF_SAMPLE_MOD == 0
+    ).localCheckpoint()
+    cents = _seed_centroids(vec, k)
+    for _ in range(2):
+        cents = _lloyd_update(
+            train, _argmin_cid(_dists_to_centroids(train, cents))
+        ).localCheckpoint()
+    posting = _argmin_cid(_dists_to_centroids(base, cents)).localCheckpoint(
+        eager=False
+    )
+    base_norm = _with_norm(
+        load_table(spark, sf_dir, "embeddings").where(~_is_new_col())
+    )
+    return cents, posting, base_norm
+
+
+def incremental_ann_match(
+    new_micro: DataFrame,
+    new_norm: DataFrame,
+    cents: DataFrame,
+    posting: DataFrame,
+    base_norm: DataFrame,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """The shared new×old ANN probe: rank centroids per new vector
+    (broadcast k-row fold), probe its nprobe posting lists (equi-join
+    on cid), exact-cosine rerank against those base candidates only,
+    top-5. Called by sim_ivf_incremental (batch) and
+    streaming/jobs.ann_ingest_stream (per micro-batch) — batch ==
+    streaming verdicts is the tested property, mirroring
+    dedup's signatures_of/incremental_match split."""
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
+    probes = (
+        _dists_to_centroids(new_micro, cents)
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = probes.join(posting, "cid").select("query_id", "vec_id")
+    q = new_norm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(base_norm, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
 def sim_ivf_incremental(
     spark: SparkSession,
     sf_dir: str,
@@ -703,60 +789,21 @@ def sim_ivf_incremental(
     Output: top-5 base neighbors per new vector (same schema as
     sim_ivf_topk). No broadcast hint on the arrivals side: a
     micro-batch is usually tiny (AQE broadcasts it), but a backfill
-    batch can be corpus-sized and must be allowed to shuffle."""
-    from pyspark.sql.window import Window
+    batch can be corpus-sized and must be allowed to shuffle.
 
+    Index build and probe are the shared build_ivf_base_index /
+    incremental_ann_match cores, reused per-micro-batch by
+    streaming/jobs.ann_ingest_stream — batch == streaming verdicts
+    is pinned in tests/test_streaming.py."""
     tune(spark)
+    cents, posting, base_norm = build_ivf_base_index(spark, sf_dir, k)
     vec = _cached_micro_arr(spark, sf_dir)
-    is_new = (F.col("vec_id") % NEW_MOD == NEW_REMAINDER) & (
-        F.col("vec_id") >= SEED_HI
+    new_micro = vec.where(_is_new_col())
+    new_norm = _with_norm(
+        load_table(spark, sf_dir, "embeddings").where(_is_new_col())
     )
-    base = vec.where(~is_new)
-    new = vec.where(is_new)
-    train = base.where(
-        F.col("vec_id") % IVF_SAMPLE_MOD == 0
-    ).localCheckpoint()
-
-    cents = _seed_centroids(vec, k)  # seed range is all-base by design
-    for _ in range(2):
-        cents = _lloyd_update(
-            train, _argmin_cid(_dists_to_centroids(train, cents))
-        ).localCheckpoint()
-
-    posting = _argmin_cid(_dists_to_centroids(base, cents))
-    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
-    probes = (
-        _dists_to_centroids(new, cents)
-        .withColumn("pr", F.row_number().over(wp))
-        .where(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cid")
-    )
-    cand = probes.join(posting, "cid").select("query_id", "vec_id")
-
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("norm").alias("qnorm"),
-    )
-    scored = (
-        cand.join(emb, "vec_id")
-        .join(q, "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qe"), F.col("e"))
-                / (F.col("qnorm") * F.col("norm")),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= TOP_K
+    return incremental_ann_match(
+        new_micro, new_norm, cents, posting, base_norm, nprobe
     )
 
 

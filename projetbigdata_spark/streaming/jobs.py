@@ -268,6 +268,50 @@ def incremental_dedup_stream(
     )
 
 
+def ann_ingest_stream(
+    vec_stream: DataFrame,
+    cents: DataFrame,
+    posting: DataFrame,
+    base_norm: DataFrame,
+    out_dir: str,
+):
+    """Streaming ANN ingest: each micro-batch of incoming vectors
+    (vec_id, embedding) is probed against the STATIC frozen-codebook
+    IVF index via foreachBatch — 'find each new embedding's nearest
+    corpus neighbors as it arrives', the continuous-ingest shape of
+    sim_ivf_incremental (operators/similarity.py). Both call the same
+    incremental_ann_match core on an index from build_ivf_base_index,
+    so batch == streaming verdicts is the tested property (the
+    dedup incremental_dedup_stream pattern, applied to vectors).
+
+    foreachBatch rather than a stateful streaming agg for the same
+    reason as the dedup twin: the index side is big and static — per
+    trigger we run a normal batch probe (broadcast k-row centroid
+    fold + posting equi-join) and append top-k verdicts to parquet.
+    cents/posting/base_norm should be materialized (localCheckpoint
+    or parquet reads) so no micro-batch pays the training cost."""
+    from pyspark.sql import functions as SF
+
+    from projetbigdata_spark.operators.similarity import (
+        _micro_arr,
+        _with_norm,
+        incremental_ann_match,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        matches = incremental_ann_match(
+            _micro_arr(batch_df), _with_norm(batch_df),
+            cents, posting, base_norm,
+        )
+        matches.withColumn("batch_id", SF.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return vec_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
 def user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static per-user enrichment dim derived from the historical
     events table: lifetime event count + total purchase value. The

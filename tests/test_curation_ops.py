@@ -129,6 +129,55 @@ def test_keep_canonical_accounting(spark):
     out.unpersist()
 
 
+def test_corpus_curate_calibrated_thresholds(spark):
+    """The thresholds="calibrated" dial: per-language p90 gates keep
+    ~90% of each language on each metric, so (a) the audit stays
+    full-corpus with the same schema, (b) within every language the
+    quality-gate drop rate over well-formed docs is bounded near 10%
+    per metric (<= ~25% combined with the token floor on the tiny
+    fixtures), and (c) the dial has a real effect vs the fixed gates
+    somewhere in the corpus."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.curation import corpus_curate
+    from projetbigdata_spark.sources.catalog import load_table
+
+    SF = SF_CHECK
+    fixed = corpus_curate(spark, SF).select("doc_id", "pass_quality",
+                                            "pass_repetition")
+    cal = corpus_curate(spark, SF, thresholds="calibrated").select(
+        "doc_id", "pass_quality", "pass_repetition"
+    )
+    n_docs = load_table(spark, SF, "documents").count()
+    assert cal.count() == n_docs
+    assert cal.select("doc_id").distinct().count() == n_docs
+
+    # per-language p90 gates: each language passes the quality gate at
+    # a rate near 90% (the p90 doc itself passes; ties can only raise)
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    rates = (
+        cal.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg(F.col("pass_quality").cast("int")).alias("q"))
+        .collect()
+    )
+    assert rates and all(0.75 <= r.q <= 1.0 for r in rates), rates
+
+    # the dial is not a no-op: at least one doc flips a gate verdict
+    joined = fixed.alias("f").join(cal.alias("c"), "doc_id")
+    flips = joined.where(
+        (F.col("f.pass_quality") != F.col("c.pass_quality"))
+        | (F.col("f.pass_repetition") != F.col("c.pass_repetition"))
+    ).count()
+    assert flips > 0
+
+    # invalid dial value is rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus_curate(spark, SF, thresholds="nope")
+
+
 def test_span_profile_keep_first_semantics(spark):
     """Bounds + keep-first: ratios never exceed 1e6 ppm, and every
     exact-duplicate LOSER (same text as a lower doc_id) must have all

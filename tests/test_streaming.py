@@ -277,6 +277,53 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
 
 
+def test_ann_ingest_stream_equals_batch(spark, tmp_path):
+    """Streaming ANN ingest == batch sim_ivf_incremental: the
+    new-arrivals vector slice arrives as TWO parquet micro-batches;
+    per-batch probes against the static frozen-codebook index must
+    together reproduce the batch operator's top-k rows exactly (same
+    build_ivf_base_index + incremental_ann_match core on both
+    paths — the dedup twin's equality contract, for vectors)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        _is_new_col,
+        build_ivf_base_index,
+        sim_ivf_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import ann_ingest_stream
+
+    new_vecs = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .where(_is_new_col())
+        .select("vec_id", "embedding")
+    )
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    half = new_vecs.where(F.col("vec_id") % 2 == 0)
+    other = new_vecs.subtract(half)
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    cents, posting, base_norm = build_ivf_base_index(spark, SF_SMOKE)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = ann_ingest_stream(stream, cents, posting, base_norm, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = sim_ivf_incremental(spark, SF_SMOKE)
+    cols = ["query_id", "neighbor_id", "cosine", "rnk"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
 def test_kafka_transport_construction_boundary(spark, events_dir):
     """The kafka spec of open_events_stream is exercised up to the
     classpath boundary: in this container the spark-sql-kafka connector
