@@ -738,7 +738,11 @@ def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     RefinedWeb drop or down-weight whole domains, not documents, when
     a domain is mostly boilerplate): docs, token mass, language
     spread, exact-duplicate rate, and the share of docs passing the
-    registered quality gate, one row per source.
+    quality gate, one row per source. The gate here is the
+    EXACT-boundary multiplicative form (n_stop*1e6 <= cap*n_tokens —
+    no division, so no ANSI /0 guard needed); corpus_curate's fixed
+    gate compares the floor-grid ratio, which can differ only for a
+    doc sitting exactly on the cap boundary.
 
     All ratios are exact integer ppm (associative sums + one integral
     divide), so the oracle hashes bit-identically. Scale posture: one

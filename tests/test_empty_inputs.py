@@ -54,6 +54,13 @@ REPRESENTATIVES = [
     "dedup_span_profile",        # span keys + keep-first stats
     "text_redact_pii",           # regex projection over events
     "events_click_attribution",  # interval self-join on events
+    # r4 additions
+    "corpus_curate",             # five-subtree composed audit
+    "corpus_domain_stats",       # domain-key hash-agg telemetry
+    "corpus_quality_quantiles",  # explicit percentile_disc windows
+    "dedup_component_sizes",     # cluster-size histogram
+    "sim_ivf_incremental",       # frozen-codebook new x old probe
+    "corpus_sample_assign",      # mixture-realizing repeat counts
 ]
 
 # these legitimately return constant-row reports even on empty input
