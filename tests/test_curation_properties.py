@@ -168,3 +168,74 @@ def test_redact_matches_python_re(spark, text):
         re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", text)),
     )
     assert got == expect, (text, got, expect)
+
+
+def test_quantile_rank_ceilings_exact():
+    """The pure-integer rank ceilings corpus_quality_quantiles uses —
+    (n+9) div 10, (n+1) div 2, (9n+9) div 10 — must equal
+    ceil(p*n) computed with exact rational arithmetic for every
+    corpus size (the float spelling 0.1*n mis-ceils at boundaries,
+    e.g. 0.1*500 = 50.000000000000007)."""
+    from fractions import Fraction
+    from math import ceil
+
+    for n in range(1, 20001):
+        assert (n + 9) // 10 == ceil(Fraction(1, 10) * n), n
+        assert (n + 1) // 2 == ceil(Fraction(1, 2) * n), n
+        assert (9 * n + 9) // 10 == ceil(Fraction(9, 10) * n), n
+
+
+def test_quantile_disc_model_parity(spark):
+    """corpus_quality_quantiles' explicit window spelling equals a
+    pure-Python percentile_disc over adversarial corpora: ties,
+    single-doc languages, all-identical scores."""
+    from math import ceil
+
+    from projetbigdata_spark.operators.curation import (
+        corpus_quality_quantiles,
+    )
+    from projetbigdata_spark.functions.text import STOPWORDS
+
+    sw = set(STOPWORDS)
+    texts = (
+        ["aa bb", "aa aa", "the the the aa", "aa", "bb cc dd aa bb"]
+        + ["the aa"] * 3          # ties on identical scores
+        + ["zz " * 30]            # long doc, zero stopwords
+    )
+    d = _stage(spark, texts)
+    got = {
+        r.lang: r for r in corpus_quality_quantiles(spark, d).collect()
+    }
+
+    # python model over the same integer grids
+    stats = []
+    for t in texts:
+        w = [x for x in t.lower().split() if x]
+        if not w:
+            continue
+        n_stop = sum(1 for x in w if x in sw)
+        uniq = len(set(w))
+        stats.append(
+            (
+                n_stop * 1_000_000 // len(w),
+                1_000_000 - uniq * 1_000_000 // len(w),
+            )
+        )
+    n = len(stats)
+
+    def disc(vals, p_num, p_den):
+        # exact integer ceiling — not ceil(p*n) in floats, which is
+        # the boundary bug class this file exists to catch
+        rank = (p_num * n + p_den - 1) // p_den
+        return sorted(vals)[rank - 1] if n else None
+
+    stops = [s for s, _ in stats]
+    dups = [d_ for _, d_ in stats]
+    r = got["en"]
+    assert r.n_docs == n
+    assert r.stop_ppm_p10 == disc(stops, 1, 10)
+    assert r.stop_ppm_p50 == disc(stops, 1, 2)
+    assert r.stop_ppm_p90 == disc(stops, 9, 10)
+    assert r.dup_ppm_p10 == disc(dups, 1, 10)
+    assert r.dup_ppm_p50 == disc(dups, 1, 2)
+    assert r.dup_ppm_p90 == disc(dups, 9, 10)
