@@ -577,7 +577,7 @@ def corpus_curate(
     if thresholds not in ("fixed", "calibrated"):
         raise ValueError(f"thresholds must be fixed|calibrated: {thresholds!r}")
     from projetbigdata_spark.operators.dedup import (
-        dedup_components_minhash,
+        dedup_components_prefiltered,
         dedup_exact,
     )
     from projetbigdata_spark.operators.repetition import (
@@ -599,7 +599,12 @@ def corpus_curate(
         "doc_id", "dup_word_frac", "top_bigram_share"
     )
     ex = dedup_exact(spark, sf_dir).select("content_md5", "keep_id")
-    comp = dedup_components_minhash(spark, sf_dir)
+    # prefiltered tier, not plain dedup_components_minhash: row-
+    # identical output (same oracle SQL registered for both), but
+    # exact-clone cliques collapse BEFORE label propagation — 1.75x
+    # at the replica-heavy sf5 soak where this subtree dominates the
+    # composed audit's wall (SCALE.md)
+    comp = dedup_components_prefiltered(spark, sf_dir)
     cont = contamination_ngram_overlap(spark, sf_dir).select(
         "doc_id", "overlap_ppm"
     )
