@@ -399,16 +399,22 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup) and a keep flag — exactly the frame a pipeline joins
     against to emit the deduplicated training corpus.
 
-    Consumes dedup_components (verified-Jaccard edges → min-label
-    propagation); docs outside every component pass through the left
-    join untouched, so the output is always full-corpus (one row per
-    document, keep-count + drop-count add up — auditable, not
-    implied)."""
-    from projetbigdata_spark.operators.dedup import dedup_components
+    Consumes the verified-Jaccard component labels via the r4
+    exact-clone-collapse tier (dedup_components_verified_prefiltered —
+    row-identical to dedup_components, same COMPONENTS_SQL oracle, but
+    clique edges between exact replicas never reach the
+    posting-expansion verification join, which is where this
+    full-corpus materialization spends its wall at crawl scale); docs
+    outside every component pass through the left join untouched, so
+    the output is always full-corpus (one row per document, keep-count
+    + drop-count add up — auditable, not implied)."""
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_verified_prefiltered,
+    )
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    comp = dedup_components(spark, sf_dir)
+    comp = dedup_components_verified_prefiltered(spark, sf_dir)
     return docs.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias(

@@ -1176,6 +1176,86 @@ def dedup_components_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_verified_prefiltered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_components (VERIFIED-Jaccard edges) with the exact-clone
+    collapse of dedup_components_prefiltered (r4): identical texts
+    have identical signatures AND identical full posting sets, so the
+    row-identity argument carries over to the verified tier verbatim —
+    candidates among representatives see exactly the cross-rep LSH
+    collisions the full graph saw, the exact-Jaccard verdict on each
+    is unchanged (same posting sets), and an exact-dup clique's
+    internal edges are all jaccard 1.0 >= threshold, reproduced by the
+    n_exact >= 2 fan-out rule. Same COMPONENTS_SQL oracle as
+    dedup_components.
+
+    This is the subtree under dedup_keep_canonical — the full-corpus
+    keep/canonical materialization — so at replica-heavy crawl scale
+    the collapse pays exactly where the pipeline's final dedup pass
+    runs. Verification cost drops with the square of the mean clone
+    count (clique edges never reach the posting-expansion join)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_h")
+    )
+    buckets = dedup_minhash_buckets(spark, sf_dir).localCheckpoint()
+    signed = docs.join(buckets.select("doc_id").distinct(), "doc_id")
+    groups = signed.groupBy("text_h").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_exact")
+    )
+    rep_map = signed.join(groups, "text_h").select("doc_id", "rep", "n_exact")
+    reps = rep_map.where(F.col("doc_id") == F.col("rep")).select("doc_id")
+    rep_buckets = (
+        buckets.join(reps, "doc_id")
+        .repartition("band", "bucket")
+        .localCheckpoint()
+    )
+    cand = (
+        rep_buckets.alias("x")
+        .join(
+            rep_buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    postings = _hashed_shingles(spark, sf_dir)
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = postings.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = postings.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    micros = (F.col("n_inter") * 1_000_000).cast("bigint")
+    jac = (micros - micros % union_sz) / union_sz / F.lit(1_000_000.0)
+    edges = (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .where(jac >= VERIFIED_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = _min_label_components(edges)
+    return (
+        rep_map.join(labels, rep_map.rep == labels.node, "left_outer")
+        .where(F.col("label").isNotNull() | (F.col("n_exact") >= 2))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("rep")).alias("component_id"),
+        )
+    )
+
+
 LEVENSHTEIN_CAP = 200
 
 
@@ -1315,6 +1395,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_components_minhash": dedup_components_minhash,
     "dedup_components_prefiltered": dedup_components_prefiltered,
+    "dedup_components_verified_prefiltered": dedup_components_verified_prefiltered,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
@@ -1332,6 +1413,7 @@ ORACLE_SQL = {
     "dedup_components": COMPONENTS_SQL,
     "dedup_components_minhash": COMPONENTS_MINHASH_SQL,
     "dedup_components_prefiltered": COMPONENTS_MINHASH_SQL,
+    "dedup_components_verified_prefiltered": COMPONENTS_SQL,
     "dedup_embedding_cosine": EMBED_COSINE_SQL,
     "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
