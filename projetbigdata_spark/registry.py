@@ -38,6 +38,11 @@ _PRIORITY = (
     "sim_ivf_incremental",
     "corpus_sample_assign",
     "corpus_quality_quantiles",
+    "dedup_components_verified_prefiltered",
+    # keep_canonical's green r3 row predates its r4 subtree swap to
+    # the verified-prefiltered tier (row-identical by oracle, but the
+    # bar is a driver row that POSTDATES the last behavioral change)
+    "dedup_keep_canonical",
     # --- modified r4: DECIMAL(38,0) widening of the ppb product ---
     "text_unigram_freq_score",
     # --- green row predates its last behavioral change (r3 233bb36) ---
@@ -45,7 +50,9 @@ _PRIORITY = (
     # --- last green row is r1: refresh the oldest ledger entries ---
     "vocab_topk",
     "chunk_documents_udtf",
-    "chunk_documents_expr",
+    # (chunk_documents_expr yields its slot to the r4 dedup additions:
+    # its riskier Python-UDTF twin keeps a slot; the expression twin's
+    # equality is pytest-pinned)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -83,7 +90,8 @@ _PRIORITY = (
     "agg_grouping_sets",
     "agg_percentiles",
     "agg_salted_user_totals",
-    "agg_histogram_bins",
+    # (agg_histogram_bins yields its slot to the r4 dedup additions:
+    # zero-join floor-division binning, lowest-risk remaining agg)
     "q13_customer_distribution",
     "q16_supplier_breadth",
     "q17_small_quantity_revenue",
