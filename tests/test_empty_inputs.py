@@ -45,6 +45,7 @@ REPRESENTATIVES = [
     "corpus_vocab_growth",       # decile charge vs null max_doc
     "corpus_shingle_stats",      # df histogram
     "dedup_components_prefiltered",  # exact-collapse + propagation loop
+    "dedup_components_verified_prefiltered",  # collapse + verified ladder
     "text_pos_universal",        # universal-tag CASE chain
     "corpus_health_report",      # telemetry report (7 rows, zero/null)
     # r3 curation tier + stream-stream batch twin
