@@ -239,3 +239,68 @@ def test_quantile_disc_model_parity(spark):
     assert r.dup_ppm_p10 == disc(dups, 1, 10)
     assert r.dup_ppm_p50 == disc(dups, 1, 2)
     assert r.dup_ppm_p90 == disc(dups, 9, 10)
+
+
+def test_sample_assign_matches_python_model(spark):
+    """corpus_sample_assign vs an independent pure-Python model on a
+    multi-language corpus with an out-of-mixture language and empty
+    docs: per-doc epochs_micros and n_repeats must match exactly
+    (integer arithmetic end-to-end — any float sneaking into the
+    Spark path would diverge at the div boundaries)."""
+    import tempfile
+
+    from projetbigdata_spark.operators.packing import (
+        MIX_TARGETS,
+        corpus_sample_assign,
+    )
+
+    rows = [
+        (0, "aa bb cc", "en"),
+        (1, "aa aa", "en"),
+        (2, "", "en"),                 # empty doc: 0 tokens
+        (3, "dd dd dd dd", "fr"),
+        (4, "bb", "fr"),
+        (5, "cc cc cc", "xx"),         # language outside MIX_TARGETS
+        (6, "aa " * 40, "de"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_tokens, r.bucket, r.epochs_micros, r.n_repeats)
+        for r in corpus_sample_assign(spark, d).collect()
+    }
+
+    # python model
+    n_tok = {i: len(_toks(t)) for i, t, _ in rows}
+    lang_of = {i: lang for i, _, lang in rows}
+    lang_tokens: Counter = Counter()
+    for i, _, lang in rows:
+        lang_tokens[lang] += n_tok[i]
+    total = sum(lang_tokens.values())
+    eps = {
+        lang: (
+            int(round(MIX_TARGETS[lang] * 1_000_000)) * total
+            // lang_tokens[lang]
+            if lang in MIX_TARGETS
+            else 0
+        )
+        for lang in lang_tokens
+    }
+    assert set(got) == {i for i, _, _ in rows}
+    for i, _, lang in rows:
+        bucket = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        )
+        e = eps[lang]
+        expect = (
+            n_tok[i],
+            bucket,
+            e,
+            e // 1_000_000 + (1 if bucket < e % 1_000_000 else 0),
+        )
+        assert got[i] == expect, (i, got[i], expect)
