@@ -197,11 +197,89 @@ QUALIFY rnk <= 50
 """
 
 
+SEARCH_TERMS = ("hash", "join", "scan")  # the fixed query; a serving
+# layer parameterizes this — constant here so the oracle is static
+SEARCH_TOP_N = 20
+
+
+def text_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search over the corpus — the retrieval
+    query a curation/inspection UI runs against the inverted index:
+    documents containing ALL query terms, ranked by an integer-exact
+    tf×rarity score (rarity = 1e6 div df — the idf slot without ln(),
+    whose last-ulp libm divergence is the documented cross-engine
+    residual), top-20 with doc_id tiebreak.
+
+    Scale posture: the term filter lands directly on the exploded
+    token stream (|terms| tiny ⟹ the postings that survive are a
+    vanishing fraction of the corpus), df/tf are two skinny hash-aggs,
+    the per-term weight table is |terms| rows (broadcast), the
+    conjunctive gate is count(distinct token) = |terms| inside the
+    same per-doc agg, and the global top-20 is TakeOrderedAndProject —
+    no full sort, no single-partition window, no driver collect."""
+    tune(spark)
+    docs = load_documents_parallel(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    ).where(F.col("token").isin(*SEARCH_TERMS))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(tf * (CAST(1000000 AS BIGINT) div df))").alias(
+                "score"
+            ),
+            F.countDistinct("token").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .where(F.col("n_terms") == len(SEARCH_TERMS))
+    )
+    return (
+        scored.select("doc_id", "score", "total_tf")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(SEARCH_TOP_N)
+    )
+
+
+_terms_list = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+SEARCH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, t AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+    WHERE t IN ({_terms_list})
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf * (CAST(1000000 AS BIGINT) // df.df))
+                AS BIGINT) AS score,
+           count(DISTINCT tf.token) AS n_terms,
+           CAST(sum(tf.tf) AS BIGINT) AS total_tf
+    FROM tf JOIN df USING (token)
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score, total_tf
+FROM scored
+WHERE n_terms = {len(SEARCH_TERMS)}
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_TOP_N}
+"""
+
+
 QUERIES = {
     "text_tf": text_tf,
     "text_idf": text_idf,
     "text_tfidf_top": text_tfidf_top,
     "text_ngram_counts": text_ngram_counts,
+    "text_search_topk": text_search_topk,
 }
 
 ORACLE_SQL = {
@@ -209,4 +287,5 @@ ORACLE_SQL = {
     "text_idf": IDF_SQL,
     "text_tfidf_top": TFIDF_SQL,
     "text_ngram_counts": NGRAM_SQL,
+    "text_search_topk": SEARCH_SQL,
 }
