@@ -56,6 +56,7 @@ REPRESENTATIVES = [
     "text_redact_pii",           # regex projection over events
     "events_click_attribution",  # interval self-join on events
     # r4 additions
+    "text_search_topk",          # inverted-index conjunctive retrieval
     "corpus_curate",             # five-subtree composed audit
     "corpus_domain_stats",       # domain-key hash-agg telemetry
     "corpus_quality_quantiles",  # explicit percentile_disc windows

@@ -92,3 +92,44 @@ def test_integer_grid_division_is_exact_6dp_floor(num, den):
     assert (micros - micros % den) // den == q
     assert q < 2**53
     assert grid == q / 1_000_000.0
+
+
+def test_search_topk_conjunctive_semantics(spark, tmp_path):
+    """text_search_topk on constructed docs: conjunctive gate (a doc
+    missing any term never surfaces), exact integer scoring vs a
+    hand-computed model, rank order with doc_id tiebreak."""
+    from projetbigdata_spark.operators.tfidf import (
+        SEARCH_TERMS,
+        text_search_topk,
+    )
+
+    assert SEARCH_TERMS == ("hash", "join", "scan")
+    texts = [
+        "hash join scan",                  # all terms once
+        "hash hash join join scan scan",   # all terms twice
+        "hash join",                       # missing scan -> excluded
+        "scan scan scan",                  # missing two -> excluded
+        "hash join scan scan",             # mixed tf
+        "nothing relevant here",
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = text_search_topk(spark, d).collect()
+    got = [(r.doc_id, r.score, r.total_tf) for r in rows]
+
+    # model: df(hash)=3 (docs 0,1,4... plus doc 2) -> recount:
+    # hash in docs {0,1,2,4}, join in {0,1,2,4}, scan in {0,1,3,4}
+    df = {"hash": 4, "join": 4, "scan": 4}
+    w = {t: 1_000_000 // df[t] for t in df}
+    def score(tf_map):
+        return sum(tf_map[t] * w[t] for t in tf_map)
+    expect = [
+        (1, score({"hash": 2, "join": 2, "scan": 2}), 6),
+        (4, score({"hash": 1, "join": 1, "scan": 2}), 4),
+        (0, score({"hash": 1, "join": 1, "scan": 1}), 3),
+    ]
+    assert got == expect, (got, expect)
