@@ -592,10 +592,17 @@ def corpus_curate(
     from projetbigdata_spark.operators.textstats import text_quality_scores
 
     tune(spark)
+    # coalesce the content key: md5(NULL) is NULL and an inner join on
+    # a NULL key silently DROPS null-text docs from the audit in both
+    # engines — full-corpus means full-corpus, so null-text docs form
+    # one '<NULL>' exact group instead (keeper = min doc_id, matching
+    # dedup_exact's NULL-group keep_id)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.md5(F.lower("text")).alias("content_md5"),
+        F.coalesce(F.md5(F.lower("text")), F.lit("<NULL>")).alias(
+            "content_md5"
+        ),
         _split_col().alias("split"),
     )
     qual = text_quality_scores(spark, sf_dir).select(
@@ -604,7 +611,12 @@ def corpus_curate(
     rep = text_repetition_scores(spark, sf_dir).select(
         "doc_id", "dup_word_frac", "top_bigram_share"
     )
-    ex = dedup_exact(spark, sf_dir).select("content_md5", "keep_id")
+    ex = dedup_exact(spark, sf_dir).select(
+        F.coalesce(F.col("content_md5"), F.lit("<NULL>")).alias(
+            "content_md5"
+        ),
+        "keep_id",
+    )
     # prefiltered tier, not plain dedup_components_minhash: row-
     # identical output (same oracle SQL registered for both), but
     # exact-clone cliques collapse BEFORE label propagation — 1.75x
@@ -700,11 +712,13 @@ def _corpus_curate_sql() -> str:
 WITH qual AS (SELECT doc_id, n_tokens, stop_ratio FROM ({QUALITY_SQL})),
 rep AS (SELECT doc_id, dup_word_frac, top_bigram_share
         FROM ({REPETITION_SQL})),
-ex AS ({EXACT_SQL}),
+ex AS (SELECT coalesce(content_md5, '<NULL>') AS content_md5, keep_id
+       FROM ({EXACT_SQL})),
 comp AS (SELECT * FROM ({COMPONENTS_MINHASH_SQL})),
 cont AS (SELECT doc_id, overlap_ppm FROM ({CONTAMINATION_NGRAM_SQL})),
 d AS (
-    SELECT doc_id, md5(lower(text)) AS content_md5,
+    SELECT doc_id,
+           coalesce(md5(lower(text)), '<NULL>') AS content_md5,
            CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
                      AS BIGINT) % 100 < 80 THEN 'train'
                 WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)

@@ -52,6 +52,13 @@ PER_DOC_KEEPERS = [
     # null text -> EMPTY payload (with_payload guard): the row keeps
     # n_bytes=0 / first_byte=-1 instead of crashing the pandas kernel
     "multimodal_meta",
+    # r4: the composed audit is full-corpus BY CONTRACT — null-text
+    # docs form the '<NULL>' exact group instead of vanishing through
+    # a NULL-key inner join (fixed r4 on inspection; this row is the
+    # regression gate), and the sampler assigns every doc a repeat
+    # count (0 tokens -> epochs of its language, n_tokens=0)
+    "corpus_curate",
+    "corpus_sample_assign",
 ]
 
 EXPLODE_DROPPERS = [
@@ -73,12 +80,20 @@ DEDUP_FAMILY = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_components_prefiltered",
+    "dedup_components_verified_prefiltered",
+    "dedup_component_sizes",
     "multimodal_content_dedup",
+]
+
+MISC_R4 = [
+    "text_search_topk",          # null tokens never match the terms
+    "corpus_domain_stats",       # per-source agg over null-text rows
+    "corpus_quality_quantiles",  # 0-token docs excluded by definition
 ]
 
 
 @pytest.mark.parametrize(
-    "name", PER_DOC_KEEPERS + EXPLODE_DROPPERS + DEDUP_FAMILY
+    "name", PER_DOC_KEEPERS + EXPLODE_DROPPERS + DEDUP_FAMILY + MISC_R4
 )
 def test_runs_with_null_and_empty_text(spark, nulled_sf_dir, name):
     from projetbigdata_spark import registry
@@ -168,6 +183,7 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "events_click_attribution",
         "map_functions",   # null event_type must coalesce, not crash
         "scd2_history",    # pinned NULLS LAST ordering
+        "sim_ivf_incremental",  # null embeddings: no signature, no row
     ],
 )
 def test_runs_with_null_events_and_embeddings(
