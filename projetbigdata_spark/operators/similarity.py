@@ -742,7 +742,11 @@ def incremental_ann_match(
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
     cand = probes.join(posting, "cid").select("query_id", "vec_id")
-    q = new_norm.select(
+    # drop zero/null-norm arrivals here, not in callers: a NULL qnorm
+    # yields NULL cosines whose DESC ordering differs between engines
+    # (Spark NULLS LAST vs DuckDB NULLS FIRST) — no-signature arrivals
+    # get no verdict rows, the dedup_incremental convention
+    q = new_norm.where(F.col("norm").isNotNull()).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("norm").alias("qnorm"),
