@@ -771,10 +771,13 @@ def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All ratios are exact integer ppm (associative sums + one integral
     divide), so the oracle hashes bit-identically. Scale posture: one
-    map-side token/flag projection + one hash-agg on the domain key —
-    domains are the natural partition of a web corpus, and the output
-    is |domains| rows (small); skewed mega-domains cost one hot
-    reducer for ONE row's partial-agg merge, not a fan-out."""
+    map-side token/flag projection, then the two count-distinct
+    dimensions (lang, content_md5) ride Spark's Expand + two-phase
+    distinct agg on the domain key — 2 exchanges of skinny rows
+    (PLANS.md), tripled pre-shuffle row count but each row ~50 bytes.
+    Domains are the natural partition of a web corpus and the output
+    is |domains| rows (small); skewed mega-domains cost hot reducers
+    for ONE domain's partial merges, not a fan-out."""
     from projetbigdata_spark.operators.textstats import _SW_ARRAY
 
     tune(spark)

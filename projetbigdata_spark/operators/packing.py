@@ -223,10 +223,14 @@ def corpus_sample_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "lang",
+            # lang_tokens > 0 guard: a language whose every doc is
+            # empty would hit an ANSI divide-by-zero (and DuckDB's //0
+            # error) — such a language has nothing to sample; 0 repeats
             F.coalesce(
                 F.expr(
-                    "CAST((CAST(tm AS DECIMAL(38,0)) * total_tokens)"
-                    " div lang_tokens AS BIGINT)"
+                    "CASE WHEN lang_tokens > 0 THEN"
+                    " CAST((CAST(tm AS DECIMAL(38,0)) * total_tokens)"
+                    " div lang_tokens AS BIGINT) END"
                 ),
                 F.lit(0).cast("bigint"),
             ).alias("epochs_micros"),
@@ -267,8 +271,9 @@ per_lang AS (
 tot AS (SELECT sum(lang_tokens) AS total_tokens FROM per_lang),
 epochs AS (
     SELECT lang,
-           coalesce(CAST((tm::HUGEINT * total_tokens) // lang_tokens
-                         AS BIGINT), 0) AS epochs_micros
+           coalesce(CASE WHEN lang_tokens > 0 THEN
+                        CAST((tm::HUGEINT * total_tokens) // lang_tokens
+                             AS BIGINT) END, 0) AS epochs_micros
     FROM per_lang, tot
 )
 SELECT d.doc_id, d.lang, d.n_tokens, d.bucket, e.epochs_micros,

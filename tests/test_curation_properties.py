@@ -262,6 +262,8 @@ def test_sample_assign_matches_python_model(spark):
         (4, "bb", "fr"),
         (5, "cc cc cc", "xx"),         # language outside MIX_TARGETS
         (6, "aa " * 40, "de"),
+        (7, "", "zh"),                 # in-mixture lang with ZERO
+        # tokens: must yield epochs 0, not an ANSI divide-by-zero
     ]
     d = tempfile.mkdtemp()
     spark.createDataFrame(
@@ -285,7 +287,7 @@ def test_sample_assign_matches_python_model(spark):
         lang: (
             int(round(MIX_TARGETS[lang] * 1_000_000)) * total
             // lang_tokens[lang]
-            if lang in MIX_TARGETS
+            if lang in MIX_TARGETS and lang_tokens[lang] > 0
             else 0
         )
         for lang in lang_tokens
