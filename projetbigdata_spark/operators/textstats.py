@@ -384,6 +384,72 @@ ORDER BY metric
 """
 
 
+BPE_TOP_PAIRS = 30
+
+
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's core computation, corpus-wide: the
+    frequency of every ADJACENT CHARACTER PAIR inside words (weighted
+    by word occurrence), top-30 — the pair a byte-pair-encoding
+    trainer would merge next. Iterating this (merge the top pair,
+    re-derive) IS BPE training; the registered query pins the first
+    iteration's exact counts so a tokenizer-training pipeline on this
+    engine has its hot primitive oracle-checked.
+
+    Plan: tokenize -> per-word corpus counts FIRST (one hash-agg on
+    the word key — the corpus is Zipfian, so downstream char work is
+    per distinct word, not per occurrence: the standard BPE-trainer
+    trick), then in-row char-pair explode over the distinct-word
+    table weighted by word count, one final pair hash-agg,
+    TakeOrderedAndProject for the top-30."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    # guard len>=2: Spark's sequence(1, 0) generates DESCENDING
+    # [1, 0], not empty — single-char words must contribute nothing
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = words.select("wc", F.explode(pair_arr).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH words AS (
+    SELECT t AS w, count(*) AS wc
+    FROM (SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY t
+),
+pairs AS (
+    SELECT wc, substr(w, i, 2) AS pair
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+    WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "text_clean_lower": text_clean_lower,
     "text_quality_scores": text_quality_scores,
@@ -392,6 +458,7 @@ QUERIES = {
     "text_fingerprints": text_fingerprints,
     "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_health_report": corpus_health_report,
+    "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
 }
 
 ORACLE_SQL = {
@@ -402,4 +469,5 @@ ORACLE_SQL = {
     "text_fingerprints": FINGERPRINT_SQL,
     "corpus_vocab_growth": VOCAB_GROWTH_SQL,
     "corpus_health_report": HEALTH_SQL,
+    "corpus_bpe_pair_counts": BPE_PAIRS_SQL,
 }
