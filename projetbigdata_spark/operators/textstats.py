@@ -471,3 +471,174 @@ ORACLE_SQL = {
     "corpus_health_report": HEALTH_SQL,
     "corpus_bpe_pair_counts": BPE_PAIRS_SQL,
 }
+
+
+BPE_N_MERGES = 3
+_BPE_SEP = "\x01"  # symbol separator for the ORACLE's string encoding;
+# tokens come from whitespace tokenization so \x01 cannot occur in one
+
+
+def _bpe_merge_fold(syms: Column, p1: Column, p2: Column) -> Column:
+    """Apply ONE learned merge to a symbol array: greedy left-to-right
+    non-overlapping replacement of adjacent (p1, p2) with p1||p2 — the
+    exact application rule of a BPE trainer. try_element_at (not
+    element_at): the accumulator starts empty and ANSI element_at
+    throws on out-of-bounds instead of returning NULL."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == p1) & (x == p2),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(p1, p2)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_top_pair(state: DataFrame, step: int) -> DataFrame:
+    """(step, p1, p2, n): the highest-weighted adjacent symbol pair of
+    the current state; ties broken lexicographically on (p1, p2) so
+    the training trajectory is fully deterministic."""
+    pair_arr = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("p1"),
+                F.element_at(F.col("syms"), i + 1).alias("p2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
+    return (
+        state.select("wc", F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "p1", "p2")
+        .limit(1)
+        .select(F.lit(step).cast("int").alias("step"), "p1", "p2", "n")
+    )
+
+
+def corpus_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """BPE tokenizer TRAINING as a distributed dataflow: learn the
+    first n merge rules over the corpus — each step picks the
+    highest-weighted adjacent symbol pair and rewrites every word by
+    greedy left-to-right merge, exactly the algorithm of Sennrich et
+    al.'s subword-units BPE. Output: (step, p1, p2, n), the learned
+    merge table a tokenizer ships.
+
+    Fully distributed: like corpus_bpe_pair_counts, all symbol work
+    runs over the DISTINCT-word table weighted by corpus count
+    (cost ∝ vocabulary, not corpus); each step's argmax pair is a
+    1-row frame bound back into the rewrite via broadcast crossJoin —
+    no driver collect anywhere; per-step localCheckpoint keeps the
+    iteration lineage flat (the components-loop idiom).
+
+    Oracle: the iteration UNROLLED to CTEs, with merge application
+    spelled as single-pass string replace over a DOUBLE-separator
+    encoding ('··a··b··', pattern '·p1··p2·' -> '·p1p2·': the match
+    consumes the boundary's inner halves and leaves the outer halves
+    for the neighboring pair, which makes one replace() pass exactly
+    equal to the greedy fold — verified against a pure-Python BPE
+    model in tests/test_text_properties.py, including the consecutive
+    same-pair case replace-with-single-separators gets wrong)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    state = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select("wc", chars.alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    merge_frames = []
+    for step in range(1, n_merges + 1):
+        top = _bpe_top_pair(state, step).localCheckpoint(eager=False)
+        merge_frames.append(top)
+        state = (
+            state.crossJoin(F.broadcast(top.select("p1", "p2")))
+            .select(
+                "wc",
+                _bpe_merge_fold(
+                    F.col("syms"), F.col("p1"), F.col("p2")
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merge_frames[0]
+    for f in merge_frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _bpe_step_ctes(step: int) -> str:
+    """One unrolled BPE step as DuckDB CTE text: top pair of state
+    s{step-1}, then the double-separator replace producing s{step}."""
+    prev, sep = f"s{step - 1}", "chr(1)"
+    return f"""
+p{step} AS (
+    SELECT {step} AS step, p1, p2, CAST(sum(wc) AS BIGINT) AS n
+    FROM (
+        SELECT wc,
+               syms[i] AS p1, syms[i + 1] AS p2
+        FROM (SELECT wc,
+                     list_filter(string_split(s, {sep}), x -> x <> '')
+                         AS syms
+              FROM {prev}),
+             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1))
+                      AS i)
+    )
+    GROUP BY p1, p2
+    ORDER BY n DESC, p1, p2
+    LIMIT 1
+),
+s{step} AS (
+    SELECT wc,
+           replace(s,
+                   {sep} || p1 || {sep} || {sep} || p2 || {sep},
+                   {sep} || p1 || p2 || {sep}) AS s
+    FROM {prev} CROSS JOIN p{step}
+)"""
+
+
+def _bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
+    steps = ",".join(_bpe_step_ctes(k) for k in range(1, n_merges + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(step AS INT) AS step, p1, p2, n FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT t AS w, count(*) AS wc
+    FROM (SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY t
+),
+s0 AS (
+    SELECT wc,
+           chr(1) || chr(1) ||
+           array_to_string(
+               [substr(w, i, 1) for i in generate_series(1, len(w))],
+               chr(1) || chr(1)) ||
+           chr(1) || chr(1) AS s
+    FROM words
+),
+{steps}
+{union}
+"""
+
+
+# registered below their definitions (QUERIES/ORACLE_SQL literals sit
+# earlier in the module)
+QUERIES["corpus_bpe_merges"] = corpus_bpe_merges
+ORACLE_SQL["corpus_bpe_merges"] = _bpe_merges_sql()

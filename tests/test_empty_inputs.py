@@ -57,6 +57,8 @@ REPRESENTATIVES = [
     "events_click_attribution",  # interval self-join on events
     # r4 additions
     "text_search_topk",          # inverted-index conjunctive retrieval
+    "corpus_bpe_pair_counts",    # BPE pair counting over distinct words
+    "corpus_bpe_merges",         # iterative BPE training (empty -> 0 merges)
     "corpus_curate",             # five-subtree composed audit
     "corpus_domain_stats",       # domain-key hash-agg telemetry
     "corpus_quality_quantiles",  # explicit percentile_disc windows

@@ -133,3 +133,82 @@ def test_search_topk_conjunctive_semantics(spark, tmp_path):
         (0, score({"hash": 1, "join": 1, "scan": 1}), 3),
     ]
     assert got == expect, (got, expect)
+
+
+def _python_bpe(word_counts, n_merges):
+    """Reference BPE trainer: greedy left-to-right merge application,
+    ties broken lexicographically on (p1, p2)."""
+    state = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        from collections import Counter
+
+        pc = Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best_n = max(pc.values())
+        p1, p2 = min(p for p, c in pc.items() if c == best_n)
+        merges.append((step, p1, p2, best_n))
+        new = {}
+        for syms, c in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == p1 and x == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(x)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        state = new
+    return merges
+
+
+def test_bpe_merges_match_python_model(spark, tmp_path):
+    """corpus_bpe_merges (Spark array-fold) AND its DuckDB oracle
+    (double-separator string replace) vs the reference Python BPE
+    trainer — on a corpus built to hit the hard cases: consecutive
+    same-pair runs (aaaa), merges at word start/end, a merged symbol
+    adjacent to its own pair (abab), tie-broken pairs, and single-char
+    words."""
+    import duckdb
+
+    from projetbigdata_spark.operators.textstats import (
+        _bpe_merges_sql,
+        corpus_bpe_merges,
+    )
+
+    texts = [
+        "aaaa aaaa abab",        # same-pair runs + re-adjacent merges
+        "ab ab ba a b",          # ties and word boundaries
+        "xy xyz zyx x aaaa",
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    wc = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    expect = set(_python_bpe(wc, 3))
+
+    got_spark = {
+        (r.step, r.p1, r.p2, r.n)
+        for r in corpus_bpe_merges(spark, d).collect()
+    }
+    assert got_spark == expect, (got_spark, expect)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    got_duck = set(
+        tuple(row) for row in con.execute(_bpe_merges_sql()).fetchall()
+    )
+    assert got_duck == expect, (got_duck, expect)
