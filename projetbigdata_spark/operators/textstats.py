@@ -642,3 +642,85 @@ s0 AS (
 # earlier in the module)
 QUERIES["corpus_bpe_merges"] = corpus_bpe_merges
 ORACLE_SQL["corpus_bpe_merges"] = _bpe_merges_sql()
+
+
+BPE_VOCAB_TOP = 30
+
+
+def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus vocabulary AFTER applying the learned BPE merges:
+    re-run the corpus_bpe_merges training loop, then count every
+    surviving symbol weighted by word occurrence — top-30 by count.
+    This is the artifact a tokenizer's vocab file starts from, and
+    the direct measure of what the merges bought (pre-merge, the
+    symbol inventory is single characters; post-merge it carries the
+    learned multi-char units)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    state = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select("wc", chars.alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    for step in range(1, BPE_N_MERGES + 1):
+        top = _bpe_top_pair(state, step).localCheckpoint(eager=False)
+        state = (
+            state.crossJoin(F.broadcast(top.select("p1", "p2")))
+            .select(
+                "wc",
+                _bpe_merge_fold(
+                    F.col("syms"), F.col("p1"), F.col("p2")
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        state.select("wc", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "symbol")
+        .limit(BPE_VOCAB_TOP)
+    )
+
+
+def _bpe_vocab_sql() -> str:
+    steps = ",".join(
+        _bpe_step_ctes(k) for k in range(1, BPE_N_MERGES + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT t AS w, count(*) AS wc
+    FROM (SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY t
+),
+s0 AS (
+    SELECT wc,
+           chr(1) || chr(1) ||
+           array_to_string(
+               [substr(w, i, 1) for i in generate_series(1, len(w))],
+               chr(1) || chr(1)) ||
+           chr(1) || chr(1) AS s
+    FROM words
+),
+{steps}
+SELECT symbol, CAST(sum(wc) AS BIGINT) AS n
+FROM (SELECT wc, unnest(list_filter(string_split(s, chr(1)),
+                                    x -> x <> '')) AS symbol
+      FROM s{BPE_N_MERGES})
+GROUP BY symbol
+ORDER BY n DESC, symbol
+LIMIT {BPE_VOCAB_TOP}
+"""
+
+
+QUERIES["corpus_bpe_vocab"] = corpus_bpe_vocab
+ORACLE_SQL["corpus_bpe_vocab"] = _bpe_vocab_sql()

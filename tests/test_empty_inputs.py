@@ -59,6 +59,7 @@ REPRESENTATIVES = [
     "text_search_topk",          # inverted-index conjunctive retrieval
     "corpus_bpe_pair_counts",    # BPE pair counting over distinct words
     "corpus_bpe_merges",         # iterative BPE training (empty -> 0 merges)
+    "corpus_bpe_vocab",          # post-merge symbol inventory
     "corpus_curate",             # five-subtree composed audit
     "corpus_domain_stats",       # domain-key hash-agg telemetry
     "corpus_quality_quantiles",  # explicit percentile_disc windows
