@@ -39,6 +39,10 @@ _PRIORITY = (
     "corpus_sample_assign",
     "corpus_quality_quantiles",
     "dedup_components_verified_prefiltered",
+    "text_search_topk",
+    "corpus_bpe_pair_counts",
+    "corpus_bpe_merges",
+    "corpus_bpe_vocab",
     # keep_canonical's green r3 row predates its r4 subtree swap to
     # the verified-prefiltered tier (row-identical by oracle, but the
     # bar is a driver row that POSTDATES the last behavioral change)
@@ -56,8 +60,9 @@ _PRIORITY = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "join_semi_urgent",
-    "join_anti_no_urgent",
+    # (join_semi_urgent / join_anti_no_urgent yield their slots to
+    # the late-r4 additions: single semi/anti joins, the lowest-risk
+    # r1-green join surfaces; their r1 rows stand)
     "join_range_late",
     # (scalar_functions yields its slot to the r4 additions: the
     # lowest-risk r1-green query — pure codegen'd projections, no
@@ -65,9 +70,9 @@ _PRIORITY = (
     "agg_rollup",
     "agg_cube",
     "set_ops",
-    "topk_customers",
+    # (topk_customers / q6_forecast_revenue yield their slots too:
+    # sort/limit and a pure pushed-filter agg)
     "sql_frontend_yearly_revenue",
-    "q6_forecast_revenue",
     "q7_nation_volume",
     "q4_order_priority",
     "q10_returned_items",
