@@ -798,11 +798,14 @@ def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     # stop_ratio <= cap on the exact 1e6 grid, spelled
                     # multiplication-only so no division NULLs appear:
-                    # n_stop*1e6 <= cap*1e6*n_tokens
-                )
+                    # n_stop*1e6 <= cap*1e6*n_tokens. Both sides widen
+                    # to BIGINT before multiplying: size() is int32 and
+                    # n*1e6 wraps (or ANSI-aborts) past ~2147 tokens,
+                    # and the DuckDB oracle's len() is already BIGINT.
+                ).cast("bigint")
                 * F.lit(1_000_000)
                 <= F.lit(int(CURATE_MAX_STOPWORD_RATIO * 1_000_000))
-                * F.size(toks)
+                * F.size(toks).cast("bigint")
             )
         ).alias("pass_quality"),
     )

@@ -999,8 +999,14 @@ cand AS (
     FROM qp JOIN a3 USING (cid)
 ),
 nv AS (
+    -- NULLIF mirrors the Spark side's _with_norm (norm is NULL, not
+    -- 0, for zero/empty vectors), and the q.norm IS NOT NULL filter
+    -- below mirrors incremental_ann_match's arrival drop: a zero-norm
+    -- new vector gets NO verdict rows in either engine, instead of up
+    -- to TOP_K NULL-cosine rows here only.
     SELECT vec_id, embedding::DOUBLE[] AS e,
-           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           NULLIF(sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])), 0)
                AS norm
     FROM embeddings
 ),
@@ -1010,6 +1016,7 @@ scored AS (
     FROM cand
     JOIN nv n ON n.vec_id = cand.vec_id
     JOIN nv q ON q.vec_id = cand.query_id
+    WHERE q.norm IS NOT NULL
 )
 SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id

@@ -26,8 +26,11 @@ _SW_ARRAY = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
 
 def _ratio_micros(num: Column, den: Column) -> Column:
     """Exact num/den at 6 decimal digits: integer math then one IEEE
-    division, identical in both engines."""
-    micros = (num * F.lit(1_000_000)).cast("bigint")
+    division, identical in both engines. `num` is widened BEFORE the
+    multiply: callers pass int32 F.size() counts, and n*1e6 wraps (or
+    ANSI-aborts) past ~2147 — DuckDB's len() is BIGINT, so an
+    after-the-fact cast would diverge the engines on long docs."""
+    micros = num.cast("bigint") * F.lit(1_000_000)
     return F.when(den > 0, (micros - micros % den) / den / F.lit(1_000_000.0))
 
 
@@ -474,8 +477,13 @@ ORACLE_SQL = {
 
 
 BPE_N_MERGES = 3
-_BPE_SEP = "\x01"  # symbol separator for the ORACLE's string encoding;
-# tokens come from whitespace tokenization so \x01 cannot occur in one
+_BPE_SEP = "\x01"  # symbol separator for the ORACLE's string encoding.
+# \x01 is NOT whitespace, so a binary-junk "word" CAN carry it and
+# would corrupt the oracle's string encoding while the Spark array
+# fold shrugs it off — both engines therefore EXCLUDE \x01-bearing
+# words from the trainable vocabulary (they're not text; a tokenizer
+# trainer would never see them past byte-level cleaning). The
+# exclusion lives in _bpe_initial_state and the words CTEs below.
 
 
 def _bpe_merge_fold(syms: Column, p1: Column, p2: Column) -> Column:
@@ -495,6 +503,51 @@ def _bpe_merge_fold(syms: Column, p1: Column, p2: Column) -> Column:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def _bpe_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(wc, syms): the distinct-word table split to characters — the
+    shared step-0 state of the BPE trainer. Words containing the
+    oracle separator \\x01 are excluded in BOTH engines (see _BPE_SEP
+    note); cost of everything downstream is ∝ |vocabulary|, not
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    return (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .where(~F.col("w").contains(_BPE_SEP))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select("wc", chars.alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bpe_apply_merge(state: DataFrame, top: DataFrame) -> DataFrame:
+    """Rewrite every word's symbol array with ONE learned merge. `top`
+    is a 1-row-OR-EMPTY frame: a left join on a constant key (not a
+    crossJoin) keeps the state alive when the corpus has run out of
+    adjacent pairs before the merge budget — p1/p2 come back NULL and
+    the rewrite is an explicit no-op, so the surviving symbol
+    inventory reaches the vocab count instead of being annihilated."""
+    joined = state.withColumn("_k", F.lit(1)).join(
+        F.broadcast(
+            top.select(F.lit(1).alias("_k"), "p1", "p2")
+        ),
+        "_k",
+        "left",
+    )
+    return joined.select(
+        "wc",
+        F.when(F.col("p1").isNull(), F.col("syms"))
+        .otherwise(
+            _bpe_merge_fold(F.col("syms"), F.col("p1"), F.col("p2"))
+        )
+        .alias("syms"),
+    ).localCheckpoint(eager=False)
 
 
 def _bpe_top_pair(state: DataFrame, step: int) -> DataFrame:
@@ -534,8 +587,9 @@ def corpus_bpe_merges(
     Fully distributed: like corpus_bpe_pair_counts, all symbol work
     runs over the DISTINCT-word table weighted by corpus count
     (cost ∝ vocabulary, not corpus); each step's argmax pair is a
-    1-row frame bound back into the rewrite via broadcast crossJoin —
-    no driver collect anywhere; per-step localCheckpoint keeps the
+    1-row-or-empty frame bound back into the rewrite via a broadcast
+    constant-key left join (no-op once pairs are exhausted) — no
+    driver collect anywhere; per-step localCheckpoint keeps the
     iteration lineage flat (the components-loop idiom).
 
     Oracle: the iteration UNROLLED to CTEs, with merge application
@@ -547,32 +601,12 @@ def corpus_bpe_merges(
     model in tests/test_text_properties.py, including the consecutive
     same-pair case replace-with-single-separators gets wrong)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
-    )
-    state = (
-        docs.select(F.explode(tokenize("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .select("wc", chars.alias("syms"))
-        .localCheckpoint(eager=False)
-    )
+    state = _bpe_initial_state(spark, sf_dir)
     merge_frames = []
     for step in range(1, n_merges + 1):
         top = _bpe_top_pair(state, step).localCheckpoint(eager=False)
         merge_frames.append(top)
-        state = (
-            state.crossJoin(F.broadcast(top.select("p1", "p2")))
-            .select(
-                "wc",
-                _bpe_merge_fold(
-                    F.col("syms"), F.col("p1"), F.col("p2")
-                ).alias("syms"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        state = _bpe_apply_merge(state, top)
     out = merge_frames[0]
     for f in merge_frames[1:]:
         out = out.unionByName(f)
@@ -601,26 +635,26 @@ p{step} AS (
     LIMIT 1
 ),
 s{step} AS (
+    -- LEFT JOIN ON TRUE + coalesce: when p{step} is EMPTY (pairs
+    -- exhausted before the merge budget) the rewrite is a no-op and
+    -- the state survives, matching _bpe_apply_merge's left join
     SELECT wc,
-           replace(s,
-                   {sep} || p1 || {sep} || {sep} || p2 || {sep},
-                   {sep} || p1 || p2 || {sep}) AS s
-    FROM {prev} CROSS JOIN p{step}
+           coalesce(replace(s,
+                            {sep} || p1 || {sep} || {sep} || p2 || {sep},
+                            {sep} || p1 || p2 || {sep}),
+                    s) AS s
+    FROM {prev} LEFT JOIN p{step} ON TRUE
 )"""
 
 
-def _bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
-    steps = ",".join(_bpe_step_ctes(k) for k in range(1, n_merges + 1))
-    union = "\nUNION ALL\n".join(
-        f"SELECT CAST(step AS INT) AS step, p1, p2, n FROM p{k}"
-        for k in range(1, n_merges + 1)
-    )
-    return f"""
+_BPE_WORDS_S0 = """
 WITH words AS (
+    -- strpos(x, chr(1)) = 0 mirrors _bpe_initial_state: a word
+    -- carrying the separator byte would corrupt this string encoding
     SELECT t AS w, count(*) AS wc
     FROM (SELECT unnest(list_filter(
                      string_split_regex(lower(text), '\\s+'),
-                     x -> x <> '')) AS t
+                     x -> x <> '' AND strpos(x, chr(1)) = 0)) AS t
           FROM documents)
     GROUP BY t
 ),
@@ -632,7 +666,16 @@ s0 AS (
                chr(1) || chr(1)) ||
            chr(1) || chr(1) AS s
     FROM words
-),
+),"""
+
+
+def _bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
+    steps = ",".join(_bpe_step_ctes(k) for k in range(1, n_merges + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(step AS INT) AS step, p1, p2, n FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""{_BPE_WORDS_S0}
 {steps}
 {union}
 """
@@ -654,32 +697,16 @@ def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the artifact a tokenizer's vocab file starts from, and
     the direct measure of what the merges bought (pre-merge, the
     symbol inventory is single characters; post-merge it carries the
-    learned multi-char units)."""
+    learned multi-char units). If the corpus exhausts its adjacent
+    pairs before BPE_N_MERGES, the remaining steps are no-ops and the
+    SURVIVING symbol inventory is returned (not an empty frame — the
+    merge application is a constant-key left join, see
+    _bpe_apply_merge)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
-    )
-    state = (
-        docs.select(F.explode(tokenize("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .select("wc", chars.alias("syms"))
-        .localCheckpoint(eager=False)
-    )
+    state = _bpe_initial_state(spark, sf_dir)
     for step in range(1, BPE_N_MERGES + 1):
         top = _bpe_top_pair(state, step).localCheckpoint(eager=False)
-        state = (
-            state.crossJoin(F.broadcast(top.select("p1", "p2")))
-            .select(
-                "wc",
-                _bpe_merge_fold(
-                    F.col("syms"), F.col("p1"), F.col("p2")
-                ).alias("syms"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        state = _bpe_apply_merge(state, top)
     return (
         state.select("wc", F.explode("syms").alias("symbol"))
         .groupBy("symbol")
@@ -693,24 +720,7 @@ def _bpe_vocab_sql() -> str:
     steps = ",".join(
         _bpe_step_ctes(k) for k in range(1, BPE_N_MERGES + 1)
     )
-    return f"""
-WITH words AS (
-    SELECT t AS w, count(*) AS wc
-    FROM (SELECT unnest(list_filter(
-                     string_split_regex(lower(text), '\\s+'),
-                     x -> x <> '')) AS t
-          FROM documents)
-    GROUP BY t
-),
-s0 AS (
-    SELECT wc,
-           chr(1) || chr(1) ||
-           array_to_string(
-               [substr(w, i, 1) for i in generate_series(1, len(w))],
-               chr(1) || chr(1)) ||
-           chr(1) || chr(1) AS s
-    FROM words
-),
+    return f"""{_BPE_WORDS_S0}
 {steps}
 SELECT symbol, CAST(sum(wc) AS BIGINT) AS n
 FROM (SELECT wc, unnest(list_filter(string_split(s, chr(1)),

@@ -212,3 +212,100 @@ def test_bpe_merges_match_python_model(spark, tmp_path):
         tuple(row) for row in con.execute(_bpe_merges_sql()).fetchall()
     )
     assert got_duck == expect, (got_duck, expect)
+
+
+def _write_docs(spark, tmp_path, texts):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _duck_docs(d):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def test_bpe_pair_exhaustion_keeps_vocab(spark, tmp_path):
+    """ADVICE r4: when the corpus runs out of adjacent pairs before
+    BPE_N_MERGES, the remaining steps must be NO-OPS — the vocab is
+    the surviving symbol inventory, not an empty frame, and the
+    merges table carries exactly the learned steps. Both engines."""
+    from projetbigdata_spark.operators.textstats import (
+        _bpe_merges_sql,
+        _bpe_vocab_sql,
+        corpus_bpe_merges,
+        corpus_bpe_vocab,
+    )
+
+    # one mergeable pair total: step 1 learns (a,b); steps 2-3 see a
+    # corpus of single-symbol words
+    d = _write_docs(spark, tmp_path, ["ab ab a b"])
+
+    expect_merges = {(1, "a", "b", 2)}
+    got_spark = {
+        (r.step, r.p1, r.p2, r.n)
+        for r in corpus_bpe_merges(spark, d).collect()
+    }
+    assert got_spark == expect_merges, got_spark
+
+    expect_vocab = {("ab", 2), ("a", 1), ("b", 1)}
+    got_vocab = {
+        (r.symbol, r.n) for r in corpus_bpe_vocab(spark, d).collect()
+    }
+    assert got_vocab == expect_vocab, got_vocab
+
+    con = _duck_docs(d)
+    assert {
+        tuple(r) for r in con.execute(_bpe_merges_sql()).fetchall()
+    } == expect_merges
+    assert {
+        tuple(r) for r in con.execute(_bpe_vocab_sql()).fetchall()
+    } == expect_vocab
+
+
+def test_bpe_separator_byte_in_word(spark, tmp_path):
+    """ADVICE r4: \\x01 is not whitespace, so a binary-junk word can
+    carry the oracle's separator byte. Both engines exclude such words
+    from the trainable vocabulary; the rest of the corpus trains
+    identically."""
+    from projetbigdata_spark.operators.textstats import (
+        _bpe_merges_sql,
+        _bpe_vocab_sql,
+        corpus_bpe_merges,
+        corpus_bpe_vocab,
+    )
+
+    d = _write_docs(
+        spark, tmp_path, ["a\x01b aa aa ax", "\x01 aa q\x01"]
+    )
+    # trainable words: aa x3, ax x1 -> step1 (a,a,3): aa->[aa]; ax
+    # stays [a,x]; step2 (a,x,1); step3 exhausted
+    expect_merges = {(1, "a", "a", 3), (2, "a", "x", 1)}
+    got_spark = {
+        (r.step, r.p1, r.p2, r.n)
+        for r in corpus_bpe_merges(spark, d).collect()
+    }
+    assert got_spark == expect_merges, got_spark
+
+    expect_vocab = {("aa", 3), ("ax", 1)}
+    got_vocab = {
+        (r.symbol, r.n) for r in corpus_bpe_vocab(spark, d).collect()
+    }
+    assert got_vocab == expect_vocab, got_vocab
+
+    con = _duck_docs(d)
+    assert {
+        tuple(r) for r in con.execute(_bpe_merges_sql()).fetchall()
+    } == expect_merges
+    assert {
+        tuple(r) for r in con.execute(_bpe_vocab_sql()).fetchall()
+    } == expect_vocab
