@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced with a noop-format write — full distributed
 execution, zero driver collect — so timings measure the plans, not
 row shipping to Python.
+
+Per-query numbers are BEST-OF-N (default 3, $SPARK_GRAFT_BENCH_ITERS)
+warm repeats: two rounds of n>=7 triage (SCALE.md, r4/r5) showed
+single-shot timings swing up to 1.8x under transient machine load
+while steady-state minima are stable to a few percent — best-of-3 is
+what a capacity decision would actually be based on. First-call
+timings (persist population + codegen) are kept in "first_call" so
+the cold-path cost stays visible instead of silently dropped.
 """
 
 from __future__ import annotations
@@ -61,11 +69,19 @@ def main() -> None:
     ):
         queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
+    first_call: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        first_call[name] = runs[0]
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -76,6 +92,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "first_call": first_call,
+                "iters": n_iters,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
