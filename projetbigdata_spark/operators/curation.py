@@ -700,7 +700,20 @@ def corpus_curate(
     )
 
 
-def _corpus_curate_sql() -> str:
+def corpus_curate_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered twin of corpus_curate(thresholds="calibrated")
+    (VERDICT r4 item 5): the same composed curation-ladder audit, with
+    the quality/repetition ceilings swapped for CORPUS-RELATIVE
+    per-language p90s from corpus_quality_quantiles — each language
+    keeps its cleanest 90% by its own stopword/dup-word distribution.
+    Registered separately so the calibrated gate path carries its own
+    full-oracle driver row instead of only the pytest gate-flip check;
+    the oracle composes the quantile CTE into the fixed audit SQL
+    constant-for-constant."""
+    return corpus_curate(spark, sf_dir, thresholds="calibrated")
+
+
+def _corpus_curate_sql(thresholds: str = "fixed") -> str:
     from projetbigdata_spark.operators.dedup import (
         COMPONENTS_MINHASH_SQL,
         EXACT_SQL,
@@ -708,8 +721,45 @@ def _corpus_curate_sql() -> str:
     from projetbigdata_spark.operators.repetition import REPETITION_SQL
     from projetbigdata_spark.operators.textstats import QUALITY_SQL
 
+    if thresholds == "calibrated":
+        # per-lang p90 ceilings: same expressions as the Spark branch —
+        # round() (not cast-truncate) recovers the integer ppm grid
+        # from the twice-IEEE-rounded stop_ratio, and dup_ppm is CASE-
+        # guarded exactly like the Spark F.when (x // 0 is NULL in
+        # DuckDB but div-by-zero aborts under Spark ANSI)
+        qq_cte = f"qq AS ({_quality_quantiles_sql()}),"
+        qq_join = "LEFT JOIN qq ON qq.lang = d.lang"
+        pass_quality = (
+            f"(q.n_tokens >= {CURATE_MIN_TOKENS}"
+            " AND CAST(round(q.stop_ratio * 1000000) AS BIGINT)"
+            " <= qq.stop_ppm_p90)"
+        )
+        dup_ppm = (
+            "CASE WHEN q.n_tokens > 0 THEN 1000000"
+            " - (q.n_unique * CAST(1000000 AS BIGINT)) // q.n_tokens END"
+        )
+        pass_repetition = (
+            f"(coalesce({dup_ppm} <= qq.dup_ppm_p90, FALSE)"
+            f" AND coalesce(r.top_bigram_share"
+            f" <= {CURATE_MAX_TOP_BIGRAM_SHARE}, FALSE))"
+        )
+    else:
+        qq_cte = ""
+        qq_join = ""
+        pass_quality = (
+            f"(q.n_tokens >= {CURATE_MIN_TOKENS}"
+            f" AND q.stop_ratio <= {CURATE_MAX_STOPWORD_RATIO})"
+        )
+        pass_repetition = (
+            f"coalesce(r.dup_word_frac <= {CURATE_MAX_DUP_WORD_FRAC}"
+            f" AND r.top_bigram_share <= {CURATE_MAX_TOP_BIGRAM_SHARE},"
+            " FALSE)"
+        )
+
     return f"""
-WITH qual AS (SELECT doc_id, n_tokens, stop_ratio FROM ({QUALITY_SQL})),
+WITH {qq_cte}
+qual AS (SELECT doc_id, n_tokens, n_unique, stop_ratio
+         FROM ({QUALITY_SQL})),
 rep AS (SELECT doc_id, dup_word_frac, top_bigram_share
         FROM ({REPETITION_SQL})),
 ex AS (SELECT coalesce(content_md5, '<NULL>') AS content_md5, keep_id
@@ -717,7 +767,7 @@ ex AS (SELECT coalesce(content_md5, '<NULL>') AS content_md5, keep_id
 comp AS (SELECT * FROM ({COMPONENTS_MINHASH_SQL})),
 cont AS (SELECT doc_id, overlap_ppm FROM ({CONTAMINATION_NGRAM_SQL})),
 d AS (
-    SELECT doc_id,
+    SELECT doc_id, lang,
            coalesce(md5(lower(text)), '<NULL>') AS content_md5,
            CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
                      AS BIGINT) % 100 < 80 THEN 'train'
@@ -728,22 +778,16 @@ d AS (
 )
 SELECT d.doc_id, d.split,
        CAST(q.n_tokens AS BIGINT) AS n_tokens,
-       (q.n_tokens >= {CURATE_MIN_TOKENS}
-        AND q.stop_ratio <= {CURATE_MAX_STOPWORD_RATIO}) AS pass_quality,
-       coalesce(r.dup_word_frac <= {CURATE_MAX_DUP_WORD_FRAC}
-                AND r.top_bigram_share <= {CURATE_MAX_TOP_BIGRAM_SHARE},
-                FALSE) AS pass_repetition,
+       {pass_quality} AS pass_quality,
+       {pass_repetition} AS pass_repetition,
        (d.doc_id = e.keep_id) AS is_exact_keeper,
        (c.component_id IS NULL OR c.component_id = d.doc_id)
            AS is_neardup_keeper,
        ct.overlap_ppm,
        coalesce(ct.overlap_ppm > {CURATE_MAX_EVAL_OVERLAP_PPM}, FALSE)
            AS is_contaminated,
-       ((q.n_tokens >= {CURATE_MIN_TOKENS}
-         AND q.stop_ratio <= {CURATE_MAX_STOPWORD_RATIO})
-        AND coalesce(r.dup_word_frac <= {CURATE_MAX_DUP_WORD_FRAC}
-                     AND r.top_bigram_share
-                         <= {CURATE_MAX_TOP_BIGRAM_SHARE}, FALSE)
+       ({pass_quality}
+        AND {pass_repetition}
         AND d.doc_id = e.keep_id
         AND (c.component_id IS NULL OR c.component_id = d.doc_id)
         AND NOT coalesce(ct.overlap_ppm > {CURATE_MAX_EVAL_OVERLAP_PPM},
@@ -754,6 +798,7 @@ JOIN rep r USING (doc_id)
 JOIN ex e USING (content_md5)
 LEFT JOIN comp c USING (doc_id)
 LEFT JOIN cont ct USING (doc_id)
+{qq_join}
 """
 
 
@@ -1041,6 +1086,7 @@ GROUP BY lang
 
 QUERIES = {
     "corpus_curate": corpus_curate,
+    "corpus_curate_calibrated": corpus_curate_calibrated,
     "corpus_domain_stats": corpus_domain_stats,
     "corpus_quality_quantiles": corpus_quality_quantiles,
     "dedup_component_sizes": dedup_component_sizes,
@@ -1053,6 +1099,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "corpus_curate": _corpus_curate_sql(),
+    "corpus_curate_calibrated": _corpus_curate_sql("calibrated"),
     "corpus_domain_stats": _domain_stats_sql(),
     "corpus_quality_quantiles": _quality_quantiles_sql(),
     "dedup_component_sizes": _component_sizes_sql(),

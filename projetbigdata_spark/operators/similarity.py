@@ -467,6 +467,14 @@ QUALIFY rnk <= {TOP_K}
 # ---------------------------------------------------------------------------
 
 MICRO = 1_000_000
+# FIXTURE dials, sized for the registered oracle-checked queries on
+# the small test corpus — NOT deployment values. At corpus size n,
+# pick k ≈ sqrt(n)/2 centroids and nprobe ≈ k/16 (the r4
+# tools/ivf_k_sweep.py study: at n=100k, k=128/nprobe=8 probes ~6% of
+# postings at recall 1.000 with a 0.95 CI recall floor; k=16/nprobe=4
+# at that n probes 25% of the corpus for the same recall — correct but
+# 4x the rerank cost). Callers copying a registered query into a real
+# pipeline must pass k/nprobe explicitly.
 K_CENTROIDS = 16
 N_PROBE = 4
 SEED_LO, SEED_HI = N_QUERIES, N_QUERIES + K_CENTROIDS  # vec_ids 10..25 seed
@@ -798,7 +806,15 @@ def sim_ivf_incremental(
     Index build and probe are the shared build_ivf_base_index /
     incremental_ann_match cores, reused per-micro-batch by
     streaming/jobs.ann_ingest_stream — batch == streaming verdicts
-    is pinned in tests/test_streaming.py."""
+    is pinned in tests/test_streaming.py.
+
+    Dial sanity: the k=16/nprobe=4 defaults are FIXTURE values for the
+    small registered corpus. At real corpus size n, size k ≈ sqrt(n)/2
+    and nprobe ≈ k/16 (see the K_CENTROIDS note and SCALE.md's r4
+    k-sweep: at n=100k the right dials are k=128/nprobe=8 — the
+    fixture dials there would rerank 4x more candidates for the same
+    recall). Both are plain parameters; pass them explicitly when
+    copying this query into a deployment."""
     tune(spark)
     cents, posting, base_norm = build_ivf_base_index(spark, sf_dir, k)
     vec = _cached_micro_arr(spark, sf_dir)

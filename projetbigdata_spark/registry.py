@@ -16,96 +16,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r4): the one query never driver-checked in any round
-# (unpivot_nation_metrics — VERDICT r3 item 1, the only gap in
-# cumulative coverage), then the queries ADDED or BEHAVIORALLY
-# MODIFIED this round, then dedup_embedding_cosine (its green r2 row
-# predates the r3 inverted-broadcast fix in 233bb36 — the only
-# checked-before-last-touch query left), then the 45 queries whose
-# latest green row is r1 — the oldest rows in the ledger, refreshed
-# wholesale now that r3 re-verified the entire r2-era surface. That
-# fills the 50-slot budget exactly; the r2/r3-green remainder follows
-# in module order. collect() raises if a priority name is not
-# registered.
+# round (r5). Tier A: queries ADDED or BEHAVIORALLY MODIFIED this
+# round (the calibrated curate twin; the BPE pair-exhaustion/\x01
+# fixes; the int32->BIGINT gate widenings, which touch the
+# text_quality_scores subtree and therefore corpus_curate; the
+# incremental-IVF oracle's zero-norm filter). Tier B: the 10 queries
+# whose latest green row is still r1 (VERDICT r4 item 2 — after this
+# round every query's latest green row is r2+). Tier C: the oldest
+# remaining rows (latest green r3), riskiest shapes first — iterative
+# dedup/similarity, streaming batch twins, CDC/SCD2 — per the NEXT.md
+# slot-budget policy. The r4-green surface follows in module order.
+# collect() raises if a priority name is not registered.
 _PRIORITY = (
-    # --- never driver-checked (any round) ---
-    "unpivot_nation_metrics",
-    # --- new in r4: composed curation-ladder audit + domain triage
-    # telemetry + cluster-size histogram ---
-    "corpus_curate",
-    "corpus_domain_stats",
-    "dedup_component_sizes",
-    "sim_ivf_incremental",
-    "corpus_sample_assign",
-    "corpus_quality_quantiles",
-    "dedup_components_verified_prefiltered",
-    "text_search_topk",
-    "corpus_bpe_pair_counts",
+    # --- tier A: new in r5 ---
+    "corpus_curate_calibrated",
+    # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",
-    # keep_canonical's green r3 row predates its r4 subtree swap to
-    # the verified-prefiltered tier (row-identical by oracle, but the
-    # bar is a driver row that POSTDATES the last behavioral change)
-    "dedup_keep_canonical",
-    # --- modified r4: DECIMAL(38,0) widening of the ppb product ---
-    "text_unigram_freq_score",
-    # --- green row predates its last behavioral change (r3 233bb36) ---
-    "dedup_embedding_cosine",
-    # --- last green row is r1: refresh the oldest ledger entries ---
-    "vocab_topk",
-    "chunk_documents_udtf",
-    # (chunk_documents_expr yields its slot to the r4 dedup additions:
-    # its riskier Python-UDTF twin keeps a slot; the expression twin's
-    # equality is pytest-pinned)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    # (join_semi_urgent / join_anti_no_urgent yield their slots to
-    # the late-r4 additions: single semi/anti joins, the lowest-risk
-    # r1-green join surfaces; their r1 rows stand)
-    "join_range_late",
-    # (scalar_functions yields its slot to the r4 additions: the
-    # lowest-risk r1-green query — pure codegen'd projections, no
-    # join/agg surface — keeps its r1 row and follows in module order)
-    "agg_rollup",
-    "agg_cube",
-    "set_ops",
-    # (topk_customers / q6_forecast_revenue yield their slots too:
-    # sort/limit and a pure pushed-filter agg)
-    "sql_frontend_yearly_revenue",
-    "q7_nation_volume",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "join_left_outer",
-    "join_full_outer",
-    "join_asof_purchase_click",
-    "agg_stats_exact",
-    "join_bucketed_priority_counts",
-    "join_interval_binned",
-    # (agg_maxby yields its slot to the r4 additions — one max_by/
-    # min_by agg over lineitem, the smallest r1-green agg surface)
-    "subquery_above_nation_avg",
-    # (array_functions / datetime_functions also yield their slots to
-    # the r4 additions — same zero-join codegen-projection class as
-    # scalar_functions; their r1 rows stand and they follow in module
-    # order)
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_salted_user_totals",
-    # (agg_histogram_bins yields its slot to the r4 dedup additions:
-    # zero-join floor-division binning, lowest-risk remaining agg)
-    "q13_customer_distribution",
-    "q16_supplier_breadth",
-    "q17_small_quantity_revenue",
-    "q9_product_profit",
-    "q8_market_share",
-    "bow_vectorize",
-    "label_index",
-    "pos_trigrams",
-    "embed_l2norm",
+    "corpus_domain_stats",
+    "text_quality_scores",
+    "text_lang_guess",
+    "sim_ivf_incremental",
+    "corpus_curate",
+    # --- tier B: the 10 r1-era rows ---
+    "scalar_functions",
+    "array_functions",
+    "datetime_functions",
+    "agg_maxby",
+    "agg_histogram_bins",
+    "chunk_documents_expr",
+    "join_semi_urgent",
+    "join_anti_no_urgent",
+    "topk_customers",
+    "q6_forecast_revenue",
+    # --- tier C: oldest remaining rows (latest green r3), riskiest
+    # shapes first ---
+    "dedup_components_minhash",
+    "dedup_components_prefiltered",
+    "dedup_incremental",
+    "dedup_contamination",
+    "dedup_jaccard_verified",
+    "dedup_simhash",
+    "dedup_minhash_estimate",
+    "dedup_levenshtein_candidates",
+    "corpus_shingle_stats",
+    "contamination_ngram_overlap",
+    "dedup_span_profile",
+    "text_redact_pii",
+    "sim_ivf_sampled_topk",
+    "sim_neardup_pairs",
+    "sim_ann_lsh_topk",
+    "events_funnel_conversion",
+    "events_spine_fill",
+    "events_retention_cohorts",
+    "events_click_attribution",
+    "events_dedup_keyed",
+    "merge_cdc_snapshot",
+    "scd2_history",
+    "window_distribution",
+    "window_range_time",
+    "text_tfidf_top",
+    "text_ngram_counts",
+    "corpus_vocab_growth",
+    "corpus_health_report",
+    "sample_stratified_by_lang",
+    "json_extract",
+    "agg_pivot",
+    "map_functions",
 )
 
 # Ordered so the driver's correctness budget reaches every family:
