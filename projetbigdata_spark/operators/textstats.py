@@ -599,7 +599,18 @@ def corpus_bpe_merges(
     for the neighboring pair, which makes one replace() pass exactly
     equal to the greedy fold — verified against a pure-Python BPE
     model in tests/test_text_properties.py, including the consecutive
-    same-pair case replace-with-single-separators gets wrong)."""
+    same-pair case replace-with-single-separators gets wrong).
+
+    Deployment merge counts (30k+): the 100-merge soak
+    (tools/bpe_soak.py, SCALE.md) shows wall-per-merge stays FLAT
+    (the per-step localCheckpoint truncates lineage) but each step
+    pins ~1.5 vocab-sized RDDs in executor storage, and
+    DataFrame.unpersist() does NOT release localCheckpoint pins — at
+    high merge counts, drop every reference to the superseded state
+    and nudge driver GC every ~10 steps (gc.collect() +
+    spark._jvm.System.gc()) so ContextCleaner reaps them: storage
+    stays O(1) in merge count (25 vs 159 pinned RDDs at 100 steps,
+    zero wall cost). This 3-merge registered query doesn't bother."""
     tune(spark)
     state = _bpe_initial_state(spark, sf_dir)
     merge_frames = []
