@@ -284,14 +284,151 @@ FROM per_doc d JOIN epochs e USING (lang)
 """
 
 
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixture, made executable like
+    corpus_sample_assign — but the target shares come from the corpus
+    itself instead of a hand-set MIX_TARGETS table: p_lang ∝
+    n_lang^(1/T) with T=2, the standard multilingual-LLM recipe
+    (mBERT/XLM-R exponent smoothing) that up-weights low-resource
+    languages without flattening the mixture. Output: one row per doc
+    with its deterministic n_repeats realizing the temperature shares.
+
+    T is pinned at 2 because sqrt is the ONE power function IEEE
+    requires to be correctly rounded — both engines produce the
+    bit-identical double, so the weights stay oracle-exact; a general
+    pow(x, 1/T) is not correctly rounded and could diverge in the
+    last ulp right at a floor boundary. The sqrt lands on a 1e3
+    integer grid (floor(sqrt(tokens) * 1000)) and everything after is
+    integer arithmetic: weight_micros by integral divide over the
+    grid sum, epochs via the DECIMAL(38,0)/HUGEINT widening (the
+    1e19-at-100TB product, same class as corpus_sample_assign), and
+    the per-doc repeat decision on the md5 bucket grid — append-stable
+    like split_assign_documents.
+
+    Plan: one corpus hash-agg for the per-language inventory, a
+    |langs|-row broadcast join back, codegen projections — zero extra
+    shuffles."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize("text")).alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 1000000"
+        ).alias("bucket"),
+    )
+    per_lang = (
+        per_doc.groupBy("lang")
+        .agg(F.sum("n_tokens").cast("bigint").alias("lang_tokens"))
+        .withColumn(
+            "sqrt_grid",
+            F.floor(
+                F.sqrt(F.col("lang_tokens").cast("double")) * 1000
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "grid_sum",
+            F.sum("sqrt_grid").over(Window.partitionBy()),
+        )
+        .withColumn(
+            "total_tokens",
+            F.sum("lang_tokens").over(Window.partitionBy()),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "CASE WHEN grid_sum > 0 THEN"
+                " (sqrt_grid * CAST(1000000 AS BIGINT)) div grid_sum"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("weight_micros"),
+            "lang_tokens",
+            "total_tokens",
+        )
+        .select(
+            "lang",
+            "weight_micros",
+            F.coalesce(
+                F.expr(
+                    "CASE WHEN lang_tokens > 0 THEN"
+                    " CAST((CAST(weight_micros AS DECIMAL(38,0))"
+                    " * total_tokens) div lang_tokens AS BIGINT) END"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("epochs_micros"),
+        )
+    )
+    n_repeats = F.expr("epochs_micros div 1000000") + F.when(
+        F.col("bucket") < F.col("epochs_micros") % 1_000_000, 1
+    ).otherwise(0)
+    return per_doc.join(per_lang, "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "bucket",
+        "weight_micros",
+        "epochs_micros",
+        n_repeats.cast("bigint").alias("n_repeats"),
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH per_doc AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 1000000 AS bucket
+    FROM documents
+),
+per_lang AS (
+    SELECT lang, sum(n_tokens) AS lang_tokens,
+           CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000)
+                AS BIGINT) AS sqrt_grid
+    FROM per_doc GROUP BY lang
+),
+tot AS (SELECT sum(sqrt_grid) AS grid_sum,
+               sum(lang_tokens) AS total_tokens
+        FROM per_lang),
+weights AS (
+    SELECT lang, lang_tokens,
+           CASE WHEN grid_sum > 0
+                THEN CAST((sqrt_grid * CAST(1000000 AS BIGINT))
+                          // grid_sum AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS weight_micros,
+           total_tokens
+    FROM per_lang, tot
+),
+epochs AS (
+    SELECT lang, weight_micros,
+           coalesce(CASE WHEN lang_tokens > 0 THEN
+                        CAST((weight_micros::HUGEINT * total_tokens)
+                             // lang_tokens AS BIGINT) END,
+                    0) AS epochs_micros
+    FROM weights
+)
+SELECT d.doc_id, d.lang, d.n_tokens, d.bucket,
+       e.weight_micros, e.epochs_micros,
+       CAST(e.epochs_micros // 1000000
+            + CASE WHEN d.bucket < e.epochs_micros % 1000000
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+FROM per_doc d JOIN epochs e USING (lang)
+"""
+
+
 QUERIES = {
     "docs_pack_greedy": docs_pack_greedy,
     "corpus_mix_plan": corpus_mix_plan,
     "corpus_sample_assign": corpus_sample_assign,
+    "corpus_temperature_mix": corpus_temperature_mix,
 }
 
 ORACLE_SQL = {
     "docs_pack_greedy": PACK_SQL,
     "corpus_mix_plan": MIX_SQL,
     "corpus_sample_assign": SAMPLE_ASSIGN_SQL,
+    "corpus_temperature_mix": TEMPERATURE_MIX_SQL,
 }

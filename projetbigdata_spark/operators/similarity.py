@@ -827,6 +827,79 @@ def sim_ivf_incremental(
     )
 
 
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    cos_th: float = COSINE_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, the
+    LAION/LLM-corpus recipe): cluster the embedding space with the
+    k-means coarse quantizer, then search for near-duplicate pairs
+    ONLY within each cluster — the clustering turns the O(n²) semantic
+    near-dup problem into sum-over-clusters of |cluster|², which is
+    what makes embedding-level dedup tractable at corpus scale. Output
+    is the DROP list: (vec_id, dup_of, cid, cosine) — one row per
+    vector that has a lower-id cluster-mate with cosine >= cos_th,
+    keeping the lowest id as canonical (deterministic min-struct, the
+    dedup_exact keep_id convention). Pairs split across clusters are
+    missed by design — that is SemDeDup's recall trade, bounded by the
+    same geometry as IVF nprobe=1.
+
+    Plan shape: the Lloyd tier is the shared sim_ivf_topk code
+    (broadcast k-row centroid crossJoin + in-row integer folds, 2
+    unrolled iterations, oracle-exact); the within-cluster self-join
+    reads ONE repartition('cid')-materialized frame (no per-side
+    exchange, the ReuseExchange idiom), and the only wide rows
+    shuffled are |near-dup pairs|. At 100 TB: cluster count scales as
+    sqrt(n) (K_CENTROIDS note above), clusters are the partition unit,
+    and a skewed mega-cluster is the known failure mode — SemDeDup
+    handles it by raising k, not by a different algorithm.
+
+    Beyond-reference operator (the training-data-pipeline tier): the
+    reference has no dedup stage; this completes the dedup ladder
+    (exact -> shingle/minhash -> embedding-cosine -> semantic)."""
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    cents = _seed_centroids(vec, k)
+    for _ in range(2):
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    assign = _argmin_cid(_dists_to_centroids(vec, cents))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    m = (
+        assign.join(emb, "vec_id")
+        .repartition("cid")
+        .localCheckpoint(eager=False)
+    )
+    a = m.select(
+        F.col("vec_id").alias("keep_id"),
+        "cid",
+        F.col("e").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = m.select(
+        "vec_id", "cid", F.col("e").alias("eb"), F.col("norm").alias("nb")
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("keep_id") < F.col("vec_id"))
+        .select("vec_id", "keep_id", "cid", cos.alias("cosine"))
+        .where(F.col("cosine") >= cos_th)
+    )
+    best = F.min(F.struct("keep_id", "cid", "cosine")).alias("best")
+    return pairs.groupBy("vec_id").agg(best).select(
+        "vec_id",
+        F.col("best.keep_id").alias("dup_of"),
+        F.col("best.cid").alias("cid"),
+        F.col("best.cosine").alias("cosine"),
+    )
+
+
 def _ivf_assign_cte(tag: str, cents: str, vecs: str = "v") -> str:
     """One unrolled Lloyd assignment as DuckDB CTE text (over `vecs` —
     the full table or the sampled training slice)."""
@@ -1043,8 +1116,61 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
+SEMDEDUP_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+c0 AS (
+    SELECT CAST(vec_id - {SEED_LO} AS INT) AS cid, dim, xs AS ms
+    FROM v WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+),
+{_ivf_assign_cte("1", "c0")},
+c1 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("2", "c1")},
+c2 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a2 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("3", "c2")},
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+m AS (
+    SELECT a3.vec_id, a3.cid, nv.e, nv.norm
+    FROM a3 JOIN nv USING (vec_id)
+),
+pairs AS (
+    SELECT b.vec_id, a.vec_id AS keep_id, a.cid,
+           round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+               AS cosine
+    FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6)
+          >= {COSINE_THRESHOLD}
+)
+SELECT vec_id,
+       arg_min(keep_id, keep_id) AS dup_of,
+       arg_min(cid, keep_id) AS cid,
+       arg_min(cosine, keep_id) AS cosine
+FROM pairs
+GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "dedup_semantic": dedup_semantic,
     "sim_ivf_incremental": sim_ivf_incremental,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
     "sim_lsh_buckets": sim_lsh_buckets,
@@ -1056,6 +1182,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
+    "dedup_semantic": SEMDEDUP_SQL,
     "sim_ivf_incremental": IVF_INCREMENTAL_SQL,
     "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,
     "sim_lsh_buckets": LSH_SQL,

@@ -506,11 +506,13 @@ def _bpe_merge_fold(syms: Column, p1: Column, p2: Column) -> Column:
 
 
 def _bpe_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(wc, syms): the distinct-word table split to characters — the
-    shared step-0 state of the BPE trainer. Words containing the
+    """(w, wc, syms): the distinct-word table split to characters —
+    the shared step-0 state of the BPE trainer. Words containing the
     oracle separator \\x01 are excluded in BOTH engines (see _BPE_SEP
     note); cost of everything downstream is ∝ |vocabulary|, not
-    corpus size."""
+    corpus size. The word key `w` rides along untouched so the encode
+    path (corpus_bpe_encode) can map words to their final symbol
+    count."""
     docs = load_table(spark, sf_dir, "documents")
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
@@ -521,7 +523,7 @@ def _bpe_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("w").contains(_BPE_SEP))
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
-        .select("wc", chars.alias("syms"))
+        .select("w", "wc", chars.alias("syms"))
         .localCheckpoint(eager=False)
     )
 
@@ -532,7 +534,8 @@ def _bpe_apply_merge(state: DataFrame, top: DataFrame) -> DataFrame:
     crossJoin) keeps the state alive when the corpus has run out of
     adjacent pairs before the merge budget — p1/p2 come back NULL and
     the rewrite is an explicit no-op, so the surviving symbol
-    inventory reaches the vocab count instead of being annihilated."""
+    inventory reaches the vocab count instead of being annihilated.
+    All non-syms state columns (w, wc) pass through."""
     joined = state.withColumn("_k", F.lit(1)).join(
         F.broadcast(
             top.select(F.lit(1).alias("_k"), "p1", "p2")
@@ -540,8 +543,9 @@ def _bpe_apply_merge(state: DataFrame, top: DataFrame) -> DataFrame:
         "_k",
         "left",
     )
+    keep = [c for c in state.columns if c != "syms"]
     return joined.select(
-        "wc",
+        *keep,
         F.when(F.col("p1").isNull(), F.col("syms"))
         .otherwise(
             _bpe_merge_fold(F.col("syms"), F.col("p1"), F.col("p2"))
@@ -649,7 +653,7 @@ s{step} AS (
     -- LEFT JOIN ON TRUE + coalesce: when p{step} is EMPTY (pairs
     -- exhausted before the merge budget) the rewrite is a no-op and
     -- the state survives, matching _bpe_apply_merge's left join
-    SELECT wc,
+    SELECT w, wc,
            coalesce(replace(s,
                             {sep} || p1 || {sep} || {sep} || p2 || {sep},
                             {sep} || p1 || p2 || {sep}),
@@ -670,7 +674,7 @@ WITH words AS (
     GROUP BY t
 ),
 s0 AS (
-    SELECT wc,
+    SELECT w, wc,
            chr(1) || chr(1) ||
            array_to_string(
                [substr(w, i, 1) for i in generate_series(1, len(w))],
@@ -745,3 +749,87 @@ LIMIT {BPE_VOCAB_TOP}
 
 QUERIES["corpus_bpe_vocab"] = corpus_bpe_vocab
 ORACLE_SQL["corpus_bpe_vocab"] = _bpe_vocab_sql()
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the encode path that closes the BPE
+    family (pair counts -> merges -> vocab -> ENCODE): re-train the
+    BPE_N_MERGES merge table, then tokenize the WHOLE corpus with it
+    and emit per-document subword counts (doc_id, n_words,
+    n_tokens_bpe). This is real token counting with a learned
+    tokenizer — the number an LLM-data pipeline actually bills
+    against (sequence budget, mixture weights, pack sizing), as
+    opposed to the whitespace proxy in text_token_counts.
+
+    Encoding cost stays ∝ vocabulary, not corpus: the trained state IS
+    the word -> symbol-array lexicon, so encoding the corpus is one
+    equi-join of the exploded token stream against the |vocab|-row
+    lexicon (AQE broadcasts it at fixture scale; at 100 TB a 100M-word
+    lexicon shuffle-joins on the word key — still corpus-independent
+    on the build side) plus one doc_id hash-agg. Docs with no
+    trainable words (NULL/empty text) keep a row with zero counts via
+    the left join, mirroring corpus_curate's full-corpus convention."""
+    tune(spark)
+    state = _bpe_initial_state(spark, sf_dir)
+    for step in range(1, BPE_N_MERGES + 1):
+        top = _bpe_top_pair(state, step).localCheckpoint(eager=False)
+        state = _bpe_apply_merge(state, top)
+    lex = state.select("w", F.size("syms").alias("n_subwords_w"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("w")
+    ).where(~F.col("w").contains(_BPE_SEP))
+    agg = (
+        dw.join(lex, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subwords_w").cast("bigint").alias("n_tokens_bpe"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_tokens_bpe", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_bpe"),
+        )
+    )
+
+
+def _bpe_encode_sql() -> str:
+    steps = ",".join(
+        _bpe_step_ctes(k) for k in range(1, BPE_N_MERGES + 1)
+    )
+    return f"""{_BPE_WORDS_S0}
+{steps},
+lex AS (
+    SELECT w, len(list_filter(string_split(s, chr(1)), x -> x <> ''))
+           AS n_subwords_w
+    FROM s{BPE_N_MERGES}
+),
+dw AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> ''
+                                   AND strpos(x, chr(1)) = 0)) AS w
+    FROM documents
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_subwords_w) AS BIGINT) AS n_tokens_bpe
+    FROM dw JOIN lex USING (w)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES["corpus_bpe_encode"] = corpus_bpe_encode
+ORACLE_SQL["corpus_bpe_encode"] = _bpe_encode_sql()

@@ -30,6 +30,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PRIORITY = (
     # --- tier A: new in r5 ---
     "corpus_curate_calibrated",
+    "dedup_semantic",
+    "corpus_bpe_encode",
+    "corpus_temperature_mix",
     # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",
@@ -80,9 +83,10 @@ _PRIORITY = (
     "corpus_vocab_growth",
     "corpus_health_report",
     "sample_stratified_by_lang",
-    "json_extract",
-    "agg_pivot",
-    "map_functions",
+    # (json_extract / agg_pivot / map_functions yield their tier-C
+    # slots to the three late-r5 additions — zero-join projection /
+    # single-pivot shapes, the lowest-risk r3-green rows left; their
+    # r3 rows stand and they follow in module order)
 )
 
 # Ordered so the driver's correctness budget reaches every family:

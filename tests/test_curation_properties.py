@@ -306,3 +306,79 @@ def test_sample_assign_matches_python_model(spark):
             e // 1_000_000 + (1 if bucket < e % 1_000_000 else 0),
         )
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_temperature_mix_matches_python_model(spark):
+    """corpus_temperature_mix vs an independent Python model: the
+    T=2 weights (floor(sqrt(lang_tokens)*1000) grid, integral-divide
+    normalization), per-doc epochs and repeats — exact, including the
+    up-weighting property (the low-resource language's epochs exceed
+    the high-resource language's) and the zero-token language."""
+    import math
+    import tempfile
+
+    from projetbigdata_spark.operators.packing import (
+        corpus_temperature_mix,
+    )
+
+    rows = [
+        (0, "aa bb cc dd " * 20, "en"),   # high-resource: 80 tokens
+        (1, "aa aa aa aa", "en"),
+        (2, "dd dd", "fr"),               # low-resource: 3 tokens
+        (3, "bb", "fr"),
+        (4, "", "zh"),                    # zero-token language
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.bucket, r.weight_micros, r.epochs_micros,
+            r.n_repeats,
+        )
+        for r in corpus_temperature_mix(spark, d).collect()
+    }
+
+    n_tok = {i: len(_toks(t)) for i, t, _ in rows}
+    lang_tokens: Counter = Counter()
+    for i, _, lang in rows:
+        lang_tokens[lang] += n_tok[i]
+    total = sum(lang_tokens.values())
+    grid = {
+        lang: math.floor(math.sqrt(n) * 1000)
+        for lang, n in lang_tokens.items()
+    }
+    gsum = sum(grid.values())
+    w = {lang: grid[lang] * 1_000_000 // gsum for lang in grid}
+    eps = {
+        lang: (
+            w[lang] * total // lang_tokens[lang]
+            if lang_tokens[lang] > 0
+            else 0
+        )
+        for lang in grid
+    }
+    assert set(got) == {i for i, _, _ in rows}
+    for i, _, lang in rows:
+        bucket = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        )
+        e = eps[lang]
+        expect = (
+            n_tok[i],
+            bucket,
+            w[lang],
+            e,
+            e // 1_000_000 + (1 if bucket < e % 1_000_000 else 0),
+        )
+        assert got[i] == expect, (i, got[i], expect)
+
+    # temperature up-weighting: fr (3 tokens) must train at MORE
+    # epochs than en (84 tokens), and weights must nearly exhaust the
+    # 1e6 grid (flooring loses < |langs| micros)
+    assert eps["fr"] > eps["en"]
+    assert 1_000_000 - len(grid) < sum(w.values()) <= 1_000_000

@@ -275,3 +275,58 @@ def test_soak_ivf_sampled_recall(spark):
     got = _topk_pairs(sim_ivf_sampled_topk(spark, ANN_SOAK_DIR))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.90, f"sampled IVF soak recall {recall:.3f}"
+
+
+def test_semantic_dedup_precision_and_within_cluster_recall(spark):
+    """dedup_semantic's drop list must be PRECISE (every dropped
+    vector really has a cosine>=threshold near-dup at the reported
+    canonical — checked against the exact all-pairs baseline) and
+    COMPLETE within clusters (every all-pairs near-dup pair whose two
+    members share a cluster produces a drop for the higher id). Pairs
+    split across clusters are the declared SemDeDup recall trade."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        K_CENTROIDS,
+        _argmin_cid,
+        _cached_micro_arr,
+        _dists_to_centroids,
+        _lloyd_update,
+        _seed_centroids,
+        dedup_semantic,
+        sim_neardup_allpairs_exact,
+    )
+
+    truth = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim_neardup_allpairs_exact(spark, SF_CHECK).collect()
+    }
+    assert truth, "all-pairs baseline produced no pairs"
+
+    drops = {r.vec_id: r for r in dedup_semantic(spark, SF_CHECK).collect()}
+    assert drops, "semantic dedup produced no drops at fixture scale"
+
+    # precision: (dup_of, vec_id) is a real near-dup pair at the exact
+    # cosine the baseline computed
+    for vec_id, r in drops.items():
+        assert r.dup_of < vec_id
+        assert truth.get((r.dup_of, vec_id)) == r.cosine, (vec_id, r)
+
+    # within-cluster completeness: rebuild the same assignment and
+    # check every co-clustered truth pair got its higher id dropped
+    vec = _cached_micro_arr(spark, SF_CHECK)
+    cents = _seed_centroids(vec, K_CENTROIDS)
+    for _ in range(2):
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    cid = {
+        r.vec_id: r.cid
+        for r in _argmin_cid(_dists_to_centroids(vec, cents)).collect()
+    }
+    co_clustered = {
+        (a, b) for (a, b) in truth if cid.get(a) == cid.get(b)
+    }
+    assert co_clustered, "no truth pair is co-clustered — fixture moved"
+    for a, b in co_clustered:
+        assert b in drops, f"co-clustered near-dup ({a},{b}) not dropped"

@@ -309,3 +309,48 @@ def test_bpe_separator_byte_in_word(spark, tmp_path):
     assert {
         tuple(r) for r in con.execute(_bpe_vocab_sql()).fetchall()
     } == expect_vocab
+
+
+def test_bpe_encode_matches_python_model(spark, tmp_path):
+    """corpus_bpe_encode (train 3 merges, then tokenize the corpus
+    with them) vs the Python reference: per-doc subword counts after
+    greedy merge application, zero-count rows for docs with no
+    trainable words."""
+    from projetbigdata_spark.operators.textstats import (
+        BPE_N_MERGES,
+        corpus_bpe_encode,
+    )
+
+    texts = ["aaaa aaaa abab", "ab ab ba a b", "", "xy xyz zyx x aaaa"]
+    d = _write_docs(spark, tmp_path, texts)
+
+    wc = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = _python_bpe(wc, BPE_N_MERGES)
+
+    def encode_len(word):
+        syms = list(word)
+        for _step, p1, p2, _n in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == p1 and x == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    expect = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split() if w]
+        expect[i] = (len(words), sum(encode_len(w) for w in words))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens_bpe)
+        for r in corpus_bpe_encode(spark, d).collect()
+    }
+    assert got == expect, (got, expect)
+    assert got[2] == (0, 0)  # the empty doc keeps a zero row
