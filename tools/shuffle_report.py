@@ -69,6 +69,11 @@ QUERIES = [
     "dedup_component_sizes",
     "sim_ivf_incremental",
     "corpus_sample_assign",
+    # r5 additions
+    "corpus_curate_calibrated",
+    "dedup_semantic",
+    "corpus_bpe_encode",
+    "corpus_temperature_mix",
 ]
 
 
@@ -100,6 +105,11 @@ BYTE_BUDGET_MB = {
     # composition catches a fattening any single-stage budget misses
     "corpus_curate": 19.1,
     "dedup_component_sizes": 3.3,
+    # r5: the calibrated audit adds the |langs|-row quantile subtree
+    # to corpus_curate's volume; semantic dedup's bytes are the
+    # cluster-assignment + within-cluster pair rows
+    "corpus_curate_calibrated": 22.2,
+    "dedup_semantic": 5.4,
 }
 
 
