@@ -833,3 +833,141 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 QUERIES["corpus_bpe_encode"] = corpus_bpe_encode
 ORACLE_SQL["corpus_bpe_encode"] = _bpe_encode_sql()
+
+
+BPE_BATCH_B = 2  # merges learned per count snapshot (sweep)
+BPE_BATCH_SWEEPS = 2
+
+
+def _bpe_top_pairs(state: DataFrame, sweep: int, b: int) -> DataFrame:
+    """(sweep, rnk, p1, p2, n): the top-b adjacent symbol pairs of the
+    current state, ranked by (n DESC, p1, p2) — one count snapshot."""
+    pair_arr = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("p1"),
+                F.element_at(F.col("syms"), i + 1).alias("p2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
+    ranked = (
+        state.select("wc", F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "p1", "p2")
+        .limit(b)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n").desc(), "p1", "p2")
+    return ranked.select(
+        F.lit(sweep).cast("int").alias("sweep"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "p1",
+        "p2",
+        "n",
+    )
+
+
+def corpus_bpe_merges_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_sweeps: int = BPE_BATCH_SWEEPS,
+    b: int = BPE_BATCH_B,
+) -> DataFrame:
+    """BATCHED BPE training — the optimization that makes 30k merges
+    tractable (SCALE.md's BPE soak shows wall-per-merge is flat, so
+    total wall is step count x step cost; batching divides the step
+    count): each SWEEP takes ONE pair-count snapshot, learns the top-b
+    pairs from it, and applies them sequentially in rank order before
+    re-counting. b=1 reduces exactly to corpus_bpe_merges; b>1 is a
+    declared approximation of 1-at-a-time BPE (counts are stale within
+    a sweep — the trade every batched trainer makes). The rank-order
+    application makes overlapping picks deterministic: if the snapshot
+    selects (a,b) and (b,c), rank 1 consumes its occurrences first and
+    rank 2 applies to the rewritten state. Output: (sweep, rnk, p1,
+    p2, n) — n is the snapshot count, the merge table a batched
+    trainer ships.
+
+    Same distributed shape as corpus_bpe_merges: distinct-word
+    weighting, broadcast 1-row-or-empty left joins (no-op past pair
+    exhaustion), per-step localCheckpoint. Cost per sweep: ONE
+    pair-count hash-agg (the expensive part, now amortized over b
+    merges) + b vocabulary-sized rewrites."""
+    tune(spark)
+    state = _bpe_initial_state(spark, sf_dir)
+    frames = []
+    for sweep in range(1, n_sweeps + 1):
+        top_b = _bpe_top_pairs(state, sweep, b).localCheckpoint(
+            eager=False
+        )
+        frames.append(top_b)
+        for r in range(1, b + 1):
+            state = _bpe_apply_merge(
+                state, top_b.where(F.col("rnk") == r)
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _bpe_batched_sql(
+    n_sweeps: int = BPE_BATCH_SWEEPS, b: int = BPE_BATCH_B
+) -> str:
+    """Oracle: sweeps unrolled; each sweep ranks the snapshot's top-b
+    pairs (bp{sweep}), then b sequential double-separator replace
+    steps (one per rank, LEFT JOIN + coalesce so missing ranks no-op
+    like the Spark side). State CTEs are indexed by APPLIED merge
+    count: t{(sweep-1)*b + r}."""
+    sep = "chr(1)"
+    parts = []
+    state = "s0"
+    for sweep in range(1, n_sweeps + 1):
+        parts.append(f"""
+bp{sweep} AS (
+    SELECT {sweep} AS sweep, CAST(rnk AS INT) AS rnk, p1, p2, n
+    FROM (
+        SELECT p1, p2, CAST(sum(wc) AS BIGINT) AS n,
+               row_number() OVER (ORDER BY CAST(sum(wc) AS BIGINT) DESC,
+                                  p1, p2) AS rnk
+        FROM (
+            SELECT wc, syms[i] AS p1, syms[i + 1] AS p2
+            FROM (SELECT wc,
+                         list_filter(string_split(s, {sep}),
+                                     x -> x <> '') AS syms
+                  FROM {state}),
+                 LATERAL (SELECT unnest(generate_series(1, len(syms) - 1))
+                          AS i)
+        )
+        GROUP BY p1, p2
+    ) WHERE rnk <= {b}
+)""")
+        for r in range(1, b + 1):
+            nxt = f"t{(sweep - 1) * b + r}"
+            parts.append(f"""
+{nxt} AS (
+    SELECT w, wc,
+           coalesce(replace(s,
+                            {sep} || p1 || {sep} || {sep} || p2 || {sep},
+                            {sep} || p1 || p2 || {sep}),
+                    s) AS s
+    FROM {state}
+    LEFT JOIN (SELECT p1, p2 FROM bp{sweep} WHERE rnk = {r}) mr{nxt}
+        ON TRUE
+)""")
+            state = nxt
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(sweep AS INT) AS sweep, rnk, p1, p2, n FROM bp{k}"
+        for k in range(1, n_sweeps + 1)
+    )
+    return f"""{_BPE_WORDS_S0}
+{",".join(parts)}
+{union}
+"""
+
+
+QUERIES["corpus_bpe_merges_batched"] = corpus_bpe_merges_batched
+ORACLE_SQL["corpus_bpe_merges_batched"] = _bpe_batched_sql()

@@ -33,6 +33,7 @@ _PRIORITY = (
     "dedup_semantic",
     "corpus_bpe_encode",
     "corpus_temperature_mix",
+    "corpus_bpe_merges_batched",
     # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",
@@ -82,11 +83,11 @@ _PRIORITY = (
     "text_ngram_counts",
     "corpus_vocab_growth",
     "corpus_health_report",
-    "sample_stratified_by_lang",
-    # (json_extract / agg_pivot / map_functions yield their tier-C
-    # slots to the three late-r5 additions — zero-join projection /
-    # single-pivot shapes, the lowest-risk r3-green rows left; their
-    # r3 rows stand and they follow in module order)
+    # (json_extract / agg_pivot / map_functions /
+    # sample_stratified_by_lang yield their tier-C slots to the four
+    # late-r5 additions — zero-join projection / single-pivot /
+    # single-pass-sample shapes, the lowest-risk r3-green rows left;
+    # their r3 rows stand and they follow in module order)
 )
 
 # Ordered so the driver's correctness budget reaches every family:

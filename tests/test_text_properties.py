@@ -354,3 +354,75 @@ def test_bpe_encode_matches_python_model(spark, tmp_path):
     }
     assert got == expect, (got, expect)
     assert got[2] == (0, 0)  # the empty doc keeps a zero row
+
+
+def _python_bpe_batched(word_counts, n_sweeps, b):
+    """Batched reference: top-b pairs from ONE snapshot per sweep,
+    applied sequentially in rank order (stale counts within a sweep)."""
+    from collections import Counter
+
+    state = {tuple(w): c for w, c in word_counts.items()}
+    res = []
+    for sweep in range(1, n_sweeps + 1):
+        pc = Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:b]
+        for rnk, ((p1, p2), n) in enumerate(ranked, 1):
+            res.append((sweep, rnk, p1, p2, n))
+            new = {}
+            for syms, c in state.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == p1 and x == p2:
+                        out[-1] = p1 + p2
+                    else:
+                        out.append(x)
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            state = new
+    return res
+
+
+def test_bpe_batched_matches_python_model(spark, tmp_path):
+    """corpus_bpe_merges_batched AND its unrolled oracle vs the
+    batched reference — including the overlap case (a,a)+(a,b) picked
+    from the same snapshot and a corpus that exhausts mid-sweep."""
+    from projetbigdata_spark.operators.textstats import (
+        _bpe_batched_sql,
+        corpus_bpe_merges_batched,
+    )
+
+    texts = ["aaaa aaaa abab", "ab ab ba a b", "xy xyz zyx x aaaa",
+             "ab ab a b"]
+    d = _write_docs(spark, tmp_path, texts)
+
+    wc = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    expect = set(_python_bpe_batched(wc, 2, 2))
+
+    got_spark = {
+        (r.sweep, r.rnk, r.p1, r.p2, r.n)
+        for r in corpus_bpe_merges_batched(spark, d).collect()
+    }
+    assert got_spark == expect, (got_spark, expect)
+
+    con = _duck_docs(d)
+    got_duck = {
+        tuple(r) for r in con.execute(_bpe_batched_sql()).fetchall()
+    }
+    assert got_duck == expect, (got_duck, expect)
+
+    # exhaustion mid-sweep: one mergeable pair, b=2 -> rank 2 is a
+    # no-op and sweep 2 sees no pairs
+    d2 = _write_docs(spark, tmp_path / "x", ["ab ab a b"])
+    got2 = {
+        (r.sweep, r.rnk, r.p1, r.p2, r.n)
+        for r in corpus_bpe_merges_batched(spark, d2).collect()
+    }
+    assert got2 == {(1, 1, "a", "b", 2)}, got2
