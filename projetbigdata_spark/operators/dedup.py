@@ -319,6 +319,106 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+CONTAINMENT_PPM = 500_000  # keep pairs where either direction >= 0.5
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by df-capped shingle CONTAINMENT — the asymmetric
+    complement to dedup_jaccard_pairs: C(a→b) = |A∩B| / |A| catches a
+    short document embedded verbatim inside a long one (quote farms,
+    boilerplate-wrapped reposts), which symmetric Jaccard dilutes below
+    threshold because the union is dominated by the long side. Emits
+    one row per unordered pair with BOTH directions in exact ppm; a
+    pair survives when either direction clears CONTAINMENT_PPM.
+
+    Like the Jaccard tier, the intersection counts only indexed
+    (2 <= df <= cap) shingles while the per-doc sizes are full — so
+    each direction is a LOWER BOUND and the oracle mirrors the same
+    formula. Plan is dedup_jaccard_pairs' exactly (one persisted
+    posting scan, two skinny hash-aggs, pre-partitioned self-join on
+    the 8-byte shingle key); only the final arithmetic differs, so the
+    scale posture is inherited wholesale."""
+    tune(spark)
+    exploded = _hashed_shingles(spark, sf_dir)
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        exploded.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("h")
+    )
+    indexed = (
+        exploded.join(rare, "h").repartition("h").localCheckpoint(eager=False)
+    )
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sz_b = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    cont_a = F.expr("n_inter * CAST(1000000 AS BIGINT) div n_a")
+    cont_b = F.expr("n_inter * CAST(1000000 AS BIGINT) div n_b")
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("cont_a_ppm"),
+            cont_b.alias("cont_b_ppm"),
+        )
+        .where(
+            (F.col("cont_a_ppm") >= CONTAINMENT_PPM)
+            | (F.col("cont_b_ppm") >= CONTAINMENT_PPM)
+        )
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT sh FROM sh GROUP BY sh
+         HAVING count(*) >= 2 AND count(*) <= {SHINGLE_DF_CAP}),
+idx AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cont AS (
+    SELECT doc_a, doc_b,
+           n_inter * CAST(1000000 AS BIGINT) // sa.n_sh AS cont_a_ppm,
+           n_inter * CAST(1000000 AS BIGINT) // sb.n_sh AS cont_b_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, cont_a_ppm, cont_b_ppm FROM cont
+WHERE cont_a_ppm >= {CONTAINMENT_PPM} OR cont_b_ppm >= {CONTAINMENT_PPM}
+"""
+
+
 VERIFIED_THRESHOLD = 0.5
 
 
@@ -1400,6 +1500,7 @@ QUERIES = {
     "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_minhash_buckets": dedup_minhash_buckets,
     "dedup_simhash": dedup_simhash,
@@ -1418,6 +1519,7 @@ ORACLE_SQL = {
     "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,
+    "dedup_containment_pairs": CONTAINMENT_SQL,
     "dedup_jaccard_verified": JACCARD_VERIFIED_SQL,
     "dedup_minhash_buckets": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,

@@ -1,0 +1,243 @@
+"""Data-SELECTION scoring over `documents` — the ops that decide which
+raw-crawl docs make the training mix, complementing the quality /
+repetition / dedup gates (operators/quality.py, curation.py):
+
+  corpus_dsir_weights   — DSIR-style importance weights: how much more
+                          target-like than raw-average each document's
+                          unigram distribution is (Xie et al. 2023,
+                          "Data Selection for LMs via Importance
+                          Resampling" — the hashed-ngram importance-
+                          ratio idea, expressed relationally).
+  text_bigram_prob_score — bigram-LM fluency: the mean corpus-level
+                          continuation probability of the document's
+                          adjacent word pairs — the signal a CCNet-ish
+                          LM-perplexity filter thresholds, one order up
+                          from text_unigram_freq_score's unigram proxy.
+
+Both stay in exact integer arithmetic (ppm quotients via DECIMAL(38,0)
+/ HUGEINT widening) for bit-identical cross-engine hashing — ln() is
+the documented libm residual this repo keeps out of hash-checked
+queries (see operators/curation.py text_unigram_freq_score).
+
+Scale posture (shared): one corpus token/bigram explode feeding skinny
+hash-aggs; corpus totals arrive as broadcast 1-row crossJoins; per-doc
+scores are one groupBy(doc_id); the anchor left-join keeps the output
+full-corpus (one row per document, auditable). No collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetbigdata_spark.functions.text import ngrams, tokenize
+from projetbigdata_spark.session import tune
+from projetbigdata_spark.sources.catalog import load_table
+
+DSIR_TARGET_LANG = "en"  # static so the oracle is static; a pipeline
+# parameterizes the target slice (any boolean doc predicate works)
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance weight of the raw corpus against a
+    target slice (lang = 'en'): the mean, over the document's tokens,
+    of the target-vs-raw relative-frequency ratio in ppm —
+
+        ratio_ppm(w) = (c_t(w) · R · 1e6) div (c_r(w) · T)
+
+    with c_t/c_r the token's target/raw corpus counts and T/R the
+    slice/corpus token totals. 1e6 ≈ "as frequent in target as in
+    raw"; DSIR resamples proportionally to this weight, so the frame
+    composes directly with corpus_sample_assign's hash-bucket sampler.
+    Tokens absent from the target score 0 (no smoothing — the
+    registered query keeps the arithmetic exact; deployments add-one
+    both counts). An empty target slice degrades to all-zero ratios
+    rather than a divide abort (ANSI-safe CASE in both engines).
+
+    The c_t·R·1e6 product reaches ~1e32 at 100 TB (both factors ~1e13)
+    — widened through DECIMAL(38,0) / HUGEINT on BOTH sides of the
+    integral divide, then the ≤~1e7 quotient lands back in bigint."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("token")
+    )
+    # raw and target counts FUSED into one hash-agg (one corpus pass,
+    # not a pass per slice — the target count is a conditional sum);
+    # the |vocab|-row counts table is consumed twice (totals, ratios),
+    # so the plan barrier keeps that single pass single.
+    counts = (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("r_total"), F.sum("c_t").alias("t_total")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.expr(
+            "CASE WHEN t_total = 0 THEN CAST(0 AS BIGINT) ELSE"
+            " CAST((CAST(c_t AS DECIMAL(38,0)) * r_total * 1000000)"
+            " div (CAST(c_r AS DECIMAL(38,0)) * t_total) AS BIGINT) END"
+        ).alias("ratio_ppm"),
+    )
+    scored = (
+        tok.join(ratios, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(ratio_ppm) div count(*)").alias("dsir_weight_ppm"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.col("dsir_weight_ppm").cast("bigint").alias("dsir_weight_ppm"),
+    )
+
+
+DSIR_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang, t AS token
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+),
+counts AS (
+    SELECT token,
+           count(*) AS c_r,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS c_t
+    FROM tok GROUP BY token
+),
+totals AS (SELECT sum(c_r) AS r_total, sum(c_t) AS t_total FROM counts),
+ratios AS (
+    SELECT token,
+           CASE WHEN t.t_total = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST((c.c_t::HUGEINT * t.r_total * 1000000)
+                    // (c.c_r::HUGEINT * t.t_total) AS BIGINT) END
+               AS ratio_ppm
+    FROM counts c, totals t
+),
+scored AS (
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(ratio_ppm) // count(*) AS dsir_weight_ppm
+    FROM tok JOIN ratios USING (token)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(s.dsir_weight_ppm AS BIGINT) AS dsir_weight_ppm
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+def text_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score: for every adjacent word pair (w1,w2)
+    in a document, the corpus-level continuation probability
+    P(w2 | w1) = c(w1 w2) / c_start(w1) in exact ppm, averaged over
+    the document's bigrams. Low scores mark incoherent/OOV-heavy docs
+    — the same decision a KenLM perplexity filter makes, with the
+    bigram model trained on the corpus itself (no external model, no
+    ln(): the registered score is the mean probability, not the mean
+    log-probability, keeping the hash-checked path in integers).
+
+    c_start(w1) — occurrences of w1 as a bigram LEFT — is derived from
+    the distinct-bigram count table (sum of c over bigrams sharing the
+    left word), not from a second corpus pass: cost ∝ |distinct
+    bigrams|, not corpus tokens, the same vocabulary-not-corpus trick
+    the BPE trainer uses (operators/textstats.py). Docs with < 2
+    tokens anchor through the left join with n_bigrams = 0 and a NULL
+    score."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(ngrams(tokenize("text"), 2)).alias("bg")
+    )
+    # |distinct bigrams|-row count table, consumed twice (left-word
+    # rollup + the probability join) — plan barrier per the shared
+    # convention so the corpus explode runs once for it
+    cnt_bg = (
+        grams.groupBy("bg")
+        .agg(F.count("*").alias("c_bg"))
+        .localCheckpoint(eager=False)
+    )
+    cnt_start = (
+        cnt_bg.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
+        .agg(F.sum("c_bg").alias("c_start"))
+    )
+    probs = cnt_bg.join(
+        cnt_start, F.split(cnt_bg.bg, " ").getItem(0) == cnt_start.w1
+    ).select(
+        "bg",
+        F.expr(
+            "CAST((CAST(c_bg AS DECIMAL(38,0)) * 1000000) div c_start"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    scored = (
+        grams.join(probs, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(p_ppm) div count(*)").alias("mean_bigram_ppm"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("mean_bigram_ppm").cast("bigint").alias("mean_bigram_ppm"),
+    )
+
+
+BIGRAM_PROB_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+cnt_bg AS (SELECT bg, min(w1) AS w1, count(*) AS c_bg
+           FROM grams GROUP BY bg),
+cnt_start AS (SELECT w1, sum(c_bg) AS c_start FROM cnt_bg GROUP BY w1),
+probs AS (
+    SELECT bg,
+           CAST((c_bg::HUGEINT * 1000000) // c_start AS BIGINT) AS p_ppm
+    FROM cnt_bg JOIN cnt_start USING (w1)
+),
+scored AS (
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           sum(p_ppm) // count(*) AS mean_bigram_ppm
+    FROM grams JOIN probs USING (bg)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(s.mean_bigram_ppm AS BIGINT) AS mean_bigram_ppm
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+QUERIES = {
+    "corpus_dsir_weights": corpus_dsir_weights,
+    "text_bigram_prob_score": text_bigram_prob_score,
+}
+
+ORACLE_SQL = {
+    "corpus_dsir_weights": DSIR_SQL,
+    "text_bigram_prob_score": BIGRAM_PROB_SQL,
+}

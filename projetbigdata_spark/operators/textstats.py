@@ -971,3 +971,67 @@ bp{sweep} AS (
 
 QUERIES["corpus_bpe_merges_batched"] = corpus_bpe_merges_batched
 ORACLE_SQL["corpus_bpe_merges_batched"] = _bpe_batched_sql()
+
+
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report — the per-language acceptance test a
+    trained tokenizer ships with: subword tokens emitted per word
+    (ppm) and mean subwords per document, by language. High fertility
+    on a language means the vocabulary under-serves it (the training
+    mix or merge count needs rebalancing) — the number multilingual
+    pipelines (e.g. the XLM-R/BLOOM tokenizer analyses) publish per
+    language before committing a vocab.
+
+    Composes the registered encode path end-to-end: re-train the
+    BPE_N_MERGES merge table, encode the corpus (corpus_bpe_encode's
+    exact frame), then one skinny groupBy(lang) — so a green row here
+    re-verifies train -> encode -> report as ONE pipeline. Fertility
+    stays exact-integer: n_tokens_bpe · 1e6 div n_words, NULL for
+    languages with no trainable words. Cost over the encode plan: one
+    |langs|-row hash-agg — nothing at any scale."""
+    tune(spark)
+    enc = corpus_bpe_encode(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens_bpe",
+            F.expr(
+                "CASE WHEN n_words > 0 THEN"
+                " n_tokens_bpe * CAST(1000000 AS BIGINT) div n_words END"
+            ).alias("fertility_ppm"),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    return f"""WITH enc AS (
+{_bpe_encode_sql()}
+),
+by_lang AS (
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(e.n_words) AS BIGINT) AS n_words,
+           CAST(sum(e.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+)
+SELECT lang, n_docs, n_words, n_tokens_bpe,
+       CAST(CASE WHEN n_words > 0 THEN
+            n_tokens_bpe * CAST(1000000 AS BIGINT) // n_words END
+            AS BIGINT) AS fertility_ppm
+FROM by_lang
+"""
+
+
+QUERIES["corpus_bpe_fertility"] = corpus_bpe_fertility
+ORACLE_SQL["corpus_bpe_fertility"] = _bpe_fertility_sql()

@@ -274,12 +274,151 @@ LIMIT {SEARCH_TOP_N}
 """
 
 
+BM25_TERMS = ("hash", "scan", "window")  # static so the oracle is static
+BM25_TOP_N = 20
+# BM25 dials as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75).
+# Substituting avgdl = S/N into the classic form and clearing
+# denominators gives, per (doc, term):
+#   tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+#     = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+# — a ratio of integers, so the whole score stays in exact integer
+# arithmetic (the idf slot uses the log-free Robertson surrogate
+# (2(N-df)+1)/(2df+1) in millionths; ln() is the documented libm
+# cross-engine residual this repo keeps out of hash-checked queries).
+
+
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISJUNCTIVE ranked retrieval — BM25 with integer-exact
+    arithmetic: any document containing at least one query term is
+    scored by sum over matched terms of idf_m × saturation, where
+    saturation applies BM25's per-term tf dampening and length
+    normalization (k1=1.2, b=0.75 as exact rationals, see above).
+    Complements text_search_topk (conjunctive, no length norm): this
+    is the ranking a retrieval/inspection UI actually serves.
+
+    Scale posture: identical skeleton to text_search_topk — the term
+    filter lands on the exploded token stream, df/dl are skinny
+    hash-aggs, the |terms|-row idf table broadcasts (carrying the
+    corpus totals N and S as columns, so no second scalar crossJoin
+    reaches the scored stream), and the top-20 is
+    TakeOrderedAndProject. The idf_m·22·tf·S product is
+    widened through DECIMAL(38,0) (HUGEINT in the oracle) before the
+    integral divide: at 100 TB S~1e14 and idf_m~1e15 put the product
+    near 1e35 — far past int64, comfortably inside 38 digits."""
+    tune(spark)
+    docs = load_documents_parallel(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    # dl and tf are each consumed twice downstream; the plan barrier
+    # (localCheckpoint, the dedup_jaccard_pairs idiom) stops Catalyst
+    # re-executing the corpus scan per consumer — exactly 2 corpus
+    # passes total (dl, tf), plus the metadata-cheap docs count.
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    totals = dl.agg(F.sum("dl").alias("s_tokens")).crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    )
+    tf = (
+        tok.where(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # the |terms|-row idf table CARRIES the corpus totals as columns,
+    # so one broadcast join hands scored everything scalar it needs
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "s_tokens",
+            "n_docs",
+            F.expr(
+                "((n_docs - df) * 2 + 1) * CAST(1000000 AS BIGINT)"
+                " div (df * 2 + 1)"
+            ).alias("idf_m"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(
+                "CAST((CAST(idf_m AS DECIMAL(38,0)) * 22 * tf * s_tokens)"
+                " div (10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs)"
+                " AS BIGINT)"
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").cast("bigint").alias("score_m"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score_m").desc(), "doc_id")
+        .limit(BM25_TOP_N)
+        .select("doc_id", "score_m", "total_tf")
+    )
+
+
+_bm25_terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, t AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+totals AS (
+    SELECT (SELECT count(*) FROM tok) AS s_tokens,
+           (SELECT count(*) FROM documents) AS n_docs
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM tok
+    WHERE token IN ({_bm25_terms_list})
+    GROUP BY 1, 2
+),
+idf AS (
+    SELECT token,
+           ((n_docs - df) * 2 + 1) * CAST(1000000 AS BIGINT)
+               // (df * 2 + 1) AS idf_m
+    FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), totals
+),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(sum((idf.idf_m::HUGEINT * 22 * tf.tf * t.s_tokens)
+                // (10 * tf.tf * t.s_tokens + 3 * t.s_tokens
+                    + 9 * dl.dl * t.n_docs)) AS BIGINT) AS score_m,
+           CAST(sum(tf.tf) AS BIGINT) AS total_tf
+    FROM tf
+    JOIN idf USING (token)
+    JOIN dl USING (doc_id), totals t
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score_m, total_tf
+FROM scored
+ORDER BY score_m DESC, doc_id
+LIMIT {BM25_TOP_N}
+"""
+
+
 QUERIES = {
     "text_tf": text_tf,
     "text_idf": text_idf,
     "text_tfidf_top": text_tfidf_top,
     "text_ngram_counts": text_ngram_counts,
     "text_search_topk": text_search_topk,
+    "text_search_bm25": text_search_bm25,
 }
 
 ORACLE_SQL = {
@@ -288,4 +427,5 @@ ORACLE_SQL = {
     "text_tfidf_top": TFIDF_SQL,
     "text_ngram_counts": NGRAM_SQL,
     "text_search_topk": SEARCH_SQL,
+    "text_search_bm25": BM25_SQL,
 }

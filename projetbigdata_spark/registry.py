@@ -34,6 +34,12 @@ _PRIORITY = (
     "corpus_bpe_encode",
     "corpus_temperature_mix",
     "corpus_bpe_merges_batched",
+    "text_search_bm25",
+    "dedup_containment_pairs",
+    "corpus_dsir_weights",
+    "text_bigram_prob_score",
+    "corpus_bpe_fertility",
+    "events_anomaly_mad",
     # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",
@@ -77,17 +83,19 @@ _PRIORITY = (
     "events_dedup_keyed",
     "merge_cdc_snapshot",
     "scd2_history",
-    "window_distribution",
-    "window_range_time",
-    "text_tfidf_top",
-    "text_ngram_counts",
-    "corpus_vocab_growth",
-    "corpus_health_report",
     # (json_extract / agg_pivot / map_functions /
-    # sample_stratified_by_lang yield their tier-C slots to the four
-    # late-r5 additions — zero-join projection / single-pivot /
-    # single-pass-sample shapes, the lowest-risk r3-green rows left;
-    # their r3 rows stand and they follow in module order)
+    # sample_stratified_by_lang yielded their tier-C slots to the four
+    # late-r5 additions, and window_distribution / window_range_time /
+    # text_tfidf_top / text_ngram_counts / corpus_vocab_growth /
+    # corpus_health_report yield theirs to the six second-wave r5
+    # additions (text_search_bm25, dedup_containment_pairs,
+    # corpus_dsir_weights, text_bigram_prob_score,
+    # corpus_bpe_fertility, events_anomaly_mad) — all zero-join
+    # projection / single-agg / window shapes, the lowest-risk
+    # r3-green rows left; their rows stand and they follow in module
+    # order. Tier C count dips to 22 this round; the six incoming
+    # tier-A shapes are each sub-2s at sf0.01 so the block's
+    # wall-clock stays inside the NEXT.md slot budget.)
 )
 
 # Ordered so the driver's correctness budget reaches every family:
@@ -107,6 +115,7 @@ _MODULES = (
     "projetbigdata_spark.operators.upsert",
     "projetbigdata_spark.operators.dedup",
     "projetbigdata_spark.operators.curation",
+    "projetbigdata_spark.operators.selection",
     "projetbigdata_spark.operators.similarity",
     "projetbigdata_spark.streaming.events_batch",
     "projetbigdata_spark.ml.queries",

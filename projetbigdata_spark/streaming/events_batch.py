@@ -299,8 +299,88 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection on the event stream: per
+    (event_type, hour), flag hours whose event count deviates from the
+    type's median by more than 3× the median absolute deviation — the
+    median/MAD rule monitoring pipelines prefer over mean/stddev
+    because one traffic spike corrupts a mean but not a median. The
+    full (type, hour) frame is returned with the flag (an audit, not
+    just the alarms), so the anomaly rate itself is queryable.
+
+    Exactness: the hourly metric is an integer COUNT (a double
+    sum(value) is order-dependent across engines — kept out of the
+    hash-checked path); exact `median` over integers yields k or
+    k+0.5, both exactly representable, so |n−med|, 3·mad, and the
+    comparison are all bit-deterministic. At unbounded-hours scale the
+    exact median's per-type sort switches to approx_percentile, same
+    relief valve as agg_percentiles (operators/relational3.py).
+
+    Plan: one (type, hour) hash-agg over the scan; medians are two
+    skinny per-type sort-aggs over |types × hours| rows (tiny — the
+    HOURLY frame, not events); the stats join back is broadcast. In
+    streaming this is the batch spec for a foreachBatch detector over
+    the tumbling-window counts (streaming/jobs.py pattern)."""
+    tune(spark)
+    e = load_events(spark, sf_dir)
+    # the tiny |types x hours| frame feeds three consumers (median,
+    # deviations, the output join) — the plan barrier keeps the event
+    # scan + hash-agg to exactly one execution
+    hourly = (
+        e.groupBy(
+            F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("median(CAST(n_events AS DOUBLE))").alias("med")
+    )
+    dev = hourly.join(med, "event_type").withColumn(
+        "abs_dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("median(abs_dev)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            "med",
+            "mad",
+            (F.col("abs_dev") > 3 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+
+
+ANOMALY_MAD_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT event_type, median(CAST(n_events AS DOUBLE)) AS med
+    FROM hourly GROUP BY event_type
+),
+dev AS (
+    SELECT h.*, m.med, abs(h.n_events - m.med) AS abs_dev
+    FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, median(abs_dev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.hour, d.n_events, d.med, ma.mad,
+       d.abs_dev > 3 * ma.mad AS is_anomaly
+FROM dev d JOIN mad ma USING (event_type)
+"""
+
+
 QUERIES = {
     "events_multi_rollup": events_multi_rollup,
+    "events_anomaly_mad": events_anomaly_mad,
     "events_tumbling_1h": events_tumbling_1h,
     "events_sliding_15m_5m": events_sliding_15m_5m,
     "events_session_30m": events_session_30m,
@@ -310,6 +390,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_click_attribution": ATTRIBUTION_SQL,
+    "events_anomaly_mad": ANOMALY_MAD_SQL,
     "events_multi_rollup": MULTI_ROLLUP_SQL,
     "events_tumbling_1h": TUMBLING_SQL,
     "events_sliding_15m_5m": SLIDING_SQL,

@@ -59,6 +59,9 @@ PER_DOC_KEEPERS = [
     # count (0 tokens -> epochs of its language, n_tokens=0)
     "corpus_curate",
     "corpus_sample_assign",
+    # r5 second wave: both anchor on the full document set
+    "corpus_dsir_weights",
+    "text_bigram_prob_score",
 ]
 
 EXPLODE_DROPPERS = [
@@ -91,9 +94,16 @@ MISC_R4 = [
     "corpus_quality_quantiles",  # 0-token docs excluded by definition
 ]
 
+MISC_R5 = [
+    "text_search_bm25",          # null tokens never match the terms
+    "dedup_containment_pairs",   # null-text docs emit no shingles
+    "corpus_bpe_fertility",      # null-text docs count 0 words per lang
+]
+
 
 @pytest.mark.parametrize(
-    "name", PER_DOC_KEEPERS + EXPLODE_DROPPERS + DEDUP_FAMILY + MISC_R4
+    "name",
+    PER_DOC_KEEPERS + EXPLODE_DROPPERS + DEDUP_FAMILY + MISC_R4 + MISC_R5,
 )
 def test_runs_with_null_and_empty_text(spark, nulled_sf_dir, name):
     from projetbigdata_spark import registry
@@ -184,6 +194,7 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "map_functions",   # null event_type must coalesce, not crash
         "scd2_history",    # pinned NULLS LAST ordering
         "sim_ivf_incremental",  # null embeddings: no signature, no row
+        "events_anomaly_mad",   # null event_type is its own group key
     ],
 )
 def test_runs_with_null_events_and_embeddings(

@@ -234,6 +234,14 @@ EXCHANGE_BUDGET = {
     "events_multi_rollup": 1,
     "events_gaps_islands": 1,
     "dedup_components_minhash": 0,
+    # r5 second wave (checkpoint barriers hide pre-barrier stages, so
+    # these count the post-barrier plan — a new exchange still trips)
+    "text_search_bm25": 9,
+    "dedup_containment_pairs": 10,
+    "corpus_dsir_weights": 5,
+    "text_bigram_prob_score": 5,
+    "corpus_bpe_fertility": 5,
+    "events_anomaly_mad": 6,
 }
 
 

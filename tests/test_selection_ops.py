@@ -1,0 +1,249 @@
+"""Engine-independent verification of the r5 second-wave operators:
+the DuckDB oracle (test_oracle_parity) proves Spark == DuckDB; these
+tests prove both == a pure-Python model of the same integer formulas
+(the pattern test_text_properties uses for the BPE trainer), plus the
+semantic invariants each operator's docstring promises.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _tokens(text):
+    if text is None:
+        return []
+    return [t for t in text.lower().split() if t != ""]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def docs_lang(spark):
+    return {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+
+
+def test_bm25_matches_python_model(spark, docs):
+    """text_search_bm25's integer-exact score == a from-scratch Python
+    BM25 with the same rational dials (k1=6/5, b=3/4, log-free
+    Robertson idf in millionths, integral divides)."""
+    from projetbigdata_spark.operators.tfidf import (
+        BM25_TERMS,
+        BM25_TOP_N,
+        text_search_bm25,
+    )
+
+    tok = {d: _tokens(t) for d, t in docs.items()}
+    n_docs = len(docs)
+    s_tokens = sum(len(w) for w in tok.values())
+    tf = {
+        d: Counter(t for t in w if t in BM25_TERMS)
+        for d, w in tok.items()
+    }
+    tf = {d: c for d, c in tf.items() if c}
+    df = Counter(t for c in tf.values() for t in c)
+    idf_m = {
+        t: ((n_docs - df[t]) * 2 + 1) * 1_000_000 // (df[t] * 2 + 1)
+        for t in df
+    }
+    expected = {}
+    for d, c in tf.items():
+        dl = len(tok[d])
+        score = sum(
+            (idf_m[t] * 22 * n * s_tokens)
+            // (10 * n * s_tokens + 3 * s_tokens + 9 * dl * n_docs)
+            for t, n in c.items()
+        )
+        expected[d] = (score, sum(c.values()))
+    top = sorted(expected.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    top = top[:BM25_TOP_N]
+
+    got = text_search_bm25(spark, SF_SMOKE).collect()
+    assert [(r.doc_id, (r.score_m, r.total_tf)) for r in got] == top
+
+
+def test_containment_dominates_jaccard_and_is_bounded(spark):
+    """C(a->b) = I/|A| >= I/|A u B| = J on the same capped index, and
+    both directions stay in [0, 1e6]."""
+    from projetbigdata_spark.operators.dedup import (
+        dedup_containment_pairs,
+        dedup_jaccard_pairs,
+    )
+
+    cont = {
+        (r.doc_a, r.doc_b): (r.cont_a_ppm, r.cont_b_ppm)
+        for r in dedup_containment_pairs(spark, SF_SMOKE).collect()
+    }
+    assert cont, "fixture corpus should contain containment pairs"
+    for (a, b), (ca, cb) in cont.items():
+        assert a < b
+        assert 0 <= ca <= 1_000_000 and 0 <= cb <= 1_000_000
+        assert max(ca, cb) >= 500_000
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    shared = set(cont) & set(jac)
+    assert shared, "some pairs should clear both thresholds"
+    for p in shared:
+        assert max(cont[p]) >= math.floor(jac[p] * 1_000_000)
+
+
+def test_dsir_matches_python_model(spark, docs, docs_lang):
+    """corpus_dsir_weights == the Python importance-ratio model, and
+    target-slice (en) docs average a higher weight than the rest —
+    the direction DSIR selection depends on."""
+    from projetbigdata_spark.operators.selection import (
+        DSIR_TARGET_LANG,
+        corpus_dsir_weights,
+    )
+
+    c_r: Counter = Counter()
+    c_t: Counter = Counter()
+    for d, t in docs.items():
+        w = _tokens(t)
+        c_r.update(w)
+        if docs_lang[d] == DSIR_TARGET_LANG:
+            c_t.update(w)
+    r_total = sum(c_r.values())
+    t_total = sum(c_t.values())
+    expected = {}
+    for d, t in docs.items():
+        w = _tokens(t)
+        if not w:
+            expected[d] = (0, None)
+            continue
+        s = sum(
+            (c_t.get(x, 0) * r_total * 1_000_000) // (c_r[x] * t_total)
+            for x in w
+        )
+        expected[d] = (len(w), s // len(w))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_weight_ppm)
+        for r in corpus_dsir_weights(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+    en = [v for d, (_, v) in expected.items() if docs_lang[d] == "en" and v]
+    rest = [
+        v for d, (_, v) in expected.items() if docs_lang[d] != "en" and v
+    ]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_bigram_prob_matches_python_model(spark, docs):
+    """text_bigram_prob_score == the Python bigram-continuation model;
+    scores are bounded by 1e6 and exact duplicates score identically."""
+    from projetbigdata_spark.operators.selection import (
+        text_bigram_prob_score,
+    )
+
+    c_bg: Counter = Counter()
+    c_start: Counter = Counter()
+    doc_grams = {}
+    for d, t in docs.items():
+        w = _tokens(t)
+        grams = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        doc_grams[d] = grams
+        c_bg.update(grams)
+        c_start.update(g[0] for g in grams)
+    expected = {}
+    for d, grams in doc_grams.items():
+        if not grams:
+            expected[d] = (0, None)
+            continue
+        s = sum(c_bg[g] * 1_000_000 // c_start[g[0]] for g in grams)
+        expected[d] = (len(grams), s // len(grams))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_bigram_ppm)
+        for r in text_bigram_prob_score(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    for n, m in got.values():
+        if n:
+            assert 0 <= m <= 1_000_000
+
+    by_text = defaultdict(list)
+    for d, t in docs.items():
+        by_text[t].append(d)
+    dup_groups = [ids for ids in by_text.values() if len(ids) > 1]
+    for ids in dup_groups:
+        assert len({got[d] for d in ids}) == 1
+
+
+def test_fertility_consistent_with_encode(spark, docs_lang):
+    """corpus_bpe_fertility is exactly corpus_bpe_encode rolled up by
+    language (totals match; ppm is the integral quotient)."""
+    from projetbigdata_spark.operators.textstats import (
+        corpus_bpe_encode,
+        corpus_bpe_fertility,
+    )
+
+    enc = corpus_bpe_encode(spark, SF_SMOKE).collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in enc:
+        a = agg[docs_lang[r.doc_id]]
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += r.n_tokens_bpe
+    got = {
+        r.lang: (r.n_docs, r.n_words, r.n_tokens_bpe, r.fertility_ppm)
+        for r in corpus_bpe_fertility(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (nd, nw, nt) in agg.items():
+        fert = nt * 1_000_000 // nw if nw > 0 else None
+        assert got[lang] == (nd, nw, nt, fert)
+
+
+def test_anomaly_mad_matches_python_model(spark):
+    """events_anomaly_mad's flags == recomputed median/MAD over the
+    collected hourly counts (exact: integer counts, halves-only
+    medians)."""
+    from projetbigdata_spark.streaming.events_batch import (
+        events_anomaly_mad,
+    )
+
+    rows = events_anomaly_mad(spark, SF_SMOKE).collect()
+    assert rows
+
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        mid = n // 2
+        return (
+            float(xs[mid])
+            if n % 2
+            else (xs[mid - 1] + xs[mid]) / 2.0
+        )
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    flagged = 0
+    for rs in by_type.values():
+        med = median([r.n_events for r in rs])
+        mad = median([abs(r.n_events - med) for r in rs])
+        for r in rs:
+            assert r.med == med and r.mad == mad
+            assert r.is_anomaly == (abs(r.n_events - med) > 3 * mad)
+            flagged += bool(r.is_anomaly)
+    # the synthetic stream is bursty enough to trip the rule somewhere,
+    # but a 3-MAD gate must never flag a majority of hours
+    assert flagged < len(rows) / 2

@@ -74,6 +74,13 @@ QUERIES = [
     "dedup_semantic",
     "corpus_bpe_encode",
     "corpus_temperature_mix",
+    # r5 second wave
+    "text_search_bm25",
+    "dedup_containment_pairs",
+    "corpus_dsir_weights",
+    "text_bigram_prob_score",
+    "corpus_bpe_fertility",
+    "events_anomaly_mad",
 ]
 
 
