@@ -163,14 +163,20 @@ def text_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id", F.explode(ngrams(tokenize("text"), 2)).alias("bg")
     )
-    # |distinct bigrams|-row count table, consumed twice (left-word
-    # rollup + the probability join) — plan barrier per the shared
-    # convention so the corpus explode runs once for it
-    cnt_bg = (
-        grams.groupBy("bg")
-        .agg(F.count("*").alias("c_bg"))
+    # ONE corpus explode total: the per-doc distinct-bigram counts are
+    # the root frame (plan barrier — every downstream table derives
+    # from it), so the corpus-wide bigram and left-word counts are
+    # rollups of an already-aggregated table, and the probability join
+    # runs pre-aggregated × small instead of raw-stream × small (a raw
+    # grams join invites AQE to broadcast the CORPUS side off the
+    # Generate's file-size estimate — observed at sf0.1, scale-wrong
+    # in both directions).
+    doc_grams = (
+        grams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("k"))
         .localCheckpoint(eager=False)
     )
+    cnt_bg = doc_grams.groupBy("bg").agg(F.sum("k").alias("c_bg"))
     cnt_start = (
         cnt_bg.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
         .agg(F.sum("c_bg").alias("c_start"))
@@ -185,11 +191,11 @@ def text_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_ppm"),
     )
     scored = (
-        grams.join(probs, "bg")
+        doc_grams.join(probs, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.expr("sum(p_ppm) div count(*)").alias("mean_bigram_ppm"),
+            F.sum("k").alias("n_bigrams"),
+            F.expr("sum(k * p_ppm) div sum(k)").alias("mean_bigram_ppm"),
         )
     )
     return docs.select("doc_id").join(scored, "doc_id", "left").select(

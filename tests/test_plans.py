@@ -38,6 +38,11 @@ CARTESIAN_OK = {
     # unigram score crossJoins the 1-row corpus-total aggregate
     # (broadcast) — same class as text_idf
     "text_unigram_freq_score",
+    # r5 second wave, same 1-row-broadcast-total class: BM25 folds
+    # (N docs, S tokens) into the |terms|-row idf table; DSIR folds
+    # (r_total, t_total) into the ratio table
+    "text_search_bm25",
+    "corpus_dsir_weights",
     # incremental IVF: the centroid-distance fold is a crossJoin
     # against the BROADCAST k-row centroid table (k=16 rows) — the
     # same per-assignment shape sim_ivf_topk uses, visible here only
@@ -239,7 +244,7 @@ EXCHANGE_BUDGET = {
     "text_search_bm25": 9,
     "dedup_containment_pairs": 10,
     "corpus_dsir_weights": 5,
-    "text_bigram_prob_score": 5,
+    "text_bigram_prob_score": 7,
     "corpus_bpe_fertility": 5,
     "events_anomaly_mad": 6,
 }

@@ -117,6 +117,9 @@ BYTE_BUDGET_MB = {
     # cluster-assignment + within-cluster pair rows
     "corpus_curate_calibrated": 22.2,
     "dedup_semantic": 5.4,
+    # r5 second wave: BM25's volume is the tf/dl streams; the other
+    # five shuffle <0.3 MB and stay under the exchange-count gate only
+    "text_search_bm25": 4.0,
 }
 
 
