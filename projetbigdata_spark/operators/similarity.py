@@ -856,6 +856,14 @@ def dedup_semantic(
     and a skewed mega-cluster is the known failure mode — SemDeDup
     handles it by raising k, not by a different algorithm.
 
+    THE k DIAL IS MANDATORY AT SCALE: pair work is Σ|cluster|² ≈
+    n²/k, so the fixture default (k=16 ≈ √n/2 at driver scale) is
+    wrong for any real corpus — measured at 250k vectors, k=16 costs
+    288s where k=128 costs 42s with a bit-identical drop list, and
+    k=256 starts handing the win back to the Lloyd tier (cost ∝ n·k).
+    Pick k ≈ √n/4..√n/2 (SCALE.md §sf5 soak, r5 k-sweep), exactly the
+    sim_ivf_incremental dial family.
+
     Beyond-reference operator (the training-data-pipeline tier): the
     reference has no dedup stage; this completes the dedup ladder
     (exact -> shingle/minhash -> embedding-cosine -> semantic)."""

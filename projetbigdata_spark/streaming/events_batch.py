@@ -323,16 +323,22 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tumbling-window counts (streaming/jobs.py pattern)."""
     tune(spark)
     e = load_events(spark, sf_dir)
-    # the tiny |types x hours| frame feeds three consumers (median,
-    # deviations, the output join) — the plan barrier keeps the event
-    # scan + hash-agg to exactly one execution
-    hourly = (
-        e.groupBy(
-            F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
-        )
-        .agg(F.count("*").alias("n_events"))
-        .localCheckpoint(eager=False)
-    )
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    return mad_flags(hourly)
+
+
+def mad_flags(hourly: DataFrame) -> DataFrame:
+    """The median/3·MAD rule over an (event_type, hour, n_events)
+    frame — shared by the batch query above and the foreachBatch
+    streaming detector (streaming/jobs.py anomaly_stream), so batch ==
+    streaming flags is a structural identity, not a re-implementation.
+
+    The input frame feeds three consumers (median, deviations, the
+    output join) — the plan barrier keeps its upstream to exactly one
+    execution."""
+    hourly = hourly.localCheckpoint(eager=False)
     med = hourly.groupBy("event_type").agg(
         F.expr("median(CAST(n_events AS DOUBLE))").alias("med")
     )

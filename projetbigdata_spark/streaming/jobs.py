@@ -312,6 +312,49 @@ def ann_ingest_stream(
     )
 
 
+def anomaly_stream(
+    events_stream: DataFrame, state_dir: str, out_dir: str
+):
+    """Streaming volume-anomaly detection: the foreachBatch twin of
+    events_batch.events_anomaly_mad. Per micro-batch, the batch's
+    (event_type, hour) count PARTIALS are appended to a parquet state
+    table (counts are additive, so partial-per-trigger + sum-on-read
+    is exact — the same additivity a stateful streaming agg exploits);
+    the detector then re-runs the shared median/3·MAD rule over the
+    accumulated hourly frame and OVERWRITES the flags snapshot, which
+    is the correct semantics for a monitoring table (medians are
+    corpus-level order statistics — they cannot be folded
+    incrementally, so each trigger re-ranks the tiny |types × hours|
+    frame; at scale that frame stays thousands of rows when the raw
+    stream is billions).
+
+    Batch == streaming flags is a structural identity: both paths end
+    in events_batch.mad_flags."""
+    from projetbigdata_spark.streaming.events_batch import mad_flags
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.col("event_type"),
+                F.date_trunc("hour", "ts").alias("hour"),
+            )
+            .agg(F.count("*").alias("n_events"))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+        spark = batch_df.sparkSession
+        hourly = (
+            spark.read.parquet(state_dir)
+            .groupBy("event_type", "hour")
+            .agg(F.sum("n_events").alias("n_events"))
+        )
+        mad_flags(hourly).write.mode("overwrite").parquet(out_dir)
+
+    return events_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
 def user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static per-user enrichment dim derived from the historical
     events table: lifetime event count + total purchase value. The

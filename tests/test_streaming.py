@@ -683,3 +683,61 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
     oracle = con.execute(SESSION_SQL).df()
     assert len(oracle) == 2
     assert sorted(oracle.n_events) == [1, 2]
+
+
+def test_anomaly_stream_equals_batch(spark, tmp_path):
+    """Streaming anomaly detection == batch events_anomaly_mad: the
+    event stream arrives as TWO parquet micro-batches whose hourly
+    count PARTIALS accumulate in the state table; the final flags
+    snapshot must reproduce the batch frame exactly (both paths end in
+    events_batch.mad_flags — the ann/dedup twins' equality contract,
+    for the monitoring rule)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.sources.catalog import load_events
+    from projetbigdata_spark.streaming.events_batch import (
+        events_anomaly_mad,
+    )
+    from projetbigdata_spark.streaming.jobs import (
+        anomaly_stream,
+        open_events_stream,
+    )
+
+    e = load_events(spark, SF_SMOKE)
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    # open_events_stream watches FLAT files (no recursiveFileLookup,
+    # matching the events_dir fixture) — stage each half's part file
+    # at the top level
+    import glob
+    import os
+
+    os.makedirs(in_dir)
+    half = e.where(F.col("event_id") % 2 == 0)
+    other = e.subtract(half)
+    for i, part in enumerate((half, other)):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        shutil.copy(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{in_dir}/b{i}.parquet",
+        )
+
+    stream = open_events_stream(
+        spark,
+        {"kind": "files", "path": in_dir, "max_files_per_trigger": 1},
+    )
+    q = anomaly_stream(stream, state_dir, out_dir).start()
+    q.awaitTermination(120)
+
+    # both micro-batches landed partials: same hour split across
+    # triggers -> more partial rows than final (type, hour) groups
+    partials = spark.read.parquet(state_dir)
+    streamed = spark.read.parquet(out_dir)
+    assert partials.count() > streamed.count()
+
+    batch = events_anomaly_mad(spark, SF_SMOKE)
+    assert streamed.count() == batch.count()
+    assert streamed.subtract(batch).count() == 0
+    assert batch.subtract(streamed).count() == 0
