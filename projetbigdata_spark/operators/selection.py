@@ -247,3 +247,130 @@ ORACLE_SQL = {
     "corpus_dsir_weights": DSIR_SQL,
     "text_bigram_prob_score": BIGRAM_PROB_SQL,
 }
+
+
+DSIR_SELECT_MICROS = 250_000  # target acceptance rate (in millionths)
+# against a uniform-weight corpus; a deployment tunes this to its
+# token budget
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_dsir_weights made EXECUTABLE — the importance-RESAMPLING
+    step of DSIR as a deterministic accept/reject frame: each doc's
+    acceptance probability is its weight scaled so a uniform-weight
+    corpus would accept DSIR_SELECT_MICROS (25%), capped at 1
+    (probabilities cannot exceed certainty; the cap makes the realized
+    rate a floor-biased approximation of the target on skewed-weight
+    corpora — reported per-doc, auditable, no iterative renormalization
+    fixpoint). A doc is selected iff its salted md5 bucket on the 1e6
+    grid falls below accept_micros — hash buckets, not rand(): re-runs,
+    engine changes, and corpus appends never flip an existing doc's
+    verdict (the corpus_sample_assign stability contract; the 'dsir'
+    salt decorrelates this decision from the mixture sampler's bucket).
+
+    Exactness: accept_micros = min(1e6, w·M·n div Σw) — the w·M·n
+    product reaches ~5e20 at a 1e9-doc corpus, so it is widened through
+    DECIMAL(38,0)/HUGEINT before the integral divide. Docs with no
+    tokens (NULL weight) and the empty-target degenerate corpus
+    (Σw = 0) accept nothing rather than divide-aborting.
+
+    Plan: the weights frame (plan-barriered — consumed by the 1-row
+    Σw/n aggregate AND the verdict projection) plus one broadcast
+    crossJoin; the verdict itself is a codegen'd projection."""
+    tune(spark)
+    w = corpus_dsir_weights(spark, sf_dir).localCheckpoint(eager=False)
+    wtot = w.where(F.col("dsir_weight_ppm").isNotNull()).agg(
+        F.sum("dsir_weight_ppm").alias("w_sum"),
+        F.count("*").alias("w_n"),
+    )
+    return (
+        w.crossJoin(F.broadcast(wtot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_weight_ppm",
+            F.expr(
+                "CASE WHEN dsir_weight_ppm IS NULL OR w_sum = 0"
+                " THEN CAST(0 AS BIGINT) ELSE LEAST("
+                f" CAST(1000000 AS BIGINT),"
+                f" CAST((CAST(dsir_weight_ppm AS DECIMAL(38,0))"
+                f" * {DSIR_SELECT_MICROS} * w_n) div w_sum AS BIGINT))"
+                " END"
+            ).alias("accept_micros"),
+            F.expr(
+                "CAST(conv(substring(md5(concat('dsir',"
+                " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+                " AS BIGINT) % 1000000"
+            ).alias("bucket"),
+        )
+        .withColumn("selected", F.col("bucket") < F.col("accept_micros"))
+    )
+
+
+DSIR_SAMPLE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang, t AS token
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+),
+counts AS (
+    SELECT token,
+           count(*) AS c_r,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS c_t
+    FROM tok GROUP BY token
+),
+totals AS (SELECT sum(c_r) AS r_total, sum(c_t) AS t_total FROM counts),
+ratios AS (
+    SELECT token,
+           CASE WHEN t.t_total = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST((c.c_t::HUGEINT * t.r_total * 1000000)
+                    // (c.c_r::HUGEINT * t.t_total) AS BIGINT) END
+               AS ratio_ppm
+    FROM counts c, totals t
+),
+scored AS (
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(ratio_ppm) // count(*) AS dsir_weight_ppm
+    FROM tok JOIN ratios USING (token)
+    GROUP BY doc_id
+),
+base AS (
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(s.dsir_weight_ppm AS BIGINT) AS dsir_weight_ppm
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+),
+wtot AS (
+    SELECT sum(dsir_weight_ppm) AS w_sum, count(*) AS w_n
+    FROM base WHERE dsir_weight_ppm IS NOT NULL
+)
+SELECT b.doc_id, b.n_tokens, b.dsir_weight_ppm,
+       CASE WHEN b.dsir_weight_ppm IS NULL OR w.w_sum = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE LEAST(CAST(1000000 AS BIGINT),
+                       CAST((b.dsir_weight_ppm::HUGEINT
+                             * {DSIR_SELECT_MICROS} * w.w_n)
+                            // w.w_sum AS BIGINT)) END AS accept_micros,
+       CAST(CAST('0x' || substr(md5('dsir' || CAST(b.doc_id AS VARCHAR)),
+                                1, 8) AS BIGINT) % 1000000
+            AS BIGINT) AS bucket,
+       CAST(CAST('0x' || substr(md5('dsir' || CAST(b.doc_id AS VARCHAR)),
+                                1, 8) AS BIGINT) % 1000000
+            AS BIGINT)
+           < CASE WHEN b.dsir_weight_ppm IS NULL OR w.w_sum = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(1000000 AS BIGINT),
+                             CAST((b.dsir_weight_ppm::HUGEINT
+                                   * {DSIR_SELECT_MICROS} * w.w_n)
+                                  // w.w_sum AS BIGINT)) END AS selected
+FROM base b, wtot w
+"""
+
+
+QUERIES["corpus_dsir_sample"] = corpus_dsir_sample
+ORACLE_SQL["corpus_dsir_sample"] = DSIR_SAMPLE_SQL

@@ -37,6 +37,7 @@ _PRIORITY = (
     "text_search_bm25",
     "dedup_containment_pairs",
     "corpus_dsir_weights",
+    "corpus_dsir_sample",
     "text_bigram_prob_score",
     "corpus_bpe_fertility",
     "events_anomaly_mad",

@@ -59,8 +59,9 @@ PER_DOC_KEEPERS = [
     # count (0 tokens -> epochs of its language, n_tokens=0)
     "corpus_curate",
     "corpus_sample_assign",
-    # r5 second wave: both anchor on the full document set
+    # r5 second wave: all anchor on the full document set
     "corpus_dsir_weights",
+    "corpus_dsir_sample",
     "text_bigram_prob_score",
 ]
 

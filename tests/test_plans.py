@@ -43,6 +43,8 @@ CARTESIAN_OK = {
     # (r_total, t_total) into the ratio table
     "text_search_bm25",
     "corpus_dsir_weights",
+    # dsir_sample crossJoins the 1-row (Σw, n) aggregate (broadcast)
+    "corpus_dsir_sample",
     # incremental IVF: the centroid-distance fold is a crossJoin
     # against the BROADCAST k-row centroid table (k=16 rows) — the
     # same per-assignment shape sim_ivf_topk uses, visible here only
@@ -244,6 +246,7 @@ EXCHANGE_BUDGET = {
     "text_search_bm25": 9,
     "dedup_containment_pairs": 10,
     "corpus_dsir_weights": 5,
+    "corpus_dsir_sample": 2,
     "text_bigram_prob_score": 7,
     "corpus_bpe_fertility": 5,
     "events_anomaly_mad": 6,

@@ -247,3 +247,44 @@ def test_anomaly_mad_matches_python_model(spark):
     # the synthetic stream is bursty enough to trip the rule somewhere,
     # but a 3-MAD gate must never flag a majority of hours
     assert flagged < len(rows) / 2
+
+
+def test_dsir_sample_matches_python_model(spark):
+    """corpus_dsir_sample == the Python accept/reject model derived
+    from the weights frame: capped scaled acceptance, salted md5
+    bucket, NULL-weight docs never selected; realized rate lands in a
+    sane band around the 25% uniform-weight target."""
+    import hashlib
+
+    from projetbigdata_spark.operators.selection import (
+        DSIR_SELECT_MICROS,
+        corpus_dsir_sample,
+        corpus_dsir_weights,
+    )
+
+    weights = {
+        r.doc_id: r.dsir_weight_ppm
+        for r in corpus_dsir_weights(spark, SF_SMOKE).collect()
+    }
+    live = {d: w for d, w in weights.items() if w is not None}
+    w_sum, w_n = sum(live.values()), len(live)
+
+    def accept(w):
+        if w is None or w_sum == 0:
+            return 0
+        return min(1_000_000, w * DSIR_SELECT_MICROS * w_n // w_sum)
+
+    def bucket(d):
+        h = hashlib.md5(f"dsir{d}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000
+
+    got = corpus_dsir_sample(spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in got} == set(weights)
+    for r in got:
+        assert r.accept_micros == accept(weights[r.doc_id]), r.doc_id
+        assert r.bucket == bucket(r.doc_id), r.doc_id
+        assert r.selected == (r.bucket < r.accept_micros)
+        if weights[r.doc_id] is None:
+            assert not r.selected
+    rate = sum(r.selected for r in got) / len(got)
+    assert 0.10 < rate < 0.40, rate

@@ -78,6 +78,7 @@ QUERIES = [
     "text_search_bm25",
     "dedup_containment_pairs",
     "corpus_dsir_weights",
+    "corpus_dsir_sample",
     "text_bigram_prob_score",
     "corpus_bpe_fertility",
     "events_anomaly_mad",
