@@ -1,0 +1,114 @@
+"""End-to-end training-data SELECTION — the r5 selection tier composed
+into ONE distributed dataflow, downstream of curation (which decides
+what is CLEAN; this decides what the model should SEE MORE OF):
+
+    documents
+      -> fluency gate      (text_bigram_prob_score: corpus bigram-LM
+                            continuation probability above a floor)
+      -> target affinity   (corpus_dsir_weights: DSIR importance ratio
+                            vs the lang='en' target slice)
+      -> importance sample (corpus_dsir_sample: capped scaled
+                            acceptance, salted md5 buckets — the
+                            deterministic resampling verdict)
+      -> mixture realization (corpus_temperature_mix: T=2 temperature
+                            epochs over the SELECTED docs' languages)
+      -> selection report  (per-lang kept/dropped, token mass, mean
+                            weight — the audit a data team reviews
+                            before training)
+
+    python examples/data_selection.py [sf_dir] [out_dir]
+
+Every stage is a registered, oracle-checked operator; this script only
+composes them (joins on doc_id — all gates anchor on the full document
+set, so composition is never row-multiplying). No driver collect
+except the final summary. Integration-tested in
+tests/test_selection_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from projetbigdata_spark.operators.selection import (  # noqa: E402
+    corpus_dsir_sample,
+    text_bigram_prob_score,
+)
+
+# fluency floor: ~the fixture corpus's median continuation probability
+# (its near-i.i.d. synthetic tokens sit around 1/|vocab| ≈ 3.4%) so the
+# gate is demonstrably live. A deployment calibrates this off the
+# corpus quantiles exactly like corpus_curate's calibrated thresholds —
+# real text lands much higher than an i.i.d. stream.
+MIN_BIGRAM_PPM = 34_000
+
+
+def select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document: fluency score, DSIR verdict columns, and
+    the composed `selected` flag (fluent AND importance-accepted)."""
+    flu = text_bigram_prob_score(spark, sf_dir)
+    dsir = corpus_dsir_sample(spark, sf_dir).withColumnRenamed(
+        "selected", "dsir_accept"
+    )
+    return (
+        flu.join(dsir, "doc_id")
+        .withColumn(
+            "fluent",
+            F.coalesce(
+                F.col("mean_bigram_ppm") >= MIN_BIGRAM_PPM, F.lit(False)
+            ),
+        )
+        .withColumn("selected", F.col("fluent") & F.col("dsir_accept"))
+    )
+
+
+def selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language selection audit over the composed verdicts."""
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        select_corpus(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("selected").cast("int")).alias("n_selected"),
+            F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+            F.avg("dsir_weight_ppm").alias("mean_weight_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def main() -> int:
+    from projetbigdata_spark.operators.packing import corpus_temperature_mix
+    from projetbigdata_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/data_selection_out"
+    spark = get_spark("data-selection")
+
+    verdicts = select_corpus(spark, sf_dir)
+    verdicts.write.mode("overwrite").parquet(f"{out_dir}/verdicts.parquet")
+
+    report = selection_report(spark, sf_dir)
+    report.show(truncate=False)
+    mix = corpus_temperature_mix(spark, sf_dir)
+    mix.show(truncate=False)
+
+    kept = verdicts.where("selected").count()
+    total = verdicts.count()
+    print(f"selected {kept}/{total} docs -> {out_dir}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
