@@ -1084,10 +1084,128 @@ GROUP BY lang
 """
 
 
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-DRIFT telemetry: per source, the total-variation distance
+    (in exact ppb) between the source's unigram distribution and the
+    whole corpus's — the quantitative form of 'this domain reads
+    differently', used to triage which sources need their own quality
+    calibration (corpus_quality_quantiles) or a mixture down-weight.
+    TV rather than KL/JS because TV needs no ln(): with p in exact ppb
+    integers, Σ|p_s − p| is bit-deterministic across engines.
+
+    The absent-words identity keeps the join bounded: words the source
+    never uses contribute p(w) each, so
+
+        TV_s = Σ_{w∈s} (|p_s(w) − p(w)| − p(w)) + Σ_all p(w)
+
+    — only (source, word) pairs that EXIST are materialized (the
+    natural output of one hash-agg over the token stream), never the
+    |vocab| × |sources| dense grid; the corpus term Σp is a 1-row
+    broadcast constant (≈1e9 minus floor dust, computed exactly, not
+    assumed). At 100 TB the shuffle is the per-source vocabularies —
+    the same key-bounded posture as corpus_domain_stats.
+
+    Plan: one (source, token) hash-agg; corpus counts are a rollup of
+    it (plan-barriered — consumed by the rollup AND the probe); totals
+    ride broadcast 1-row crossJoins; one groupBy(source)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokenize("text")).alias("token"))
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("c_s"))
+        .localCheckpoint(eager=False)
+    )
+    corpus = (
+        st.groupBy("token")
+        .agg(F.sum("c_s").alias("c"))
+        .crossJoin(
+            F.broadcast(
+                st.agg(F.sum("c_s").cast("bigint").alias("t_total"))
+            )
+        )
+        .select(
+            "token",
+            F.expr(
+                "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000)"
+                " div t_total AS BIGINT)"
+            ).alias("p_ppb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s_ppb = corpus.agg(F.sum("p_ppb").cast("bigint").alias("s_ppb"))
+    src_tot = st.groupBy("source").agg(
+        F.sum("c_s").cast("bigint").alias("t_s")
+    )
+    per_word = (
+        st.join(src_tot, "source")
+        .join(corpus, "token")
+        .select(
+            "source",
+            "t_s",
+            F.expr(
+                "abs(CAST((CAST(c_s AS DECIMAL(38,0)) * 1000000000)"
+                " div t_s AS BIGINT) - p_ppb) - p_ppb"
+            ).alias("term"),
+        )
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.max("t_s").alias("n_tokens"),
+            F.sum("term").cast("bigint").alias("present_term"),
+        )
+        .crossJoin(F.broadcast(s_ppb))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("present_term") + F.col("s_ppb"))
+            .cast("bigint")
+            .alias("tv_ppb"),
+        )
+    )
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH tok AS (
+    SELECT source, t AS token
+    FROM (SELECT source,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+),
+st AS (SELECT source, token, count(*) AS c_s FROM tok GROUP BY 1, 2),
+corpus AS (
+    SELECT token,
+           CAST((sum(c_s)::HUGEINT * 1000000000)
+                // (SELECT sum(c_s) FROM st) AS BIGINT) AS p_ppb
+    FROM st GROUP BY token
+),
+s_ppb AS (SELECT CAST(sum(p_ppb) AS BIGINT) AS s_ppb FROM corpus),
+src_tot AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s
+            FROM st GROUP BY source),
+per_word AS (
+    SELECT st.source, src_tot.t_s,
+           abs(CAST((st.c_s::HUGEINT * 1000000000) // src_tot.t_s
+                    AS BIGINT) - corpus.p_ppb) - corpus.p_ppb AS term
+    FROM st
+    JOIN src_tot USING (source)
+    JOIN corpus USING (token)
+)
+SELECT p.source,
+       max(p.t_s) AS n_tokens,
+       CAST(sum(p.term) + any_value(s.s_ppb) AS BIGINT) AS tv_ppb
+FROM per_word p, s_ppb s
+GROUP BY p.source
+"""
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_curate_calibrated": corpus_curate_calibrated,
     "corpus_domain_stats": corpus_domain_stats,
+    "corpus_source_divergence": corpus_source_divergence,
     "corpus_quality_quantiles": corpus_quality_quantiles,
     "dedup_component_sizes": dedup_component_sizes,
     "contamination_ngram_overlap": contamination_ngram_overlap,
@@ -1101,6 +1219,7 @@ ORACLE_SQL = {
     "corpus_curate": _corpus_curate_sql(),
     "corpus_curate_calibrated": _corpus_curate_sql("calibrated"),
     "corpus_domain_stats": _domain_stats_sql(),
+    "corpus_source_divergence": SOURCE_DIVERGENCE_SQL,
     "corpus_quality_quantiles": _quality_quantiles_sql(),
     "dedup_component_sizes": _component_sizes_sql(),
     "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,

@@ -1035,3 +1035,80 @@ FROM by_lang
 
 QUERIES["corpus_bpe_fertility"] = corpus_bpe_fertility
 ORACLE_SQL["corpus_bpe_fertility"] = _bpe_fertility_sql()
+
+
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram DIVERSITY per document — distinct-1 / distinct-2 ratios
+    (type-token ratio and its bigram analogue) in exact ppm: the
+    standard repetition/diversity audit for GENERATED corpora
+    (self-instruct-style synthetic data reports distinct-n before the
+    data is trusted) and a cheap complement to the Gopher repetition
+    gates (low distinct2_ppm ≈ templated or looping text).
+
+    Plan: the entire computation is IN-ROW (tokenize, array_distinct,
+    the bigram expression, four size() calls, two integral divides) —
+    zero exchanges, zero joins, the scan is the plan. NULL/empty text
+    degrades to zero counts with NULL ratios (ANSI-safe CASE, the
+    anchor convention without even needing the anchor join)."""
+    from projetbigdata_spark.functions.text import ngrams
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    bgs = ngrams(tokenize("text"), 2)
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(F.array_distinct(toks)), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+        F.coalesce(F.size(bgs), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.size(F.array_distinct(bgs)), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_bigrams"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN n_distinct_tokens"
+            " * CAST(1000000 AS BIGINT) div n_tokens END"
+        ).alias("distinct1_ppm"),
+        F.expr(
+            "CASE WHEN n_bigrams > 0 THEN n_distinct_bigrams"
+            " * CAST(1000000 AS BIGINT) div n_bigrams END"
+        ).alias("distinct2_ppm"),
+    )
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+counts AS (
+    SELECT doc_id,
+           CAST(coalesce(len(w), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(list_distinct(w)), 0) AS BIGINT)
+               AS n_distinct_tokens,
+           CAST(coalesce(greatest(len(w) - 1, 0), 0) AS BIGINT)
+               AS n_bigrams,
+           CAST(coalesce(len(list_distinct(
+               [w[i] || ' ' || w[i + 1]
+                for i in generate_series(1, len(w) - 1)])), 0) AS BIGINT)
+               AS n_distinct_bigrams
+    FROM base
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams,
+       CAST(CASE WHEN n_tokens > 0 THEN n_distinct_tokens
+                 * CAST(1000000 AS BIGINT) // n_tokens END AS BIGINT)
+           AS distinct1_ppm,
+       CAST(CASE WHEN n_bigrams > 0 THEN n_distinct_bigrams
+                 * CAST(1000000 AS BIGINT) // n_bigrams END AS BIGINT)
+           AS distinct2_ppm
+FROM counts
+"""
+
+
+QUERIES["corpus_ngram_diversity"] = corpus_ngram_diversity
+ORACLE_SQL["corpus_ngram_diversity"] = NGRAM_DIVERSITY_SQL

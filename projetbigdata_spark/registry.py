@@ -41,6 +41,8 @@ _PRIORITY = (
     "text_bigram_prob_score",
     "corpus_bpe_fertility",
     "events_anomaly_mad",
+    "corpus_ngram_diversity",
+    "corpus_source_divergence",
     # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",

@@ -63,6 +63,7 @@ PER_DOC_KEEPERS = [
     "corpus_dsir_weights",
     "corpus_dsir_sample",
     "text_bigram_prob_score",
+    "corpus_ngram_diversity",  # in-row: null text -> zero-count row
 ]
 
 EXPLODE_DROPPERS = [
@@ -99,6 +100,7 @@ MISC_R5 = [
     "text_search_bm25",          # null tokens never match the terms
     "dedup_containment_pairs",   # null-text docs emit no shingles
     "corpus_bpe_fertility",      # null-text docs count 0 words per lang
+    "corpus_source_divergence",  # null-text docs add no token mass
 ]
 
 

@@ -45,6 +45,9 @@ CARTESIAN_OK = {
     "corpus_dsir_weights",
     # dsir_sample crossJoins the 1-row (Σw, n) aggregate (broadcast)
     "corpus_dsir_sample",
+    # source divergence crossJoins TWO 1-row broadcast constants
+    # (corpus token total; Σp floor-dust constant)
+    "corpus_source_divergence",
     # incremental IVF: the centroid-distance fold is a crossJoin
     # against the BROADCAST k-row centroid table (k=16 rows) — the
     # same per-assignment shape sim_ivf_topk uses, visible here only
@@ -250,6 +253,8 @@ EXCHANGE_BUDGET = {
     "text_bigram_prob_score": 7,
     "corpus_bpe_fertility": 5,
     "events_anomaly_mad": 6,
+    "corpus_ngram_diversity": 0,  # in-row: the scan IS the plan
+    "corpus_source_divergence": 6,
 }
 
 

@@ -288,3 +288,81 @@ def test_dsir_sample_matches_python_model(spark):
             assert not r.selected
     rate = sum(r.selected for r in got) / len(got)
     assert 0.10 < rate < 0.40, rate
+
+
+def test_ngram_diversity_matches_python_model(spark, docs):
+    """corpus_ngram_diversity == the Python distinct-n model; ratios
+    bounded by 1e6; exact duplicate docs score identically."""
+    from projetbigdata_spark.operators.textstats import (
+        corpus_ngram_diversity,
+    )
+
+    expected = {}
+    for d, t in docs.items():
+        w = _tokens(t)
+        bg = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        nt, ndt = len(w), len(set(w))
+        nb, ndb = len(bg), len(set(bg))
+        expected[d] = (
+            nt,
+            ndt,
+            nb,
+            ndb,
+            ndt * 1_000_000 // nt if nt else None,
+            ndb * 1_000_000 // nb if nb else None,
+        )
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.n_distinct_tokens,
+            r.n_bigrams,
+            r.n_distinct_bigrams,
+            r.distinct1_ppm,
+            r.distinct2_ppm,
+        )
+        for r in corpus_ngram_diversity(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    for _, _, _, _, d1, d2 in got.values():
+        assert d1 is None or 0 < d1 <= 1_000_000
+        assert d2 is None or 0 < d2 <= 1_000_000
+
+
+def test_source_divergence_matches_python_model(spark):
+    """corpus_source_divergence == the Python TV-distance model built
+    with the same ppb floors AND the absent-words identity expanded
+    the naive way (full vocabulary sum) — proving the bounded-join
+    identity is exact, not an approximation. TV stays in [0, 2e9]."""
+    from projetbigdata_spark.operators.curation import (
+        corpus_source_divergence,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    st: Counter = Counter()
+    for r in rows:
+        for t in _tokens(r.text):
+            st[(r.source, t)] += 1
+    corpus: Counter = Counter()
+    for (s, t), c in st.items():
+        corpus[t] += c
+    t_total = sum(corpus.values())
+    p = {t: c * 1_000_000_000 // t_total for t, c in corpus.items()}
+    t_s: Counter = Counter()
+    for (s, t), c in st.items():
+        t_s[s] += c
+    expected = {}
+    for s in t_s:
+        # NAIVE full-vocab sum (the identity's left-hand side)
+        tv = sum(
+            abs(st.get((s, t), 0) * 1_000_000_000 // t_s[s] - p[t])
+            for t in corpus
+        )
+        expected[s] = (t_s[s], tv)
+
+    got = {
+        r.source: (r.n_tokens, r.tv_ppb)
+        for r in corpus_source_divergence(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    for _, tv in got.values():
+        assert 0 <= tv <= 2_000_000_000

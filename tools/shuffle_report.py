@@ -82,6 +82,8 @@ QUERIES = [
     "text_bigram_prob_score",
     "corpus_bpe_fertility",
     "events_anomaly_mad",
+    "corpus_ngram_diversity",
+    "corpus_source_divergence",
 ]
 
 
