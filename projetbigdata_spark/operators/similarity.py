@@ -1176,6 +1176,268 @@ GROUP BY vec_id
 """
 
 
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_SUB_DIM = 8
+PQ_K = 16  # codewords per subspace — fixture dial; deployments use 256
+# (the faiss PQx8 default) with the same train/encode/ADC dataflow
+PQ_SHORTLIST = 100  # ADC candidates per query kept for the exact
+# rerank (faiss k_factor=20 × TOP_K; the recall dial — see SCALE.md)
+
+
+def _pq_subvectors(vec: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, sub, sxs): the m micro-unit subvectors of each vector,
+    sliced IN-ROW (inline of an m-struct array — no posexplode of the
+    64 dims; rows = n·m, each carrying a 64/m-wide array)."""
+    sub_dim = 64 // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("sub"),
+                F.slice("xs", i * sub_dim + 1, sub_dim).alias("sxs"),
+            )
+            for i in range(m)
+        ]
+    )
+    return vec.select("vec_id", F.inline(subs))
+
+
+def _pq_assign(subv: DataFrame, book: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest codeword per subvector — join on
+    sub against the broadcast M·K-row codebook, exact integer sqdist
+    folded in-row, argmin with code tiebreak."""
+    d = subv.join(F.broadcast(book), "sub").select(
+        "vec_id", "sub", "code", _sqdist(F.col("sxs"), F.col("ms")).alias("d")
+    )
+    return (
+        d.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select("vec_id", "sub", F.col("best").getField("code").alias("code"))
+    )
+
+
+def _pq_update(subv: DataFrame, assign: DataFrame) -> DataFrame:
+    """(sub, code, ms): per-dim means of the assigned subvectors,
+    re-quantized and regrouped to array form (the _lloyd_update idiom
+    per subspace; codewords that lose every member drop out, exactly
+    as the oracle's GROUP BY does)."""
+    long = subv.join(assign, ["vec_id", "sub"]).select(
+        "sub", "code", F.posexplode("sxs").alias("sdim", "x")
+    )
+    means = long.groupBy("sub", "code", "sdim").agg(
+        F.round(F.sum("x").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("ms")
+    )
+    return means.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sdim", "ms"))),
+            lambda s: s.ms,
+        ).alias("ms")
+    )
+
+
+def sim_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Product-quantization ANN with exact refine (the faiss
+    IndexPQ + IndexRefineFlat dataflow): split each 64-dim vector into
+    M=8 8-dim subvectors, train a K=16-word codebook PER SUBSPACE
+    (seeded integer Lloyd, 2 unrolled iterations — the sim_ivf_topk
+    trainer applied per subspace), ENCODE every vector as M small
+    codes, answer each query by ADC (a |queries|·M·K-row lookup table
+    of query-subvector × codeword dot products, summed over the
+    vector's codes — exact bigint micro² arithmetic), keep the top
+    PQ_SHORTLIST=50 per query, then EXACT-cosine rerank the shortlist
+    to the final top-5. Same output schema as the other ANN tiers
+    (query_id, neighbor_id, cosine, rnk) — approximate CANDIDATES,
+    exact ARITHMETIC end-to-end, so the oracle hash-matches.
+
+    WHY PQ at 100 TB: after encoding, the candidate scan never touches
+    the original vectors — each vector is M small ints (8 codes ≈ 8
+    bytes vs 256 bytes of float32, a 32× compression), so the ADC
+    stage streams the skinny codes table against a BROADCAST lut, and
+    only |queries|·50 shortlist rows ever load real vectors for the
+    rerank. IVF bounds candidates, PQ bounds bytes — compose them
+    (IVF-PQ) by running this encode inside each posting list. Recall
+    vs the exact brute force is gated in test_similarity_recall.py
+    (raw un-reranked ADC@5 sits near 0.1 at these tiny dials — the
+    refine stage is load-bearing, which is exactly why faiss ships
+    PQ behind a refinement wrapper at small M·K).
+
+    Scale posture: training is M broadcast-join Lloyd passes over the
+    n·M subvector frame (sampled-training composes exactly like
+    sim_ivf_sampled_topk); encoding is one broadcast join; the ADC
+    scan shuffles only (query, vec) partial sums; rerank touches
+    candidates only. No pairwise vector×vector work anywhere."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    subv = _pq_subvectors(vec, m).localCheckpoint(eager=False)
+    book = subv.where(
+        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_LO + k_codes)
+    ).select(
+        "sub",
+        (F.col("vec_id") - SEED_LO).cast("int").alias("code"),
+        F.col("sxs").alias("ms"),
+    )
+    for _ in range(2):  # unrolled in the oracle
+        book = _pq_update(subv, _pq_assign(subv, book)).localCheckpoint()
+    codes = _pq_assign(subv, book)
+    lut = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(book), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sxs"), F.col("ms"), lambda x, m: x * m
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("pdot"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").cast("bigint").alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), "neighbor_id"
+    )
+    short = (
+        adc.withColumn("sr", F.row_number().over(ws))
+        .where(F.col("sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    nv = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    qv = nv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        short.join(
+            nv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _pq_assign_cte(tag: str, book: str) -> str:
+    return f"""a{tag} AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, b.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                  ORDER BY sum((s.xs - b.ms) * (s.xs - b.ms)),
+                                           b.code) AS pr
+        FROM sv s JOIN {book} b
+          ON s.sub = b.sub AND s.sdim = b.sdim
+        GROUP BY s.vec_id, s.sub, b.code) WHERE pr = 1)"""
+
+
+PQ_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+sv AS (
+    SELECT vec_id, dim // {PQ_SUB_DIM} AS sub, dim % {PQ_SUB_DIM} AS sdim,
+           xs
+    FROM v
+),
+b0 AS (
+    SELECT sub, CAST(vec_id - {SEED_LO} AS INT) AS code, sdim, xs AS ms
+    FROM sv WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_LO + PQ_K}
+),
+{_pq_assign_cte("1", "b0")},
+b1 AS (
+    SELECT s.sub, a.code, s.sdim,
+           CAST(round(CAST(sum(s.xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM sv s JOIN a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+    GROUP BY 1, 2, 3
+),
+{_pq_assign_cte("2", "b1")},
+b2 AS (
+    SELECT s.sub, a.code, s.sdim,
+           CAST(round(CAST(sum(s.xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM sv s JOIN a2 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+    GROUP BY 1, 2, 3
+),
+{_pq_assign_cte("3", "b2")},
+lut AS (
+    SELECT s.vec_id AS query_id, b.sub, b.code,
+           CAST(sum(s.xs * b.ms) AS BIGINT) AS pdot
+    FROM sv s JOIN b2 b ON s.sub = b.sub AND s.sdim = b.sdim
+    WHERE s.vec_id < {N_QUERIES}
+    GROUP BY 1, 2, 3
+),
+adc AS (
+    SELECT l.query_id, a3.vec_id AS neighbor_id,
+           CAST(sum(l.pdot) AS BIGINT) AS adc
+    FROM a3 JOIN lut l ON a3.sub = l.sub AND a3.code = l.code
+    WHERE a3.vec_id <> l.query_id
+    GROUP BY 1, 2
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS sr
+        FROM adc) WHERE sr <= {PQ_SHORTLIST}
+),
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(list_dot_product(q.e, n.e) / (q.norm * n.norm), 6)
+               AS cosine
+    FROM shortlist s
+    JOIN nv n ON n.vec_id = s.neighbor_id
+    JOIN nv q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "dedup_semantic": dedup_semantic,
@@ -1186,6 +1448,7 @@ QUERIES = {
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_sampled_topk": sim_ivf_sampled_topk,
+    "sim_pq_topk": sim_pq_topk,
 }
 
 ORACLE_SQL = {
@@ -1198,4 +1461,5 @@ ORACLE_SQL = {
     "sim_ann_lsh_topk": ANN_SQL,
     "sim_ivf_topk": IVF_SQL,
     "sim_ivf_sampled_topk": IVF_SAMPLED_SQL,
+    "sim_pq_topk": PQ_SQL,
 }

@@ -43,6 +43,7 @@ _PRIORITY = (
     "events_anomaly_mad",
     "corpus_ngram_diversity",
     "corpus_source_divergence",
+    "sim_pq_topk",
     # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",

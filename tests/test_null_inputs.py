@@ -198,6 +198,7 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "scd2_history",    # pinned NULLS LAST ordering
         "sim_ivf_incremental",  # null embeddings: no signature, no row
         "events_anomaly_mad",   # null event_type is its own group key
+        "sim_pq_topk",          # null embeddings: no subvectors, no codes
     ],
 )
 def test_runs_with_null_events_and_embeddings(

@@ -255,6 +255,7 @@ EXCHANGE_BUDGET = {
     "events_anomaly_mad": 6,
     "corpus_ngram_diversity": 0,  # in-row: the scan IS the plan
     "corpus_source_divergence": 6,
+    "sim_pq_topk": 10,
 }
 
 

@@ -330,3 +330,34 @@ def test_semantic_dedup_precision_and_within_cluster_recall(spark):
     assert co_clustered, "no truth pair is co-clustered — fixture moved"
     for a, b in co_clustered:
         assert b in drops, f"co-clustered near-dup ({a},{b}) not dropped"
+
+
+def test_pq_refine_recall_at_fixture(spark):
+    """PQ + exact refine at fixture dials (M=8, K=16, shortlist=100):
+    recall vs the cosine brute force on the sf0.01 corpus. The flat
+    near-uniform fixture is PQ's HARD case (measured 0.94 here vs
+    1.000 on the clustered soak corpus) — the floor guards the
+    quantizer/refine plumbing, not the geometry."""
+    from projetbigdata_spark.operators.similarity import (
+        sim_pq_topk,
+        sim_topk_bruteforce,
+    )
+    from tests.conftest import SF_CHECK
+
+    truth = _topk_pairs(sim_topk_bruteforce(spark, SF_CHECK))
+    got = _topk_pairs(sim_pq_topk(spark, SF_CHECK))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, f"PQ refine recall {recall:.3f}"
+
+
+@_soak
+def test_soak_pq_refine_recall(spark, soak_truth):
+    """On the clustered 20k soak corpus the PQ+refine tier is exact-
+    recall at fixture dials (measured 1.000 across m∈{8,16},
+    k∈{16,64}, shortlist∈{100,200} — SCALE.md r5 PQ sweep); the 0.95
+    floor leaves room for fixture regeneration drift only."""
+    from projetbigdata_spark.operators.similarity import sim_pq_topk
+
+    got = _topk_pairs(sim_pq_topk(spark, ANN_SOAK_DIR))
+    recall = len(soak_truth & got) / len(soak_truth)
+    assert recall >= 0.95, f"soak PQ recall {recall:.3f}"

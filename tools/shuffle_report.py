@@ -84,6 +84,7 @@ QUERIES = [
     "events_anomaly_mad",
     "corpus_ngram_diversity",
     "corpus_source_divergence",
+    "sim_pq_topk",
 ]
 
 
