@@ -1319,14 +1319,25 @@ def sim_pq_topk(
         .where(F.col("sr") <= shortlist)
         .select("query_id", "neighbor_id")
     )
+    return _exact_cosine_rerank(spark, sf_dir, short)
+
+
+def _exact_cosine_rerank(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Exact-cosine top-5 over a (query_id, neighbor_id) candidate
+    frame — the shared refine tail of the PQ tiers (and the same
+    candidates-only posture as _ivf_search's rerank)."""
+    from pyspark.sql.window import Window
+
     nv = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    qv = nv.select(
+    qv = nv.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("norm").alias("qnorm"),
     )
     scored = (
-        short.join(
+        pairs.join(
             nv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )
         .join(F.broadcast(qv), "query_id")
@@ -1350,8 +1361,8 @@ def sim_pq_topk(
     )
 
 
-def _pq_assign_cte(tag: str, book: str) -> str:
-    return f"""a{tag} AS (
+def _pq_assign_cte(tag: str, book: str, prefix: str = "a") -> str:
+    return f"""{prefix}{tag} AS (
     SELECT vec_id, sub, code FROM (
         SELECT s.vec_id, s.sub, b.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
@@ -1438,6 +1449,210 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
+def sim_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    nprobe: int = N_PROBE,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """IVF-PQ — the two ANN tiers COMPOSED, which is what actually
+    ships at billion-vector scale (faiss IndexIVFPQ, here in its
+    by_residual=false mode — codebooks trained on raw vectors, not
+    cell residuals, so both tiers reuse this module's oracle-checked
+    trainers verbatim): the IVF coarse quantizer bounds WHICH vectors
+    are candidates (nprobe posting lists per query — never a corpus
+    scan), PQ bounds the BYTES per candidate (M codes ≈ 8 bytes, ADC
+    against a broadcast lookup table — raw vectors untouched), and the
+    exact-cosine refine of the top-`shortlist` closes the recall gap.
+    Search cost: |probed postings| skinny code rows + |queries|·100
+    real-vector loads, independent of corpus bytes.
+
+    Everything is the shared machinery: _seed_centroids/_lloyd_update
+    (IVF trainer), _pq_subvectors/_pq_update/_pq_assign (PQ trainer),
+    _exact_cosine_rerank (refine) — and the oracle composes the same
+    two unrolled-CTE blocks with the PQ assignment prefixed pa* to
+    keep the namespaces apart."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    # coarse tier (sim_ivf_topk's trainer)
+    cents = _seed_centroids(vec, k)
+    for _ in range(2):
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    dists = _dists_to_centroids(vec, cents).localCheckpoint(eager=False)
+    posting = _argmin_cid(dists)
+    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
+    probes = (
+        dists.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        probes.join(posting, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    # PQ tier (sim_pq_topk's trainer)
+    subv = _pq_subvectors(vec, m).localCheckpoint(eager=False)
+    book = subv.where(
+        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_LO + k_codes)
+    ).select(
+        "sub",
+        (F.col("vec_id") - SEED_LO).cast("int").alias("code"),
+        F.col("sxs").alias("ms"),
+    )
+    for _ in range(2):
+        book = _pq_update(subv, _pq_assign(subv, book)).localCheckpoint()
+    codes = _pq_assign(subv, book)
+    lut = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(book), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with(F.col("sxs"), F.col("ms"), lambda x, c: x * c),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("pdot"),
+        )
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").cast("bigint").alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), "neighbor_id"
+    )
+    short = (
+        adc.withColumn("sr", F.row_number().over(ws))
+        .where(F.col("sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_cosine_rerank(spark, sf_dir, short)
+
+
+IVFPQ_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+c0 AS (
+    SELECT CAST(vec_id - {SEED_LO} AS INT) AS cid, dim, xs AS ms
+    FROM v WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+),
+{_ivf_assign_cte("1", "c0")},
+c1 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("2", "c1")},
+c2 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a2 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("3", "c2")},
+qp AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY sum((xs - ms) * (xs - ms)),
+                                           c.cid) AS pr
+        FROM v JOIN c2 c USING (dim)
+        WHERE v.vec_id < {N_QUERIES}
+        GROUP BY v.vec_id, c.cid) WHERE pr <= {N_PROBE}
+),
+cand AS (
+    SELECT qp.query_id, a3.vec_id
+    FROM qp JOIN a3 USING (cid)
+    WHERE a3.vec_id <> qp.query_id
+),
+sv AS (
+    SELECT vec_id, dim // {PQ_SUB_DIM} AS sub, dim % {PQ_SUB_DIM} AS sdim,
+           xs
+    FROM v
+),
+b0 AS (
+    SELECT sub, CAST(vec_id - {SEED_LO} AS INT) AS code, sdim, xs AS ms
+    FROM sv WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_LO + PQ_K}
+),
+{_pq_assign_cte("1", "b0", "pa")},
+b1 AS (
+    SELECT s.sub, a.code, s.sdim,
+           CAST(round(CAST(sum(s.xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM sv s JOIN pa1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+    GROUP BY 1, 2, 3
+),
+{_pq_assign_cte("2", "b1", "pa")},
+b2 AS (
+    SELECT s.sub, a.code, s.sdim,
+           CAST(round(CAST(sum(s.xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM sv s JOIN pa2 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+    GROUP BY 1, 2, 3
+),
+{_pq_assign_cte("3", "b2", "pa")},
+lut AS (
+    SELECT s.vec_id AS query_id, b.sub, b.code,
+           CAST(sum(s.xs * b.ms) AS BIGINT) AS pdot
+    FROM sv s JOIN b2 b ON s.sub = b.sub AND s.sdim = b.sdim
+    WHERE s.vec_id < {N_QUERIES}
+    GROUP BY 1, 2, 3
+),
+adc AS (
+    SELECT c.query_id, c.vec_id AS neighbor_id,
+           CAST(sum(l.pdot) AS BIGINT) AS adc
+    FROM cand c
+    JOIN pa3 ON pa3.vec_id = c.vec_id
+    JOIN lut l ON l.query_id = c.query_id
+             AND l.sub = pa3.sub AND l.code = pa3.code
+    GROUP BY 1, 2
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS sr
+        FROM adc) WHERE sr <= {PQ_SHORTLIST}
+),
+nv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(list_dot_product(q.e, n.e) / (q.norm * n.norm), 6)
+               AS cosine
+    FROM shortlist s
+    JOIN nv n ON n.vec_id = s.neighbor_id
+    JOIN nv q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "dedup_semantic": dedup_semantic,
@@ -1449,6 +1664,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_sampled_topk": sim_ivf_sampled_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
 }
 
 ORACLE_SQL = {
@@ -1462,4 +1678,5 @@ ORACLE_SQL = {
     "sim_ivf_topk": IVF_SQL,
     "sim_ivf_sampled_topk": IVF_SAMPLED_SQL,
     "sim_pq_topk": PQ_SQL,
+    "sim_ivfpq_topk": IVFPQ_SQL,
 }

@@ -44,6 +44,7 @@ _PRIORITY = (
     "corpus_ngram_diversity",
     "corpus_source_divergence",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",

@@ -199,6 +199,7 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "sim_ivf_incremental",  # null embeddings: no signature, no row
         "events_anomaly_mad",   # null event_type is its own group key
         "sim_pq_topk",          # null embeddings: no subvectors, no codes
+        "sim_ivfpq_topk",
     ],
 )
 def test_runs_with_null_events_and_embeddings(

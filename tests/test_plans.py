@@ -256,6 +256,7 @@ EXCHANGE_BUDGET = {
     "corpus_ngram_diversity": 0,  # in-row: the scan IS the plan
     "corpus_source_divergence": 6,
     "sim_pq_topk": 10,
+    "sim_ivfpq_topk": 15,
 }
 
 

@@ -361,3 +361,19 @@ def test_soak_pq_refine_recall(spark, soak_truth):
     got = _topk_pairs(sim_pq_topk(spark, ANN_SOAK_DIR))
     recall = len(soak_truth & got) / len(soak_truth)
     assert recall >= 0.95, f"soak PQ recall {recall:.3f}"
+
+
+@_soak
+def test_soak_ivfpq_refine_recall(spark, soak_truth):
+    """IVF-PQ (coarse posting-list bound × PQ byte bound × exact
+    refine) on the clustered 20k soak corpus: exact recall at fixture
+    dials (measured 1.000). On the FLAT sf fixtures the coarse tier's
+    nprobe=4/16 candidate bound compounds with PQ distortion (0.46 at
+    sf0.01) — the adversarial-geometry caveat both parent tiers
+    document; the clustered corpus is the geometry the index family
+    exists for."""
+    from projetbigdata_spark.operators.similarity import sim_ivfpq_topk
+
+    got = _topk_pairs(sim_ivfpq_topk(spark, ANN_SOAK_DIR))
+    recall = len(soak_truth & got) / len(soak_truth)
+    assert recall >= 0.95, f"soak IVF-PQ recall {recall:.3f}"

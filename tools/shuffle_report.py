@@ -85,6 +85,7 @@ QUERIES = [
     "corpus_ngram_diversity",
     "corpus_source_divergence",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
 ]
 
 
