@@ -16,17 +16,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r5). Tier A: queries ADDED or BEHAVIORALLY MODIFIED this
-# round (the calibrated curate twin; the BPE pair-exhaustion/\x01
-# fixes; the int32->BIGINT gate widenings, which touch the
-# text_quality_scores subtree and therefore corpus_curate; the
+# round (r5). Tier A (23 = 16 NEW + 7 MODIFIED): every query added
+# across the r5 waves (calibrated curate, semantic dedup, BPE
+# encode/batched/fertility, temperature mix, BM25, containment, DSIR
+# weights+sample, bigram fluency, MAD anomaly, diversity, TV
+# divergence, PQ, IVF-PQ) plus the behaviorally modified ones (BPE
+# pair-exhaustion/\x01 fixes; int32->BIGINT gate widenings touching
+# the text_quality_scores subtree and therefore corpus_curate; the
 # incremental-IVF oracle's zero-norm filter). Tier B: the 10 queries
 # whose latest green row is still r1 (VERDICT r4 item 2 — after this
 # round every query's latest green row is r2+). Tier C: the oldest
 # remaining rows (latest green r3), riskiest shapes first — iterative
-# dedup/similarity, streaming batch twins, CDC/SCD2 — per the NEXT.md
-# slot-budget policy. The r4-green surface follows in module order.
-# collect() raises if a priority name is not registered.
+# dedup/similarity, streaming batch twins, CDC/SCD2. Tier C holds 17
+# of the first 50 this round — under the NEXT.md ~30 floor because 16
+# genuinely-NEW queries force in under rule (a); the five tier-C names
+# past slot 50 are next-in-line if the driver's budget stretches, and
+# tier C recovers in r6 once the new rows are green. collect() raises
+# if a priority name is not registered.
 _PRIORITY = (
     # --- tier A: new in r5 ---
     "corpus_curate_calibrated",

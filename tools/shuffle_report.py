@@ -123,8 +123,12 @@ BYTE_BUDGET_MB = {
     "corpus_curate_calibrated": 22.2,
     "dedup_semantic": 5.4,
     # r5 second wave: BM25's volume is the tf/dl streams; the other
-    # five shuffle <0.3 MB and stay under the exchange-count gate only
+    # non-PQ additions shuffle <0.3 MB and stay under the
+    # exchange-count gate only
     "text_search_bm25": 4.0,
+    # PQ tiers: the subvector/code frames are the volume
+    "sim_pq_topk": 3.0,
+    "sim_ivfpq_topk": 3.0,
 }
 
 
