@@ -66,6 +66,22 @@ REPRESENTATIVES = [
     "dedup_component_sizes",     # cluster-size histogram
     "sim_ivf_incremental",       # frozen-codebook new x old probe
     "corpus_sample_assign",      # mixture-realizing repeat counts
+    # r5 additions
+    "corpus_curate_calibrated",  # audit + per-lang quantile thresholds
+    "dedup_semantic",            # Lloyd + within-cluster pairs
+    "corpus_bpe_encode",         # lexicon join over 0 trainable words
+    "corpus_bpe_fertility",      # encode rolled up by (absent) langs
+    "corpus_temperature_mix",    # sqrt-weighted mixture (0 langs)
+    "text_search_bm25",          # dl/tf/idf over 0 postings
+    "dedup_containment_pairs",   # capped index on 0 shingles
+    "corpus_dsir_weights",       # ratio table over 0 tokens
+    "corpus_dsir_sample",        # acceptance over Σw = 0 degenerate
+    "text_bigram_prob_score",    # bigram counts over 0 grams
+    "events_anomaly_mad",        # medians over 0 hourly groups
+    "corpus_ngram_diversity",    # in-row ratios (0 docs -> 0 rows)
+    "corpus_source_divergence",  # TV terms + Σp constant on 0 tokens
+    "sim_pq_topk",               # PQ train/encode/ADC on 0 vectors
+    "sim_ivfpq_topk",            # composed index on 0 vectors
 ]
 
 # these legitimately return constant-row reports even on empty input
