@@ -1653,6 +1653,65 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality TELEMETRY as a query: per-query recall@5 of the
+    banded-LSH ANN tier against the exact brute-force baseline — the
+    number an index owner watches on a dashboard before trusting an
+    approximate tier in production (the in-engine form of the recall
+    studies SCALE.md runs offline). Exact integer ppm (hits·1e6 div
+    TOP_K); queries the ANN tier misses entirely surface with
+    recall_ppm = 0 through the anchor left join, never vanish.
+
+    Scale posture: both tiers are the registered, already-bounded
+    plans (broadcast-query scan; banded equi-join + candidate-only
+    rerank); this adds one |queries·k|-row join and a |queries|-row
+    agg — telemetry-priced. The same frame with sim_ivf*_topk or the
+    PQ tiers as the `got` side audits those indexes identically."""
+    tune(spark)
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    got = sim_ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = truth.join(got, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"coalesce(n_hits, 0) * CAST(1000000 AS BIGINT)"
+                f" div {TOP_K}"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH truth AS (
+{BRUTE_SQL}
+),
+got AS (
+{ANN_SQL}
+),
+hits AS (
+    SELECT t.query_id, count(*) AS n_hits
+    FROM truth t JOIN got g
+      ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+    GROUP BY t.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * CAST(1000000 AS BIGINT) // {TOP_K}
+            AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "dedup_semantic": dedup_semantic,
@@ -1665,6 +1724,7 @@ QUERIES = {
     "sim_ivf_sampled_topk": sim_ivf_sampled_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLE_SQL = {
@@ -1679,4 +1739,5 @@ ORACLE_SQL = {
     "sim_ivf_sampled_topk": IVF_SAMPLED_SQL,
     "sim_pq_topk": PQ_SQL,
     "sim_ivfpq_topk": IVFPQ_SQL,
+    "ann_recall_report": ANN_RECALL_SQL,
 }

@@ -16,20 +16,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r5). Tier A (23 = 16 NEW + 7 MODIFIED): every query added
+# round (r5). Tier A (24 = 17 NEW + 7 MODIFIED): every query added
 # across the r5 waves (calibrated curate, semantic dedup, BPE
 # encode/batched/fertility, temperature mix, BM25, containment, DSIR
 # weights+sample, bigram fluency, MAD anomaly, diversity, TV
-# divergence, PQ, IVF-PQ) plus the behaviorally modified ones (BPE
+# divergence, PQ, IVF-PQ, recall telemetry) plus the behaviorally modified ones (BPE
 # pair-exhaustion/\x01 fixes; int32->BIGINT gate widenings touching
 # the text_quality_scores subtree and therefore corpus_curate; the
 # incremental-IVF oracle's zero-norm filter). Tier B: the 10 queries
 # whose latest green row is still r1 (VERDICT r4 item 2 — after this
 # round every query's latest green row is r2+). Tier C: the oldest
 # remaining rows (latest green r3), riskiest shapes first — iterative
-# dedup/similarity, streaming batch twins, CDC/SCD2. Tier C holds 17
-# of the first 50 this round — under the NEXT.md ~30 floor because 16
-# genuinely-NEW queries force in under rule (a); the five tier-C names
+# dedup/similarity, streaming batch twins, CDC/SCD2. Tier C holds 16
+# of the first 50 this round — under the NEXT.md ~30 floor because 17
+# genuinely-NEW queries force in under rule (a); the six tier-C names
 # past slot 50 are next-in-line if the driver's budget stretches, and
 # tier C recovers in r6 once the new rows are green. collect() raises
 # if a priority name is not registered.
@@ -51,6 +51,7 @@ _PRIORITY = (
     "corpus_source_divergence",
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "ann_recall_report",
     # --- tier A: behaviorally modified in r5 ---
     "corpus_bpe_merges",
     "corpus_bpe_vocab",

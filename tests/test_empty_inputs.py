@@ -82,6 +82,7 @@ REPRESENTATIVES = [
     "corpus_source_divergence",  # TV terms + Σp constant on 0 tokens
     "sim_pq_topk",               # PQ train/encode/ADC on 0 vectors
     "sim_ivfpq_topk",            # composed index on 0 vectors
+    "ann_recall_report",         # recall over 0 queries
 ]
 
 # these legitimately return constant-row reports even on empty input

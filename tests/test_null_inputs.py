@@ -200,6 +200,7 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "events_anomaly_mad",   # null event_type is its own group key
         "sim_pq_topk",          # null embeddings: no subvectors, no codes
         "sim_ivfpq_topk",
+        "ann_recall_report",    # null-norm queries drop from both tiers
     ],
 )
 def test_runs_with_null_events_and_embeddings(

@@ -26,6 +26,9 @@ CARTESIAN_OK = {
     # (broadcast) nested-loop the intended plan; the scale paths are
     # the LSH-bucketed variants (sim_ann_lsh_topk, sim_neardup_pairs)
     "sim_topk_bruteforce",
+    # recall telemetry composes the brute baseline, inheriting its
+    # declared nested-loop (that tier IS the ground truth being audited)
+    "ann_recall_report",
     # exact all-pairs neardup baseline, registered by name for exact-
     # recall consumers after sim_neardup_pairs moved to LSH pruning
     "sim_neardup_allpairs_exact",
@@ -257,6 +260,7 @@ EXCHANGE_BUDGET = {
     "corpus_source_divergence": 6,
     "sim_pq_topk": 10,
     "sim_ivfpq_topk": 15,
+    "ann_recall_report": 12,
 }
 
 

@@ -86,6 +86,7 @@ QUERIES = [
     "corpus_source_divergence",
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "ann_recall_report",
 ]
 
 
