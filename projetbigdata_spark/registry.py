@@ -96,18 +96,13 @@ _PRIORITY = (
     "merge_cdc_snapshot",
     "scd2_history",
     # (json_extract / agg_pivot / map_functions /
-    # sample_stratified_by_lang yielded their tier-C slots to the four
-    # late-r5 additions, and window_distribution / window_range_time /
-    # text_tfidf_top / text_ngram_counts / corpus_vocab_growth /
-    # corpus_health_report yield theirs to the six second-wave r5
-    # additions (text_search_bm25, dedup_containment_pairs,
-    # corpus_dsir_weights, text_bigram_prob_score,
-    # corpus_bpe_fertility, events_anomaly_mad) — all zero-join
-    # projection / single-agg / window shapes, the lowest-risk
-    # r3-green rows left; their rows stand and they follow in module
-    # order. Tier C count dips to 22 this round; the six incoming
-    # tier-A shapes are each sub-2s at sf0.01 so the block's
-    # wall-clock stays inside the NEXT.md slot budget.)
+    # sample_stratified_by_lang / window_distribution /
+    # window_range_time / text_tfidf_top / text_ngram_counts /
+    # corpus_vocab_growth / corpus_health_report yielded their tier-C
+    # slots to the r5 additions — all zero-join projection /
+    # single-agg / window shapes, the lowest-risk r3-green rows left;
+    # their rows stand and they follow in module order. See the header
+    # comment for the final 24/10/16 tier accounting.)
 )
 
 # Ordered so the driver's correctness budget reaches every family:
