@@ -1091,12 +1091,15 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     differently', used to triage which sources need their own quality
     calibration (corpus_quality_quantiles) or a mixture down-weight.
     TV rather than KL/JS because TV needs no ln(): with p in exact ppb
-    integers, Σ|p_s − p| is bit-deterministic across engines.
+    integers, Σ|p_s − p| is bit-deterministic across engines. tv_ppb
+    carries TV's standard ½ factor (TV = ½·L1), so it ranges 0..1e9
+    and compares directly against literature thresholds (ADVICE r5 —
+    earlier rounds reported the raw L1 sum, 0..2e9).
 
     The absent-words identity keeps the join bounded: words the source
     never uses contribute p(w) each, so
 
-        TV_s = Σ_{w∈s} (|p_s(w) − p(w)| − p(w)) + Σ_all p(w)
+        2·TV_s = Σ_{w∈s} (|p_s(w) − p(w)| − p(w)) + Σ_all p(w)
 
     — only (source, word) pairs that EXIST are materialized (the
     natural output of one hash-agg over the token stream), never the
@@ -1159,9 +1162,9 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_tokens",
-            (F.col("present_term") + F.col("s_ppb"))
-            .cast("bigint")
-            .alias("tv_ppb"),
+            F.expr("CAST((present_term + s_ppb) div 2 AS BIGINT)").alias(
+                "tv_ppb"
+            ),
         )
     )
 
@@ -1195,7 +1198,7 @@ per_word AS (
 )
 SELECT p.source,
        max(p.t_s) AS n_tokens,
-       CAST(sum(p.term) + any_value(s.s_ppb) AS BIGINT) AS tv_ppb
+       CAST((sum(p.term) + any_value(s.s_ppb)) // 2 AS BIGINT) AS tv_ppb
 FROM per_word p, s_ppb s
 GROUP BY p.source
 """

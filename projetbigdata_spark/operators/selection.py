@@ -56,7 +56,13 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The c_t·R·1e6 product reaches ~1e32 at 100 TB (both factors ~1e13)
     — widened through DECIMAL(38,0) / HUGEINT on BOTH sides of the
-    integral divide, then the ≤~1e7 quotient lands back in bigint."""
+    integral divide, then the ≤~1e7 quotient lands back in bigint.
+    The per-doc Σratio_ppm is widened the same way: with a tiny
+    target slice ratio_ppm can reach ~(R/T)·1e6, so a long document
+    of target-exclusive tokens could overflow an int64 accumulator —
+    DuckDB's sum() already promotes to HUGEINT, so the Spark side
+    accumulates in DECIMAL(38,0) to keep the engines divergence-free
+    at extreme skew (ADVICE r5)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -92,7 +98,9 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.expr("sum(ratio_ppm) div count(*)").alias("dsir_weight_ppm"),
+            F.expr(
+                "sum(CAST(ratio_ppm AS DECIMAL(38,0))) div count(*)"
+            ).alias("dsir_weight_ppm"),
         )
     )
     return docs.select("doc_id").join(scored, "doc_id", "left").select(
@@ -130,7 +138,7 @@ ratios AS (
 scored AS (
     SELECT doc_id,
            count(*) AS n_tokens,
-           sum(ratio_ppm) // count(*) AS dsir_weight_ppm
+           sum(ratio_ppm::HUGEINT) // count(*) AS dsir_weight_ppm
     FROM tok JOIN ratios USING (token)
     GROUP BY doc_id
 )
@@ -335,7 +343,7 @@ ratios AS (
 scored AS (
     SELECT doc_id,
            count(*) AS n_tokens,
-           sum(ratio_ppm) // count(*) AS dsir_weight_ppm
+           sum(ratio_ppm::HUGEINT) // count(*) AS dsir_weight_ppm
     FROM tok JOIN ratios USING (token)
     GROUP BY doc_id
 ),

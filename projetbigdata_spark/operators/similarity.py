@@ -1251,7 +1251,7 @@ def sim_pq_topk(
     codes, answer each query by ADC (a |queries|·M·K-row lookup table
     of query-subvector × codeword dot products, summed over the
     vector's codes — exact bigint micro² arithmetic), keep the top
-    PQ_SHORTLIST=50 per query, then EXACT-cosine rerank the shortlist
+    PQ_SHORTLIST=100 per query, then EXACT-cosine rerank the shortlist
     to the final top-5. Same output schema as the other ANN tiers
     (query_id, neighbor_id, cosine, rnk) — approximate CANDIDATES,
     exact ARITHMETIC end-to-end, so the oracle hash-matches.

@@ -301,10 +301,11 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggs, the |terms|-row idf table broadcasts (carrying the
     corpus totals N and S as columns, so no second scalar crossJoin
     reaches the scored stream), and the top-20 is
-    TakeOrderedAndProject. The idf_m·22·tf·S product is
-    widened through DECIMAL(38,0) (HUGEINT in the oracle) before the
-    integral divide: at 100 TB S~1e14 and idf_m~1e15 put the product
-    near 1e35 — far past int64, comfortably inside 38 digits."""
+    TakeOrderedAndProject. BOTH sides of the integral divide are
+    widened through DECIMAL(38,0) (HUGEINT in the oracle): at 100 TB
+    S~1e14 and idf_m~1e15 put the numerator near 1e35, and the
+    denominator's 10·tf·S term passes int64 as soon as tf ≥ 10 at
+    that S — both far past int64, comfortably inside 38 digits."""
     tune(spark)
     docs = load_documents_parallel(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
@@ -350,7 +351,9 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             F.expr(
                 "CAST((CAST(idf_m AS DECIMAL(38,0)) * 22 * tf * s_tokens)"
-                " div (10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs)"
+                " div (10 * CAST(tf AS DECIMAL(38,0)) * s_tokens"
+                "      + 3 * CAST(s_tokens AS DECIMAL(38,0))"
+                "      + 9 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
                 " AS BIGINT)"
             ).alias("term_score"),
         )
@@ -397,8 +400,9 @@ idf AS (
 scored AS (
     SELECT tf.doc_id,
            CAST(sum((idf.idf_m::HUGEINT * 22 * tf.tf * t.s_tokens)
-                // (10 * tf.tf * t.s_tokens + 3 * t.s_tokens
-                    + 9 * dl.dl * t.n_docs)) AS BIGINT) AS score_m,
+                // (10 * tf.tf::HUGEINT * t.s_tokens
+                    + 3 * t.s_tokens::HUGEINT
+                    + 9 * dl.dl::HUGEINT * t.n_docs)) AS BIGINT) AS score_m,
            CAST(sum(tf.tf) AS BIGINT) AS total_tf
     FROM tf
     JOIN idf USING (token)

@@ -312,24 +312,20 @@ def ann_ingest_stream(
     )
 
 
-def anomaly_stream(
-    events_stream: DataFrame, state_dir: str, out_dir: str
-):
-    """Streaming volume-anomaly detection: the foreachBatch twin of
-    events_batch.events_anomaly_mad. Per micro-batch, the batch's
-    (event_type, hour) count PARTIALS are appended to a parquet state
-    table (counts are additive, so partial-per-trigger + sum-on-read
-    is exact — the same additivity a stateful streaming agg exploits);
-    the detector then re-runs the shared median/3·MAD rule over the
-    accumulated hourly frame and OVERWRITES the flags snapshot, which
-    is the correct semantics for a monitoring table (medians are
-    corpus-level order statistics — they cannot be folded
-    incrementally, so each trigger re-ranks the tiny |types × hours|
-    frame; at scale that frame stays thousands of rows when the raw
-    stream is billions).
-
-    Batch == streaming flags is a structural identity: both paths end
-    in events_batch.mad_flags."""
+def anomaly_process(state_dir: str, out_dir: str):
+    """foreachBatch body of anomaly_stream, factored out so tests can
+    replay a batch_id directly. IDEMPOTENT per batch (ADVICE r5):
+    foreachBatch is at-least-once, so each micro-batch's (event_type,
+    hour) count partials land in a batch_id=<N> subdirectory with
+    OVERWRITE — a retried/replayed trigger rewrites identical content
+    instead of appending a second copy, and the sum-on-read stays
+    exact. Counts are additive, so partial-per-trigger + sum-on-read
+    reproduces the batch hourly frame; the detector then re-runs the
+    shared median/3·MAD rule over the accumulated frame and overwrites
+    the flags snapshot (medians are corpus-level order statistics —
+    they cannot be folded incrementally, so each trigger re-ranks the
+    tiny |types × hours| frame; at scale that frame stays thousands of
+    rows when the raw stream is billions)."""
     from projetbigdata_spark.streaming.events_batch import mad_flags
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -339,8 +335,8 @@ def anomaly_stream(
                 F.date_trunc("hour", "ts").alias("hour"),
             )
             .agg(F.count("*").alias("n_events"))
-            .write.mode("append")
-            .parquet(state_dir)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/batch_id={batch_id}")
         )
         spark = batch_df.sparkSession
         hourly = (
@@ -350,8 +346,34 @@ def anomaly_stream(
         )
         mad_flags(hourly).write.mode("overwrite").parquet(out_dir)
 
-    return events_stream.writeStream.foreachBatch(process).trigger(
-        availableNow=True
+    return process
+
+
+def anomaly_stream(
+    events_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming volume-anomaly detection: the foreachBatch twin of
+    events_batch.events_anomaly_mad, with exactly-once state effects
+    (see anomaly_process). A checkpointLocation is pinned by default
+    (under the state dir, underscore-prefixed so the parquet reader
+    ignores it) so a restarted query RESUMES from the last committed
+    offset instead of replaying the whole source — and if a committed
+    batch does replay, the batch_id-keyed overwrite absorbs it.
+
+    Batch == streaming flags is a structural identity: both paths end
+    in events_batch.mad_flags."""
+    return (
+        events_stream.writeStream.foreachBatch(
+            anomaly_process(state_dir, out_dir)
+        )
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{state_dir}/_checkpoint",
+        )
+        .trigger(availableNow=True)
     )
 
 

@@ -331,8 +331,9 @@ def test_ngram_diversity_matches_python_model(spark, docs):
 def test_source_divergence_matches_python_model(spark):
     """corpus_source_divergence == the Python TV-distance model built
     with the same ppb floors AND the absent-words identity expanded
-    the naive way (full vocabulary sum) — proving the bounded-join
-    identity is exact, not an approximation. TV stays in [0, 2e9]."""
+    the naive way (full vocabulary sum, halved — TV = ½·L1) — proving
+    the bounded-join identity is exact, not an approximation. TV stays
+    in [0, 1e9]."""
     from projetbigdata_spark.operators.curation import (
         corpus_source_divergence,
     )
@@ -353,11 +354,11 @@ def test_source_divergence_matches_python_model(spark):
     expected = {}
     for s in t_s:
         # NAIVE full-vocab sum (the identity's left-hand side)
-        tv = sum(
+        l1 = sum(
             abs(st.get((s, t), 0) * 1_000_000_000 // t_s[s] - p[t])
             for t in corpus
         )
-        expected[s] = (t_s[s], tv)
+        expected[s] = (t_s[s], l1 // 2)
 
     got = {
         r.source: (r.n_tokens, r.tv_ppb)
@@ -365,4 +366,4 @@ def test_source_divergence_matches_python_model(spark):
     }
     assert got == expected
     for _, tv in got.values():
-        assert 0 <= tv <= 2_000_000_000
+        assert 0 <= tv <= 1_000_000_000

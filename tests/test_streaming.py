@@ -741,3 +741,35 @@ def test_anomaly_stream_equals_batch(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.subtract(batch).count() == 0
     assert batch.subtract(streamed).count() == 0
+
+    # at-least-once REPLAY of an already-committed micro-batch must be
+    # a no-op: the partials are keyed by batch_id with overwrite, so
+    # re-running the foreachBatch body with the same batch_id rewrites
+    # identical content instead of double-counting (ADVICE r5)
+    from projetbigdata_spark.streaming.jobs import anomaly_process
+
+    before = sorted(
+        spark.read.parquet(state_dir).collect(),
+        key=lambda r: (r.event_type, str(r.hour), r.batch_id),
+    )
+    anomaly_process(state_dir, out_dir)(half, 0)
+    after = sorted(
+        spark.read.parquet(state_dir).collect(),
+        key=lambda r: (r.event_type, str(r.hour), r.batch_id),
+    )
+    assert after == before
+    replayed = spark.read.parquet(out_dir)
+    assert replayed.subtract(batch).count() == 0
+    assert batch.subtract(replayed).count() == 0
+
+    # restart with the pinned (default) checkpoint RESUMES: no new
+    # micro-batch runs, the state table is untouched
+    q2 = anomaly_stream(stream, state_dir, out_dir).start()
+    q2.awaitTermination(120)
+    assert (
+        sorted(
+            spark.read.parquet(state_dir).collect(),
+            key=lambda r: (r.event_type, str(r.hour), r.batch_id),
+        )
+        == before
+    )
