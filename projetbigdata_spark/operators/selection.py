@@ -38,7 +38,9 @@ DSIR_TARGET_LANG = "en"  # static so the oracle is static; a pipeline
 # parameterizes the target slice (any boolean doc predicate works)
 
 
-def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_dsir_weights(
+    spark: SparkSession, sf_dir: str, smoothing: str = "none"
+) -> DataFrame:
     """Per-document importance weight of the raw corpus against a
     target slice (lang = 'en'): the mean, over the document's tokens,
     of the target-vs-raw relative-frequency ratio in ppm —
@@ -50,9 +52,23 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw"; DSIR resamples proportionally to this weight, so the frame
     composes directly with corpus_sample_assign's hash-bucket sampler.
     Tokens absent from the target score 0 (no smoothing — the
-    registered query keeps the arithmetic exact; deployments add-one
-    both counts). An empty target slice degrades to all-zero ratios
-    rather than a divide abort (ANSI-safe CASE in both engines).
+    registered query keeps the arithmetic exact). An empty target
+    slice degrades to all-zero ratios rather than a divide abort
+    (ANSI-safe CASE in both engines).
+
+    smoothing="add_one" (VERDICT r5 item 6) is the deployment
+    variant: Laplace add-one on BOTH counts with the matching total
+    adjustment (V = |vocab|), i.e.
+
+        ratio_ppm(w) = ((c_t(w)+1) · (R+V) · 1e6)
+                       div ((c_r(w)+1) · (T+V))
+
+    so target-absent tokens contribute a small positive mass instead
+    of zeroing out — a doc of entirely-novel tokens keeps a nonzero,
+    comparable weight (what DSIR's hashed-ngram implementation does).
+    Registered separately as corpus_dsir_weights_smoothed with its
+    own oracle; the widening analysis below covers both ((c+1) and
+    (total+V) change nothing at the 1e13 magnitudes in question).
 
     The c_t·R·1e6 product reaches ~1e32 at 100 TB (both factors ~1e13)
     — widened through DECIMAL(38,0) / HUGEINT on BOTH sides of the
@@ -83,15 +99,26 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     totals = counts.agg(
-        F.sum("c_r").alias("r_total"), F.sum("c_t").alias("t_total")
+        F.sum("c_r").alias("r_total"),
+        F.sum("c_t").alias("t_total"),
+        F.count("*").alias("v"),
     )
-    ratios = counts.crossJoin(F.broadcast(totals)).select(
-        "token",
-        F.expr(
+    if smoothing == "add_one":
+        ratio = (
+            "CASE WHEN t_total + v = 0 THEN CAST(0 AS BIGINT) ELSE"
+            " CAST(((CAST(c_t AS DECIMAL(38,0)) + 1)"
+            " * (r_total + v) * 1000000)"
+            " div ((CAST(c_r AS DECIMAL(38,0)) + 1) * (t_total + v))"
+            " AS BIGINT) END"
+        )
+    else:
+        ratio = (
             "CASE WHEN t_total = 0 THEN CAST(0 AS BIGINT) ELSE"
             " CAST((CAST(c_t AS DECIMAL(38,0)) * r_total * 1000000)"
             " div (CAST(c_r AS DECIMAL(38,0)) * t_total) AS BIGINT) END"
-        ).alias("ratio_ppm"),
+        )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "token", F.expr(ratio).alias("ratio_ppm")
     )
     scored = (
         tok.join(ratios, "token")
@@ -110,7 +137,19 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_SQL = f"""
+def corpus_dsir_weights_smoothed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered add-one-smoothed DSIR weights row — see
+    corpus_dsir_weights(smoothing="add_one")."""
+    return corpus_dsir_weights(spark, sf_dir, smoothing="add_one")
+
+
+def _dsir_sql(ratio_expr: str) -> str:
+    """The DSIR frame as DuckDB text, parameterized on the ratio
+    expression so the unsmoothed and add-one oracles share every
+    other CTE verbatim."""
+    return f"""
 WITH tok AS (
     SELECT doc_id, lang, t AS token
     FROM (SELECT doc_id, lang,
@@ -126,13 +165,10 @@ counts AS (
                AS c_t
     FROM tok GROUP BY token
 ),
-totals AS (SELECT sum(c_r) AS r_total, sum(c_t) AS t_total FROM counts),
+totals AS (SELECT sum(c_r) AS r_total, sum(c_t) AS t_total,
+                  count(*) AS v FROM counts),
 ratios AS (
-    SELECT token,
-           CASE WHEN t.t_total = 0 THEN CAST(0 AS BIGINT) ELSE
-               CAST((c.c_t::HUGEINT * t.r_total * 1000000)
-                    // (c.c_r::HUGEINT * t.t_total) AS BIGINT) END
-               AS ratio_ppm
+    SELECT token, {ratio_expr} AS ratio_ppm
     FROM counts c, totals t
 ),
 scored AS (
@@ -147,6 +183,20 @@ SELECT d.doc_id,
        CAST(s.dsir_weight_ppm AS BIGINT) AS dsir_weight_ppm
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
+
+
+DSIR_SQL = _dsir_sql(
+    """CASE WHEN t.t_total = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST((c.c_t::HUGEINT * t.r_total * 1000000)
+                    // (c.c_r::HUGEINT * t.t_total) AS BIGINT) END"""
+)
+
+DSIR_SMOOTHED_SQL = _dsir_sql(
+    """CASE WHEN t.t_total + t.v = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST(((c.c_t::HUGEINT + 1) * (t.r_total + t.v) * 1000000)
+                    // ((c.c_r::HUGEINT + 1) * (t.t_total + t.v))
+                    AS BIGINT) END"""
+)
 
 
 def text_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,11 +298,13 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 
 QUERIES = {
     "corpus_dsir_weights": corpus_dsir_weights,
+    "corpus_dsir_weights_smoothed": corpus_dsir_weights_smoothed,
     "text_bigram_prob_score": text_bigram_prob_score,
 }
 
 ORACLE_SQL = {
     "corpus_dsir_weights": DSIR_SQL,
+    "corpus_dsir_weights_smoothed": DSIR_SMOOTHED_SQL,
     "text_bigram_prob_score": BIGRAM_PROB_SQL,
 }
 

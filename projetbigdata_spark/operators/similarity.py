@@ -21,6 +21,8 @@ residual libm ulp.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -827,10 +829,19 @@ def sim_ivf_incremental(
     )
 
 
+def _auto_k(n: int) -> int:
+    """The SemDeDup/IVF centroid dial resolved from the corpus size:
+    k ≈ √n/2, the midpoint-leaning end of the measured √n/4..√n/2 knee
+    (SCALE.md r5 k-sweep: at 250k vectors k=16 costs 288s, k=128 42s,
+    k=256 49s — auto lands at 250, inside the 42-70s band). Floor of 2
+    so degenerate corpora still cluster."""
+    return max(2, round(math.sqrt(n) / 2))
+
+
 def dedup_semantic(
     spark: SparkSession,
     sf_dir: str,
-    k: int = K_CENTROIDS,
+    k: int | str = "auto",
     cos_th: float = COSINE_THRESHOLD,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, the
@@ -856,19 +867,26 @@ def dedup_semantic(
     and a skewed mega-cluster is the known failure mode — SemDeDup
     handles it by raising k, not by a different algorithm.
 
-    THE k DIAL IS MANDATORY AT SCALE: pair work is Σ|cluster|² ≈
-    n²/k, so the fixture default (k=16 ≈ √n/2 at driver scale) is
-    wrong for any real corpus — measured at 250k vectors, k=16 costs
-    288s where k=128 costs 42s with a bit-identical drop list, and
-    k=256 starts handing the win back to the Lloyd tier (cost ∝ n·k).
-    Pick k ≈ √n/4..√n/2 (SCALE.md §sf5 soak, r5 k-sweep), exactly the
-    sim_ivf_incremental dial family.
+    THE k DIAL IS MANDATORY AT SCALE, so the DEFAULT now auto-dials
+    (VERDICT r5 item 1, the df_cap="auto" precedent): pair work is
+    Σ|cluster|² ≈ n²/k, and a fixture constant inherited silently at
+    corpus scale goes quadratic — measured at 250k vectors, k=16
+    costs 288s where k=128 costs 42s with a bit-identical drop list,
+    and k=256 starts handing the win back to the Lloyd tier (cost ∝
+    n·k). k="auto" resolves to ≈ √n/2 from a metadata-cheap parquet
+    count (k ≈ √n/4..√n/2 is the measured knee — SCALE.md §sf5 soak,
+    r5 + r6 k-sweeps — exactly the sim_ivf_incremental dial family).
+    The REGISTERED query pins k=K_CENTROIDS=16 explicitly so the
+    static oracle's seed range stays exact; only library callers get
+    the auto resolution.
 
     Beyond-reference operator (the training-data-pipeline tier): the
     reference has no dedup stage; this completes the dedup ladder
     (exact -> shingle/minhash -> embedding-cosine -> semantic)."""
     tune(spark)
     vec = _cached_micro_arr(spark, sf_dir)
+    if k == "auto":
+        k = _auto_k(load_table(spark, sf_dir, "embeddings").count())
     cents = _seed_centroids(vec, k)
     for _ in range(2):
         cents = _lloyd_update(
@@ -1653,25 +1671,33 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-quality TELEMETRY as a query: per-query recall@5 of the
-    banded-LSH ANN tier against the exact brute-force baseline — the
-    number an index owner watches on a dashboard before trusting an
-    approximate tier in production (the in-engine form of the recall
-    studies SCALE.md runs offline). Exact integer ppm (hits·1e6 div
-    TOP_K); queries the ANN tier misses entirely surface with
-    recall_ppm = 0 through the anchor left join, never vanish.
+def ann_recall_report(
+    spark: SparkSession, sf_dir: str, tier=None
+) -> DataFrame:
+    """Index-quality TELEMETRY as a query: per-query recall@5 of an
+    ANN tier against the exact brute-force baseline — the number an
+    index owner watches on a dashboard before trusting an approximate
+    tier in production (the in-engine form of the recall studies
+    SCALE.md runs offline). Exact integer ppm (hits·1e6 div TOP_K);
+    queries the ANN tier misses entirely surface with recall_ppm = 0
+    through the anchor left join, never vanish.
+
+    `tier` is any registered ANN query callable with the shared
+    (query_id, neighbor_id, …) output schema — default is the
+    banded-LSH tier; ann_recall_report_ivfpq below audits the IVF-PQ
+    composition with the identical frame (VERDICT r5 item 4).
 
     Scale posture: both tiers are the registered, already-bounded
     plans (broadcast-query scan; banded equi-join + candidate-only
     rerank); this adds one |queries·k|-row join and a |queries|-row
-    agg — telemetry-priced. The same frame with sim_ivf*_topk or the
-    PQ tiers as the `got` side audits those indexes identically."""
+    agg — telemetry-priced."""
     tune(spark)
     truth = sim_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    got = sim_ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    got = (tier or sim_ann_lsh_topk)(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
     hits = truth.join(got, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
     ).agg(F.count("*").alias("n_hits"))
@@ -1690,12 +1716,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RECALL_SQL = f"""
+def ann_recall_report_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall_report pointed at the IVF-PQ tier — the newest and
+    most-composed index gets the same in-engine recall telemetry as
+    the LSH tier (VERDICT r5 item 4: misses surface as recall_ppm=0,
+    never vanish; the refine stage is load-bearing, so this row is
+    what proves it keeps doing its job as dials move)."""
+    return ann_recall_report(spark, sf_dir, tier=sim_ivfpq_topk)
+
+
+def _ann_recall_sql(got_sql: str) -> str:
+    """The recall frame as DuckDB text over any tier's full oracle —
+    the whole tier query nests verbatim as the `got` CTE body (the
+    corpus_bpe_fertility composition idiom)."""
+    return f"""
 WITH truth AS (
 {BRUTE_SQL}
 ),
 got AS (
-{ANN_SQL}
+{got_sql}
 ),
 hits AS (
     SELECT t.query_id, count(*) AS n_hits
@@ -1712,9 +1751,21 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 
+ANN_RECALL_SQL = _ann_recall_sql(ANN_SQL)
+ANN_RECALL_IVFPQ_SQL = _ann_recall_sql(IVFPQ_SQL)
+
+
+def _dedup_semantic_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-registered dedup_semantic row pins the fixture dial
+    k=K_CENTROIDS=16 explicitly: the static oracle seeds exactly that
+    many centroids (SEED_LO..SEED_HI), so the registered row must not
+    float with corpus size — library callers get k="auto" (≈ √n/2)."""
+    return dedup_semantic(spark, sf_dir, k=K_CENTROIDS)
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
-    "dedup_semantic": dedup_semantic,
+    "dedup_semantic": _dedup_semantic_registered,
     "sim_ivf_incremental": sim_ivf_incremental,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
     "sim_lsh_buckets": sim_lsh_buckets,
@@ -1725,6 +1776,7 @@ QUERIES = {
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "ann_recall_report": ann_recall_report,
+    "ann_recall_report_ivfpq": ann_recall_report_ivfpq,
 }
 
 ORACLE_SQL = {
@@ -1740,4 +1792,5 @@ ORACLE_SQL = {
     "sim_pq_topk": PQ_SQL,
     "sim_ivfpq_topk": IVFPQ_SQL,
     "ann_recall_report": ANN_RECALL_SQL,
+    "ann_recall_report_ivfpq": ANN_RECALL_IVFPQ_SQL,
 }

@@ -230,3 +230,33 @@ def test_ivf_k_nprobe_dials(spark):
     for r in rows:
         per_q.setdefault(r.query_id, set()).add(r.rnk)
     assert all(v == set(range(1, TOP_K + 1)) for v in per_q.values())
+
+
+def test_semantic_dedup_auto_k(spark):
+    """dedup_semantic's DEFAULT k auto-dials (VERDICT r5 item 1, the
+    df_cap="auto" precedent): k="auto" resolves to ≈ √n/2 from a
+    metadata-cheap count, so the registered fixture constant can never
+    be silently inherited at corpus scale where pair work ∝ n²/k. The
+    registered row still pins k=16 (the oracle's seed range)."""
+    from projetbigdata_spark.operators.similarity import (
+        COSINE_THRESHOLD,
+        _auto_k,
+        dedup_semantic,
+    )
+
+    # the rule itself: ≈ √n/2, floored at 2
+    assert _auto_k(500) == 11
+    assert _auto_k(2_000) == 22
+    assert _auto_k(250_000) == 250
+    assert _auto_k(1) == 2
+    for n in (100, 10_000, 1_000_000):
+        assert abs(_auto_k(n) - (n**0.5) / 2) <= 0.5
+
+    # the default path resolves and keeps the output contract: every
+    # drop row names a strictly lower-id canonical in the same cluster
+    got = dedup_semantic(spark, SF_CHECK).collect()  # k defaults to auto
+    assert len(got) > 0
+    assert got[0].__fields__ == ["vec_id", "dup_of", "cid", "cosine"]
+    for r in got:
+        assert r.dup_of < r.vec_id
+        assert r.cosine >= COSINE_THRESHOLD

@@ -76,6 +76,7 @@ REPRESENTATIVES = [
     "dedup_containment_pairs",   # capped index on 0 shingles
     "corpus_dsir_weights",       # ratio table over 0 tokens
     "corpus_dsir_sample",        # acceptance over Σw = 0 degenerate
+    "corpus_dsir_weights_smoothed",  # add-one over V = 0 vocabulary
     "text_bigram_prob_score",    # bigram counts over 0 grams
     "events_anomaly_mad",        # medians over 0 hourly groups
     "corpus_ngram_diversity",    # in-row ratios (0 docs -> 0 rows)
@@ -83,6 +84,7 @@ REPRESENTATIVES = [
     "sim_pq_topk",               # PQ train/encode/ADC on 0 vectors
     "sim_ivfpq_topk",            # composed index on 0 vectors
     "ann_recall_report",         # recall over 0 queries
+    "ann_recall_report_ivfpq",   # same frame over the PQ tier
 ]
 
 # these legitimately return constant-row reports even on empty input

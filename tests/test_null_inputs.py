@@ -62,6 +62,7 @@ PER_DOC_KEEPERS = [
     # r5 second wave: all anchor on the full document set
     "corpus_dsir_weights",
     "corpus_dsir_sample",
+    "corpus_dsir_weights_smoothed",  # r6: add-one keeps every doc
     "text_bigram_prob_score",
     "corpus_ngram_diversity",  # in-row: null text -> zero-count row
 ]
@@ -201,6 +202,7 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "sim_pq_topk",          # null embeddings: no subvectors, no codes
         "sim_ivfpq_topk",
         "ann_recall_report",    # null-norm queries drop from both tiers
+        "ann_recall_report_ivfpq",  # r6: same frame over the PQ tier
     ],
 )
 def test_runs_with_null_events_and_embeddings(

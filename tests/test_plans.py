@@ -29,6 +29,7 @@ CARTESIAN_OK = {
     # recall telemetry composes the brute baseline, inheriting its
     # declared nested-loop (that tier IS the ground truth being audited)
     "ann_recall_report",
+    "ann_recall_report_ivfpq",
     # exact all-pairs neardup baseline, registered by name for exact-
     # recall consumers after sim_neardup_pairs moved to LSH pruning
     "sim_neardup_allpairs_exact",
@@ -46,6 +47,7 @@ CARTESIAN_OK = {
     # (r_total, t_total) into the ratio table
     "text_search_bm25",
     "corpus_dsir_weights",
+    "corpus_dsir_weights_smoothed",
     # dsir_sample crossJoins the 1-row (Σw, n) aggregate (broadcast)
     "corpus_dsir_sample",
     # source divergence crossJoins TWO 1-row broadcast constants
@@ -261,6 +263,11 @@ EXCHANGE_BUDGET = {
     "sim_pq_topk": 10,
     "sim_ivfpq_topk": 15,
     "ann_recall_report": 12,
+    # r6: smoothing only swaps the ratio projection (same 5); the
+    # IVF-PQ recall frame = brute (nested-loop, few exchanges) +
+    # the composed IVF-PQ tier (15) + the hits join/agg
+    "corpus_dsir_weights_smoothed": 5,
+    "ann_recall_report_ivfpq": 22,
 }
 
 

@@ -146,6 +146,81 @@ def test_dsir_matches_python_model(spark, docs, docs_lang):
     assert sum(en) / len(en) > sum(rest) / len(rest)
 
 
+def test_dsir_smoothing_modes_agree_on_ordering(spark, docs, docs_lang):
+    """The add-one variant (VERDICT r5 item 6): matches its own Python
+    model (Laplace on both counts with the V = |vocab| total
+    adjustment), never zeroes a tokenized doc (the point of
+    smoothing), and agrees with the unsmoothed mode on the ordering
+    that drives selection — pairwise rank agreement on clearly
+    separated docs, and the same en-over-rest mean direction."""
+    from projetbigdata_spark.operators.selection import (
+        DSIR_TARGET_LANG,
+        corpus_dsir_weights,
+    )
+
+    c_r: Counter = Counter()
+    c_t: Counter = Counter()
+    for d, t in docs.items():
+        w = _tokens(t)
+        c_r.update(w)
+        if docs_lang[d] == DSIR_TARGET_LANG:
+            c_t.update(w)
+    r_total = sum(c_r.values())
+    t_total = sum(c_t.values())
+    v = len(c_r)
+    expected = {}
+    for d, t in docs.items():
+        w = _tokens(t)
+        if not w:
+            expected[d] = (0, None)
+            continue
+        s = sum(
+            ((c_t.get(x, 0) + 1) * (r_total + v) * 1_000_000)
+            // ((c_r[x] + 1) * (t_total + v))
+            for x in w
+        )
+        expected[d] = (len(w), s // len(w))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_weight_ppm)
+        for r in corpus_dsir_weights(
+            spark, SF_SMOKE, smoothing="add_one"
+        ).collect()
+    }
+    assert got == expected
+
+    # smoothing's defining property: every tokenized doc keeps a
+    # strictly positive weight (unsmoothed zeroes target-absent docs)
+    assert all(wt > 0 for n, wt in got.values() if n > 0)
+
+    plain = {
+        r.doc_id: r.dsir_weight_ppm
+        for r in corpus_dsir_weights(spark, SF_SMOKE).collect()
+        if r.dsir_weight_ppm is not None
+    }
+    sm = {d: wt for d, (n, wt) in got.items() if n > 0}
+    # ordering agreement: across doc pairs separated by >=1% in BOTH
+    # modes (the fixture corpus's weights span ~±2.5%, and add-one
+    # perturbs each weight by only ~100 ppm — far inside that margin),
+    # the two modes never disagree on which doc ranks higher
+    ids = sorted(plain)
+    checked = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            pa, pb, sa, sb = plain[a], plain[b], sm[a], sm[b]
+            if (
+                min(pa, pb) * 101 < max(pa, pb) * 100
+                and min(sa, sb) * 101 < max(sa, sb) * 100
+            ):
+                checked += 1
+                assert (pa > pb) == (sa > sb), (a, b, pa, pb, sa, sb)
+    assert checked > 100  # the margin filter must not vacuously pass
+
+    en = [v for d, v in sm.items() if docs_lang[d] == "en"]
+    rest = [v for d, v in sm.items() if docs_lang[d] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
 def test_bigram_prob_matches_python_model(spark, docs):
     """text_bigram_prob_score == the Python bigram-continuation model;
     scores are bounded by 1e6 and exact duplicates score identically."""

@@ -87,6 +87,9 @@ QUERIES = [
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "ann_recall_report",
+    # r6 additions
+    "corpus_dsir_weights_smoothed",
+    "ann_recall_report_ivfpq",
 ]
 
 
