@@ -48,6 +48,19 @@ HEADLINE = [
     "dedup_components_minhash",
 ]
 
+# r6 (VERDICT r5 item 5): the r5 surface's heavy hitters get driver-
+# bench tracking in their own group — the original 21-query HEADLINE
+# list and its "value" metric stay untouched for series continuity
+# (r1..r5 totals remain comparable); the extended group reports
+# separately as "extended" / "extended_total".
+EXTENDED = [
+    "corpus_curate_calibrated",
+    "text_search_bm25",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "dedup_semantic",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,18 +83,24 @@ def main() -> None:
         queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
-    timings: dict[str, float] = {}
-    first_call: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(n_iters):
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        first_call[name] = runs[0]
-        timings[name] = min(runs)
+
+    def run_group(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        first: dict[str, float] = {}
+        for name in names:
+            runs = []
+            for _ in range(n_iters):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            first[name] = runs[0]
+            timings[name] = min(runs)
+        return timings, first
+
+    timings, first_call = run_group(HEADLINE)
+    extended, extended_first = run_group(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,6 +112,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "first_call": first_call,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
+                "extended_first_call": extended_first,
                 "iters": n_iters,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
