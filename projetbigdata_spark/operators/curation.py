@@ -303,6 +303,115 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup made EXECUTABLE — the removal pass that
+    dedup_span_profile above audits (the profile "tells you whether
+    that pass is worth running"; this IS the pass). The Spark-first
+    spelling of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better") on
+    fixed SPAN_K-token windows: every token position covered by a
+    10-token window whose key already occurs in an EARLIER document
+    (keep-first at doc granularity, the profile's n_dup_spans rule —
+    repeats *within* the first document are kept) is cut, and the
+    surviving tokens are reassembled in order. Output: (doc_id,
+    n_tokens, n_cut, text_deduped) — the rewritten corpus plus the
+    audit counts, so a pipeline chains profile → removal → re-profile.
+
+    Plan: ONE corpus tokenize (plan-barriered — consumed by the span
+    explode AND the reassembly join); spans hashed in-array to 60-bit
+    keys (8-byte shuffle rows, the dedup_span_profile idiom); one
+    groupBy(key) for first_doc; the dup-start positions fold back to
+    ONE int-array row per affected doc, and the cut itself is an
+    in-row higher-order filter (position-indexed lambda, zero extra
+    shuffle). At 100 TB the wide text rows move only through the
+    final projection — never through the span join.
+
+    Null/empty text: coalesced to '' on BOTH sides (n_tokens = 0,
+    text_deduped = '') — the tokenize-keeps-the-row contract."""
+    tune(spark)
+    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
+    ).localCheckpoint(eager=False)
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(ngrams(F.col("w"), SPAN_K), lambda g: _gram_key(g))
+        ).alias("i0", "k"),
+    )
+    stats = spans.groupBy("k").agg(F.min("doc_id").alias("first_doc"))
+    dup_starts = (
+        spans.join(stats, "k")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.col("i0") + 1).alias("starts"))
+    )
+    base = toks.join(dup_starts, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda t, i: ~F.exists(
+            F.col("starts"),
+            lambda s: (s <= i + 1) & (i + 1 < s + F.lit(SPAN_K)),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_cut"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )
+
+
+SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               t -> t <> '') AS w
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, i,
+           CAST('0x' || substr(md5(
+                array_to_string(w[i:i+{SPAN_K - 1}], ' ')), 1, 15)
+                AS BIGINT) AS k
+    FROM toks, LATERAL unnest(generate_series(1, len(w) - {SPAN_K - 1}))
+         AS u(i)
+    WHERE len(w) >= {SPAN_K}
+),
+stats AS (SELECT k, min(doc_id) AS first_doc FROM spans GROUP BY k),
+dupstarts AS (
+    SELECT s.doc_id, list(s.i) AS starts
+    FROM spans s JOIN stats st USING (k)
+    WHERE s.doc_id > st.first_doc
+    GROUP BY s.doc_id
+),
+base AS (
+    SELECT t.doc_id, t.w, coalesce(d.starts, []) AS starts
+    FROM toks t LEFT JOIN dupstarts d USING (doc_id)
+),
+kept AS (
+    SELECT doc_id, len(w) AS n_tokens,
+           [w[p] FOR p IN generate_series(1, len(w))
+            IF len(list_filter(starts,
+                   s -> s <= p AND p < s + {SPAN_K})) = 0] AS kw
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kw) AS BIGINT) AS n_cut,
+       -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+       -- array_join: pin the fully-cut-doc case to ''
+       coalesce(array_to_string(kw, ' '), '') AS text_deduped
+FROM kept
+"""
+
+
 def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality proxy in exact integer arithmetic: per doc,
     the mean corpus frequency of its tokens in parts-per-billion, the
@@ -1214,6 +1323,7 @@ QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "text_unigram_freq_score": text_unigram_freq_score,
     "dedup_span_profile": dedup_span_profile,
+    "dedup_span_removal": dedup_span_removal,
     "dedup_keep_canonical": dedup_keep_canonical,
     "text_redact_pii": text_redact_pii,
 }
@@ -1228,6 +1338,7 @@ ORACLE_SQL = {
     "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,
     "dedup_span_profile": SPAN_PROFILE_SQL,
+    "dedup_span_removal": SPAN_REMOVAL_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),
     "text_redact_pii": REDACT_SQL,
 }

@@ -292,11 +292,82 @@ FROM n, LATERAL (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS dim)
 """
 
 
+HASH_BUCKETS = 64  # 2^6 fixture dial so bucket collisions actually
+# occur at fixture vocab size (the sign mechanism gets exercised);
+# deployments use 2^18..2^20 — the dataflow is dial-independent
+
+# the 60-bit engine-portable md5 key (operators/curation._gram_key's
+# idiom), spelled as SQL text so Spark and DuckDB share it verbatim
+_HASH60_SPARK = "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)"
+_HASH60_DUCK = "CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)"
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING-TRICK vectorizer (Weinberger et al. 2009 — the
+    fasttext/Vowpal-Wabbit feature path): token → bucket = 60-bit md5
+    key mod HASH_BUCKETS, with a SIGN drawn from the key's next bit so
+    colliding tokens cancel in expectation instead of biasing the
+    bucket upward. Long-form sparse output per (doc_id, bucket):
+    n = occurrences, signed_sum = Σ±1 — the signed counts a linear
+    quality classifier consumes directly.
+
+    This is bow_vectorize's scale path: NO vocabulary table, no
+    second corpus pass, no join of any kind — one projection + one
+    hash-agg. At 100 TB a 1e8-term vocab must be built, ranked, and
+    broadcast before the first vector exists; the hash needs neither
+    memory nor coordination, which is why hashed features are what
+    corpus-scale classifiers (and DSIR's hashed-ngram buckets)
+    actually train on. Shuffle = |docs × distinct buckets| ≤
+    |docs|·HASH_BUCKETS rows of three ints."""
+    tune(spark)
+    tok = load_documents_parallel(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+    return (
+        tok.select(
+            "doc_id",
+            F.expr(f"CAST({_HASH60_SPARK} % {HASH_BUCKETS} AS INT)").alias(
+                "bucket"
+            ),
+            F.expr(
+                f"CASE WHEN ({_HASH60_SPARK} div {HASH_BUCKETS}) % 2 = 0"
+                " THEN 1 ELSE -1 END"
+            ).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("sign").cast("bigint").alias("signed_sum"),
+        )
+    )
+
+
+FEATURE_HASHING_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, t AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+),
+h AS (SELECT doc_id, {_HASH60_DUCK} AS hv FROM tok)
+SELECT doc_id,
+       CAST(hv % {HASH_BUCKETS} AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN (hv // {HASH_BUCKETS}) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS signed_sum
+FROM h
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "bow_vectorize": bow_vectorize,
     "label_index": label_index,
     "pos_trigrams": pos_trigrams,
     "embed_l2norm": embed_l2norm,
+    "text_feature_hashing": text_feature_hashing,
 }
 
 ORACLE_SQL = {
@@ -304,4 +375,5 @@ ORACLE_SQL = {
     "label_index": LABEL_INDEX_SQL,
     "pos_trigrams": POS_TRIGRAM_SQL,
     "embed_l2norm": L2NORM_SQL,
+    "text_feature_hashing": FEATURE_HASHING_SQL,
 }

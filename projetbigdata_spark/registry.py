@@ -16,93 +16,70 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r5). Tier A (24 = 17 NEW + 7 MODIFIED): every query added
-# across the r5 waves (calibrated curate, semantic dedup, BPE
-# encode/batched/fertility, temperature mix, BM25, containment, DSIR
-# weights+sample, bigram fluency, MAD anomaly, diversity, TV
-# divergence, PQ, IVF-PQ, recall telemetry) plus the behaviorally modified ones (BPE
-# pair-exhaustion/\x01 fixes; int32->BIGINT gate widenings touching
-# the text_quality_scores subtree and therefore corpus_curate; the
-# incremental-IVF oracle's zero-norm filter). Tier B: the 10 queries
-# whose latest green row is still r1 (VERDICT r4 item 2 — after this
-# round every query's latest green row is r2+). Tier C: the oldest
-# remaining rows (latest green r3), riskiest shapes first — iterative
-# dedup/similarity, streaming batch twins, CDC/SCD2. Tier C holds 16
-# of the first 50 this round — under the NEXT.md ~30 floor because 17
-# genuinely-NEW queries force in under rule (a); the six tier-C names
-# past slot 50 are next-in-line if the driver's budget stretches, and
-# tier C recovers in r6 once the new rows are green. collect() raises
-# if a priority name is not registered.
+# round (r6). Tier A (10 = 4 NEW + 6 MODIFIED): dedup_span_removal
+# (exact-substring removal), text_feature_hashing (hashing-trick
+# vectorizer), ann_recall_report_ivfpq, corpus_dsir_weights_smoothed;
+# plus the behaviorally modified ones — text_search_bm25 (denominator
+# widening), corpus_dsir_weights/_sample (doc-sum widening),
+# corpus_source_divergence (TV ½ factor — VALUES changed),
+# dedup_semantic (registered pin unchanged but the callable moved to
+# the k=16 wrapper) and ann_recall_report (tier parameterization).
+# Tier C: ALL 34 queries whose latest green row is r2 (VERDICT r5
+# item 2 — the windows family, text tf/idf, repetition/winnowing,
+# packing, set-op-era splits, r2 sim/dedup bases). 10 + 34 = 44 ≤ 50,
+# so tier C is complete this round (≥30 floor met) and the remaining
+# ~6 driver slots fall to the oldest r3-era rows in module order. No
+# composition re-enters (corpus_curate* subtrees unchanged — slot
+# policy rule b). collect() raises if a priority name is not
+# registered.
 _PRIORITY = (
-    # --- tier A: new in r5 ---
-    "corpus_curate_calibrated",
-    "dedup_semantic",
-    "corpus_bpe_encode",
-    "corpus_temperature_mix",
-    "corpus_bpe_merges_batched",
+    # --- tier A: new in r6 ---
+    "dedup_span_removal",
+    "text_feature_hashing",
+    "ann_recall_report_ivfpq",
+    "corpus_dsir_weights_smoothed",
+    # --- tier A: behaviorally modified in r6 ---
     "text_search_bm25",
-    "dedup_containment_pairs",
     "corpus_dsir_weights",
     "corpus_dsir_sample",
-    "text_bigram_prob_score",
-    "corpus_bpe_fertility",
-    "events_anomaly_mad",
-    "corpus_ngram_diversity",
     "corpus_source_divergence",
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
+    "dedup_semantic",
     "ann_recall_report",
-    # --- tier A: behaviorally modified in r5 ---
-    "corpus_bpe_merges",
-    "corpus_bpe_vocab",
-    "corpus_domain_stats",
-    "text_quality_scores",
-    "text_lang_guess",
-    "sim_ivf_incremental",
-    "corpus_curate",
-    # --- tier B: the 10 r1-era rows ---
-    "scalar_functions",
-    "array_functions",
-    "datetime_functions",
-    "agg_maxby",
-    "agg_histogram_bins",
-    "chunk_documents_expr",
-    "join_semi_urgent",
-    "join_anti_no_urgent",
-    "topk_customers",
-    "q6_forecast_revenue",
-    # --- tier C: oldest remaining rows (latest green r3), riskiest
-    # shapes first ---
-    "dedup_components_minhash",
-    "dedup_components_prefiltered",
-    "dedup_incremental",
-    "dedup_contamination",
-    "dedup_jaccard_verified",
-    "dedup_simhash",
-    "dedup_minhash_estimate",
-    "dedup_levenshtein_candidates",
-    "corpus_shingle_stats",
-    "contamination_ngram_overlap",
-    "dedup_span_profile",
-    "text_redact_pii",
-    "sim_ivf_sampled_topk",
-    "sim_neardup_pairs",
-    "sim_ann_lsh_topk",
-    "events_funnel_conversion",
-    "events_spine_fill",
-    "events_retention_cohorts",
-    "events_click_attribution",
-    "events_dedup_keyed",
+    # --- tier C: the 34 r2-era rows, riskiest shapes first ---
+    "dedup_components",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_buckets",
+    "dedup_exact",
+    "sim_ivf_topk",
+    "sim_lsh_buckets",
+    "sim_topk_bruteforce",
     "merge_cdc_snapshot",
-    "scd2_history",
-    # (json_extract / agg_pivot / map_functions /
-    # sample_stratified_by_lang / window_distribution /
-    # window_range_time / text_tfidf_top / text_ngram_counts /
-    # corpus_vocab_growth / corpus_health_report yielded their tier-C
-    # slots to the r5 additions — all zero-join projection /
-    # single-agg / window shapes, the lowest-risk r3-green rows left;
-    # their rows stand and they follow in module order. See the header
-    # comment for the final 24/10/16 tier accounting.)
+    "events_retention_cohorts",
+    "events_spine_fill",
+    "events_gaps_islands",
+    "corpus_mix_plan",
+    "docs_pack_greedy",
+    "embed_quantize_int8",
+    "sample_hash_documents",
+    "sample_stratified_by_lang",
+    "split_assign_documents",
+    "text_winnow_fingerprints",
+    "text_repetition_scores",
+    "text_fingerprints",
+    "text_tfidf_top",
+    "text_idf",
+    "text_tf",
+    "text_ngram_counts",
+    "text_token_counts",
+    "text_clean_lower",
+    "text_wordpunct_tokens",
+    "window_range_time",
+    "window_moving_avg",
+    "window_first_last",
+    "window_lag_lead",
+    "window_ntile",
+    "window_rank_orders",
+    "window_running_sum",
 )
 
 # Ordered so the driver's correctness budget reaches every family:

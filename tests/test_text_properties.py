@@ -426,3 +426,45 @@ def test_bpe_batched_matches_python_model(spark, tmp_path):
         for r in corpus_bpe_merges_batched(spark, d2).collect()
     }
     assert got2 == {(1, 1, "a", "b", 2)}, got2
+
+
+def test_feature_hashing_matches_python_model(spark):
+    """text_feature_hashing == the hashlib model (same 60-bit md5 key,
+    same bucket/sign split), and the accounting invariants hold:
+    Σn over a doc's buckets == its token count, |signed_sum| <= n with
+    matching parity (each token contributes exactly ±1)."""
+    import hashlib
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    from projetbigdata_spark.operators.features import (
+        HASH_BUCKETS,
+        text_feature_hashing,
+    )
+
+    rows = {
+        r.doc_id: (r.text or "").lower().split()
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    expected: dict = defaultdict(lambda: [0, 0])
+    for d, toks in rows.items():
+        for t in toks:
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            cell = expected[(d, hv % HASH_BUCKETS)]
+            cell[0] += 1
+            cell[1] += 1 if (hv // HASH_BUCKETS) % 2 == 0 else -1
+    got = {
+        (r.doc_id, r.bucket): (r.n, r.signed_sum)
+        for r in text_feature_hashing(spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+    per_doc: dict = defaultdict(int)
+    for (d, b), (n, s) in got.items():
+        assert 0 <= b < HASH_BUCKETS
+        assert abs(s) <= n and (n - s) % 2 == 0
+        per_doc[d] += n
+    assert per_doc == {d: len(t) for d, t in rows.items() if t}

@@ -90,6 +90,8 @@ QUERIES = [
     # r6 additions
     "corpus_dsir_weights_smoothed",
     "ann_recall_report_ivfpq",
+    "dedup_span_removal",
+    "text_feature_hashing",
 ]
 
 
