@@ -412,6 +412,122 @@ FROM kept
 """
 
 
+def dedup_span_removal_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_span_removal's INGEST twin (the dedup_incremental
+    contract): cut an incoming batch (source = 'src0') against the
+    STANDING corpus's span index only — any SPAN_K-token window that
+    occurs anywhere in an old document cuts the positions it covers
+    in a new document, and the standing corpus is never re-paired
+    against itself. new×new repeats are deliberately NOT cut here
+    (they are the fold-in pass's job, exactly as dedup_incremental
+    leaves new×new pairs to the next full dedup) — so the probe side
+    is |new-batch spans| against a frozen distinct-key index, the
+    per-batch shape a daily crawl ingest actually runs.
+
+    Output: (doc_id, n_tokens, n_cut, text_deduped) for every NEW
+    doc, anchored on the document table (a <SPAN_K-token doc still
+    surfaces, uncut). Same null/'' contract as the batch pass."""
+    tune(spark)
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+
+    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
+    ).localCheckpoint(eager=False)
+    spans = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(ngrams(F.col("w"), SPAN_K), lambda g: _gram_key(g))
+        ).alias("i0", "k"),
+    )
+    old_keys = (
+        spans.where(F.col("source") != INCR_NEW_SOURCE)
+        .select("k")
+        .distinct()
+    )
+    dup_starts = (
+        spans.where(F.col("source") == INCR_NEW_SOURCE)
+        .join(old_keys, "k", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.col("i0") + 1).alias("starts"))
+    )
+    base = (
+        toks.where(F.col("source") == INCR_NEW_SOURCE)
+        .join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "w",
+            F.coalesce("starts", F.array().cast("array<int>")).alias(
+                "starts"
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda t, i: ~F.exists(
+            F.col("starts"),
+            lambda s: (s <= i + 1) & (i + 1 < s + F.lit(SPAN_K)),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_cut"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )
+
+
+SPAN_REMOVAL_INCR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               t -> t <> '') AS w
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, source, i,
+           CAST('0x' || substr(md5(
+                array_to_string(w[i:i+{SPAN_K - 1}], ' ')), 1, 15)
+                AS BIGINT) AS k
+    FROM toks, LATERAL unnest(generate_series(1, len(w) - {SPAN_K - 1}))
+         AS u(i)
+    WHERE len(w) >= {SPAN_K}
+),
+old_keys AS (
+    SELECT DISTINCT k FROM spans WHERE source <> 'src0'
+),
+dupstarts AS (
+    SELECT s.doc_id, list(s.i) AS starts
+    FROM spans s SEMI JOIN old_keys o ON s.k = o.k
+    WHERE s.source = 'src0'
+    GROUP BY s.doc_id
+),
+base AS (
+    SELECT t.doc_id, t.w, coalesce(d.starts, []) AS starts
+    FROM toks t LEFT JOIN dupstarts d USING (doc_id)
+    WHERE t.source = 'src0'
+),
+kept AS (
+    SELECT doc_id, len(w) AS n_tokens,
+           [w[p] FOR p IN generate_series(1, len(w))
+            IF len(list_filter(starts,
+                   s -> s <= p AND p < s + {SPAN_K})) = 0] AS kw
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kw) AS BIGINT) AS n_cut,
+       coalesce(array_to_string(kw, ' '), '') AS text_deduped
+FROM kept
+"""
+
+
 def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality proxy in exact integer arithmetic: per doc,
     the mean corpus frequency of its tokens in parts-per-billion, the
@@ -1324,6 +1440,7 @@ QUERIES = {
     "text_unigram_freq_score": text_unigram_freq_score,
     "dedup_span_profile": dedup_span_profile,
     "dedup_span_removal": dedup_span_removal,
+    "dedup_span_removal_incremental": dedup_span_removal_incremental,
     "dedup_keep_canonical": dedup_keep_canonical,
     "text_redact_pii": text_redact_pii,
 }
@@ -1339,6 +1456,7 @@ ORACLE_SQL = {
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,
     "dedup_span_profile": SPAN_PROFILE_SQL,
     "dedup_span_removal": SPAN_REMOVAL_SQL,
+    "dedup_span_removal_incremental": SPAN_REMOVAL_INCR_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),
     "text_redact_pii": REDACT_SQL,
 }

@@ -249,3 +249,44 @@ def test_span_removal_matches_python_model(spark):
     assert got[d0][1] == 0 and got[d0][2] == " ".join(rows[d0].lower().split())
     # the pass must actually cut something on this fixture
     assert sum(c for _, c, _ in got.values()) > 0
+
+
+def test_span_removal_incremental_semantics(spark, tmp_path):
+    """Constructed rows pin the ingest contract: an old-corpus window
+    cuts the positions it covers in a new doc REGARDLESS of doc_id
+    order (frozen-index probe, not keep-first), new×new repeats are
+    NOT cut (the fold-in pass's job), and short/anchored docs
+    survive uncut."""
+    from projetbigdata_spark.operators.curation import (
+        dedup_span_removal_incremental,
+    )
+
+    w10 = "a b c d e f g h i j"          # one exact 10-token window
+    v10 = "p q r s t u v w x y"          # another, only in new docs
+    rows = [
+        # old corpus — note doc_id 9 is HIGHER than new doc 2's
+        (9, w10, "en", "srcA", len(w10)),
+        # new batch
+        (2, w10 + " tail1 tail2", "en", "src0", 0),
+        (3, v10, "en", "src0", 0),
+        (4, v10, "en", "src0", 0),        # new×new repeat: kept
+        (5, "too short to window", "en", "src0", 0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_cut, r.text_deduped)
+        for r in dedup_span_removal_incremental(spark, d).collect()
+    }
+    # only the new batch is emitted
+    assert sorted(got) == [2, 3, 4, 5]
+    # old window cuts doc 2's first 10 positions even though 2 < 9
+    assert got[2] == (12, 10, "tail1 tail2")
+    # new×new repeats untouched in the ingest pass
+    assert got[3] == (10, 0, v10)
+    assert got[4] == (10, 0, v10)
+    # sub-window doc anchors through, uncut
+    assert got[5] == (4, 0, "too short to window")

@@ -78,6 +78,7 @@ REPRESENTATIVES = [
     "corpus_dsir_sample",        # acceptance over Σw = 0 degenerate
     "corpus_dsir_weights_smoothed",  # add-one over V = 0 vocabulary
     "dedup_span_removal",            # span index over 0 windows
+    "dedup_span_removal_incremental",  # frozen-index probe over 0 docs
     "text_feature_hashing",          # hash-agg over 0 tokens
     "text_bigram_prob_score",    # bigram counts over 0 grams
     "events_anomaly_mad",        # medians over 0 hourly groups

@@ -105,6 +105,8 @@ MISC_R5 = [
     "dedup_containment_pairs",   # null-text docs emit no shingles
     "corpus_bpe_fertility",      # null-text docs count 0 words per lang
     "corpus_source_divergence",  # null-text docs add no token mass
+    # r6: anchors on the src0 slice only (null src0 text -> 0 tokens)
+    "dedup_span_removal_incremental",
 ]
 
 

@@ -91,6 +91,7 @@ QUERIES = [
     "corpus_dsir_weights_smoothed",
     "ann_recall_report_ivfpq",
     "dedup_span_removal",
+    "dedup_span_removal_incremental",
     "text_feature_hashing",
 ]
 
