@@ -323,14 +323,16 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = load_documents_parallel(spark, sf_dir).select(
         "doc_id", F.explode(tokenize("text")).alias("token")
     )
+    # hash ONCE into an intermediate column (ADVICE r6): bucket and
+    # sign both derive from hv without relying on codegen CSE to
+    # dedupe two inlined md5 calls
     return (
-        tok.select(
+        tok.select("doc_id", F.expr(_HASH60_SPARK).alias("hv"))
+        .select(
             "doc_id",
-            F.expr(f"CAST({_HASH60_SPARK} % {HASH_BUCKETS} AS INT)").alias(
-                "bucket"
-            ),
+            F.expr(f"CAST(hv % {HASH_BUCKETS} AS INT)").alias("bucket"),
             F.expr(
-                f"CASE WHEN ({_HASH60_SPARK} div {HASH_BUCKETS}) % 2 = 0"
+                f"CASE WHEN (hv div {HASH_BUCKETS}) % 2 = 0"
                 " THEN 1 ELSE -1 END"
             ).alias("sign"),
         )

@@ -563,11 +563,38 @@ def _cached_micro_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _seed_centroids(vec: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
-    return vec.where(
+    """Deterministic k-means seeding. Fast path: the fixed id window
+    [SEED_LO, SEED_LO+k) — zero extra jobs, and the exact range the
+    static DuckDB oracles unroll. Robustness (ADVICE r6): on a corpus
+    whose vec_ids are sparse or don't start near SEED_LO the window
+    can silently yield < k seeds, degrading pair work back toward
+    n²/actual_k — the exact failure k="auto" exists to prevent. So the
+    seed frame is counted (a ≤k-row job on the persisted micro frame)
+    and, if short, seeding falls back to the first k vectors AFTER the
+    first SEED_LO rows in vec_id order — rank-based, always exactly
+    min(k, n-SEED_LO) centroids, and identical to the fast path on
+    contiguous ids. orderBy+limit is a TakeOrdered (top-(SEED_LO+k)),
+    not a global sort; the row_number window runs on that tiny frame.
+    """
+    from pyspark.sql.window import Window
+
+    fast = vec.where(
         (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_LO + k)
     ).select(
         (F.col("vec_id") - SEED_LO).cast("int").alias("cid"),
         F.col("xs").alias("ms"),
+    )
+    if fast.count() == k:
+        return fast
+    head = vec.orderBy("vec_id").limit(SEED_LO + k)
+    w = Window.orderBy("vec_id")
+    return (
+        head.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > SEED_LO)
+        .select(
+            (F.col("rn") - SEED_LO - 1).cast("int").alias("cid"),
+            F.col("xs").alias("ms"),
+        )
     )
 
 
@@ -873,8 +900,10 @@ def dedup_semantic(
     corpus scale goes quadratic — measured at 250k vectors, k=16
     costs 288s where k=128 costs 42s with a bit-identical drop list,
     and k=256 starts handing the win back to the Lloyd tier (cost ∝
-    n·k). k="auto" resolves to ≈ √n/2 from a metadata-cheap parquet
-    count (k ≈ √n/4..√n/2 is the measured knee — SCALE.md §sf5 soak,
+    n·k). k="auto" resolves to ≈ √n/2 from a count() over the id
+    column — a column-pruned scan job, cheap relative to the pair
+    stage it sizes, though not free
+    (k ≈ √n/4..√n/2 is the measured knee — SCALE.md §sf5 soak,
     r5 + r6 k-sweeps — exactly the sim_ivf_incremental dial family).
     The REGISTERED query pins k=K_CENTROIDS=16 explicitly so the
     static oracle's seed range stays exact; only library callers get

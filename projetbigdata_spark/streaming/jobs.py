@@ -312,6 +312,20 @@ def ann_ingest_stream(
     )
 
 
+def anomaly_state_path(state_dir: str) -> str:
+    """The VERSIONED partials root under a state_dir (ADVICE r6). The
+    r6 idempotence fix changed the state layout from flat appended
+    parquet to batch_id=<N> partition subdirectories; Spark partition
+    discovery rejects a directory mixing both shapes, so a pre-r6
+    state dir restarted against the new code would fail on read. The
+    layout therefore gets its own version segment — old flat files at
+    the state_dir root and the new partitioned tree never share a
+    scan root. Migration from a pre-r6 deployment: either clear the
+    state dir (the availableNow source replays and rebuilds it), or
+    move the flat files aside; they are NOT read by v2."""
+    return f"{state_dir}/partials_v2"
+
+
 def anomaly_process(state_dir: str, out_dir: str):
     """foreachBatch body of anomaly_stream, factored out so tests can
     replay a batch_id directly. IDEMPOTENT per batch (ADVICE r5):
@@ -319,14 +333,19 @@ def anomaly_process(state_dir: str, out_dir: str):
     hour) count partials land in a batch_id=<N> subdirectory with
     OVERWRITE — a retried/replayed trigger rewrites identical content
     instead of appending a second copy, and the sum-on-read stays
-    exact. Counts are additive, so partial-per-trigger + sum-on-read
-    reproduces the batch hourly frame; the detector then re-runs the
-    shared median/3·MAD rule over the accumulated frame and overwrites
-    the flags snapshot (medians are corpus-level order statistics —
-    they cannot be folded incrementally, so each trigger re-ranks the
-    tiny |types × hours| frame; at scale that frame stays thousands of
+    exact. Partials live under anomaly_state_path(state_dir), a
+    versioned subtree, so a legacy flat-layout state dir cannot
+    poison partition discovery (ADVICE r6). Counts are additive, so
+    partial-per-trigger + sum-on-read reproduces the batch hourly
+    frame; the detector then re-runs the shared median/3·MAD rule
+    over the accumulated frame and overwrites the flags snapshot
+    (medians are corpus-level order statistics — they cannot be
+    folded incrementally, so each trigger re-ranks the tiny
+    |types × hours| frame; at scale that frame stays thousands of
     rows when the raw stream is billions)."""
     from projetbigdata_spark.streaming.events_batch import mad_flags
+
+    partials_root = anomaly_state_path(state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -336,11 +355,11 @@ def anomaly_process(state_dir: str, out_dir: str):
             )
             .agg(F.count("*").alias("n_events"))
             .write.mode("overwrite")
-            .parquet(f"{state_dir}/batch_id={batch_id}")
+            .parquet(f"{partials_root}/batch_id={batch_id}")
         )
         spark = batch_df.sparkSession
         hourly = (
-            spark.read.parquet(state_dir)
+            spark.read.parquet(partials_root)
             .groupBy("event_type", "hour")
             .agg(F.sum("n_events").alias("n_events"))
         )

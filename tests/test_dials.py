@@ -260,3 +260,60 @@ def test_semantic_dedup_auto_k(spark):
     for r in got:
         assert r.dup_of < r.vec_id
         assert r.cosine >= COSINE_THRESHOLD
+
+
+def test_seed_centroids_sparse_ids_fallback(spark):
+    """_seed_centroids must yield EXACTLY k centroids even when the
+    vec_ids are sparse or don't start near SEED_LO (ADVICE r6): the
+    fixed id window [SEED_LO, SEED_LO+k) silently under-seeds on such
+    a corpus, degrading pair work back toward n²/actual_k — the exact
+    failure k="auto" was added to prevent. The fallback seeds the
+    first k rows AFTER the first SEED_LO rows in vec_id order, and on
+    contiguous ids the fast path and the fallback agree exactly."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        SEED_LO,
+        _seed_centroids,
+    )
+
+    k = 4
+    dims = list(range(3))
+
+    def vec_frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(i) + d for d in dims]) for i in ids],
+            "vec_id bigint, xs array<double>",
+        )
+
+    # contiguous ids: fast path fires; cid i holds vec SEED_LO + i
+    cont = {
+        r.cid: r.ms
+        for r in _seed_centroids(vec_frame(range(40)), k).collect()
+    }
+    assert sorted(cont) == list(range(k))
+    for cid, ms in cont.items():
+        assert ms[0] == float(SEED_LO + cid)
+
+    # SPARSE ids (multiples of 7: only 14 and 21 fall in the window):
+    # the old window seeded 2 of 4; the fallback must seed exactly k,
+    # picking rank positions SEED_LO..SEED_LO+k-1 => ids 70,77,84,91
+    sparse_ids = [i * 7 for i in range(40)]
+    sp = {
+        r.cid: r.ms
+        for r in _seed_centroids(vec_frame(sparse_ids), k).collect()
+    }
+    assert sorted(sp) == list(range(k))
+    for cid, ms in sp.items():
+        assert ms[0] == float((SEED_LO + cid) * 7)
+
+    # SHIFTED ids (corpus starts at 1000, nothing in the window)
+    sh = {
+        r.cid: r.ms
+        for r in _seed_centroids(
+            vec_frame(range(1000, 1040)), k
+        ).collect()
+    }
+    assert sorted(sh) == list(range(k))
+    for cid, ms in sh.items():
+        assert ms[0] == float(1000 + SEED_LO + cid)

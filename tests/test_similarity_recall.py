@@ -303,7 +303,14 @@ def test_semantic_dedup_precision_and_within_cluster_recall(spark):
     }
     assert truth, "all-pairs baseline produced no pairs"
 
-    drops = {r.vec_id: r for r in dedup_semantic(spark, SF_CHECK).collect()}
+    # pin k: the engine default is k="auto" (≈√n/2) since r6, but this
+    # test's reference clustering below is built with K_CENTROIDS — the
+    # drop list must be validated against the SAME partition it was
+    # computed from (the registered query wrapper also pins k=16).
+    drops = {
+        r.vec_id: r
+        for r in dedup_semantic(spark, SF_CHECK, k=K_CENTROIDS).collect()
+    }
     assert drops, "semantic dedup produced no drops at fixture scale"
 
     # precision: (dup_of, vec_id) is a real near-dup pair at the exact

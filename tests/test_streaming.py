@@ -699,6 +699,7 @@ def test_anomaly_stream_equals_batch(spark, tmp_path):
         events_anomaly_mad,
     )
     from projetbigdata_spark.streaming.jobs import (
+        anomaly_state_path,
         anomaly_stream,
         open_events_stream,
     )
@@ -728,12 +729,19 @@ def test_anomaly_stream_equals_batch(spark, tmp_path):
         spark,
         {"kind": "files", "path": in_dir, "max_files_per_trigger": 1},
     )
+    # seed a LEGACY flat-layout file at the state_dir root: the v2
+    # versioned subtree must never mix with it (ADVICE r6) — the run
+    # below would fail partition discovery if it scanned the root
+    os.makedirs(state_dir)
+    with open(f"{state_dir}/legacy-flat.parquet", "wb") as fh:
+        fh.write(b"not a real parquet file")
+
     q = anomaly_stream(stream, state_dir, out_dir).start()
     q.awaitTermination(120)
 
     # both micro-batches landed partials: same hour split across
     # triggers -> more partial rows than final (type, hour) groups
-    partials = spark.read.parquet(state_dir)
+    partials = spark.read.parquet(anomaly_state_path(state_dir))
     streamed = spark.read.parquet(out_dir)
     assert partials.count() > streamed.count()
 
@@ -749,12 +757,12 @@ def test_anomaly_stream_equals_batch(spark, tmp_path):
     from projetbigdata_spark.streaming.jobs import anomaly_process
 
     before = sorted(
-        spark.read.parquet(state_dir).collect(),
+        spark.read.parquet(anomaly_state_path(state_dir)).collect(),
         key=lambda r: (r.event_type, str(r.hour), r.batch_id),
     )
     anomaly_process(state_dir, out_dir)(half, 0)
     after = sorted(
-        spark.read.parquet(state_dir).collect(),
+        spark.read.parquet(anomaly_state_path(state_dir)).collect(),
         key=lambda r: (r.event_type, str(r.hour), r.batch_id),
     )
     assert after == before
@@ -768,7 +776,7 @@ def test_anomaly_stream_equals_batch(spark, tmp_path):
     q2.awaitTermination(120)
     assert (
         sorted(
-            spark.read.parquet(state_dir).collect(),
+            spark.read.parquet(anomaly_state_path(state_dir)).collect(),
             key=lambda r: (r.event_type, str(r.hour), r.batch_id),
         )
         == before
