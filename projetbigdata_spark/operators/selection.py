@@ -434,3 +434,152 @@ FROM base b, wtot w
 
 QUERIES["corpus_dsir_sample"] = corpus_dsir_sample
 ORACLE_SQL["corpus_dsir_sample"] = DSIR_SAMPLE_SQL
+
+
+DSIR_HASH_BUCKETS = 1024  # 2^10 fixture dial so bucket collisions
+# actually occur at fixture bigram counts; Xie et al. 2023 deploy with
+# 10^4 buckets and the dataflow is dial-independent — at 100 TB raise
+# to 2^13..2^17, the counts table stays exactly that many rows
+
+
+def corpus_dsir_weights_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR importance weights over HASHED BIGRAM buckets — the form
+    Xie et al. 2023 actually deploy (§3.1 "hashed n-gram features"):
+    each adjacent word pair hashes to one of DSIR_HASH_BUCKETS buckets
+    via the repo's 60-bit md5 key, and a document's weight is the mean
+    target-vs-raw relative-frequency ratio of its BUCKETS, not its raw
+    tokens. This composes the r6 halves VERDICT r6 item 4 names:
+    text_feature_hashing's bucket primitive (operators/features.py)
+    with corpus_dsir_weights_smoothed's add-one ratio — smoothing is
+    mandatory here because the bucket DOMAIN is fixed (V =
+    DSIR_HASH_BUCKETS, known a priori — the hashing advantage: no
+    vocab pass to discover V) and collisions mean every occupied
+    bucket mixes tokens, so zeroing absent buckets would be both
+    wrong and unnecessary.
+
+        ratio_ppm(b) = ((c_t(b)+1) · (R+V) · 1e6)
+                       div ((c_r(b)+1) · (T+V))
+
+    100 TB posture: this is the DSIR variant that scales —
+    vocabulary-FREE (the counts table is exactly V rows regardless of
+    corpus size, broadcastable at any deployment dial), collision-
+    robust (hash collisions only blur the importance estimate, never
+    break it — the paper's argument), and one corpus explode+hash
+    feeding two skinny hash-aggs. The divide is widened through
+    DECIMAL(38,0)/HUGEINT exactly like the unigram variant (counts
+    reach ~1e13 at 100 TB, the triple product ~1e32). T+V > 0 always
+    (V is a positive constant), so no zero-divide CASE is needed even
+    on an empty target slice. Docs with < 2 tokens anchor through the
+    left join with n_bigrams = 0 and a NULL weight."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nb = DSIR_HASH_BUCKETS
+    # one corpus explode+hash, barriered — consumed by the bucket
+    # counts AND the per-doc scoring join
+    bk = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(ngrams(tokenize("text"), 2)).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
+                f" % {nb}"
+            ).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        bk.groupBy("bucket")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("r_total"), F.sum("c_t").alias("t_total")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            "CAST(((CAST(c_t AS DECIMAL(38,0)) + 1)"
+            f" * (r_total + {nb}) * 1000000)"
+            " div ((CAST(c_r AS DECIMAL(38,0)) + 1)"
+            f" * (t_total + {nb})) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    scored = (
+        bk.join(ratios, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                "sum(CAST(ratio_ppm AS DECIMAL(38,0))) div count(*)"
+            ).alias("dsir_weight_ppm"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("dsir_weight_ppm").cast("bigint").alias("dsir_weight_ppm"),
+    )
+
+
+DSIR_HASHED_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+bk AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT)
+               % {DSIR_HASH_BUCKETS} AS bucket
+    FROM grams
+),
+counts AS (
+    SELECT bucket,
+           count(*) AS c_r,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS c_t
+    FROM bk GROUP BY bucket
+),
+totals AS (SELECT sum(c_r) AS r_total, sum(c_t) AS t_total FROM counts),
+ratios AS (
+    SELECT bucket,
+           CAST(((c.c_t::HUGEINT + 1)
+                 * (t.r_total + {DSIR_HASH_BUCKETS}) * 1000000)
+                // ((c.c_r::HUGEINT + 1)
+                    * (t.t_total + {DSIR_HASH_BUCKETS}))
+               AS BIGINT) AS ratio_ppm
+    FROM counts c, totals t
+),
+scored AS (
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           sum(ratio_ppm::HUGEINT) // count(*) AS dsir_weight_ppm
+    FROM bk JOIN ratios USING (bucket)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(s.dsir_weight_ppm AS BIGINT) AS dsir_weight_ppm
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+QUERIES["corpus_dsir_weights_hashed"] = corpus_dsir_weights_hashed
+ORACLE_SQL["corpus_dsir_weights_hashed"] = DSIR_HASHED_SQL

@@ -16,70 +16,75 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r6). Tier A (10 = 4 NEW + 6 MODIFIED): dedup_span_removal
-# (exact-substring removal), text_feature_hashing (hashing-trick
-# vectorizer), ann_recall_report_ivfpq, corpus_dsir_weights_smoothed;
-# plus the behaviorally modified ones — text_search_bm25 (denominator
-# widening), corpus_dsir_weights/_sample (doc-sum widening),
-# corpus_source_divergence (TV ½ factor — VALUES changed),
-# dedup_semantic (registered pin unchanged but the callable moved to
-# the k=16 wrapper) and ann_recall_report (tier parameterization).
-# Tier C: ALL 34 queries whose latest green row is r2 (VERDICT r5
-# item 2 — the windows family, text tf/idf, repetition/winnowing,
-# packing, set-op-era splits, r2 sim/dedup bases). 10 + 34 = 44 ≤ 50,
-# so tier C is complete this round (≥30 floor met) and the remaining
-# ~6 driver slots fall to the oldest r3-era rows in module order. No
-# composition re-enters (corpus_curate* subtrees unchanged — slot
-# policy rule b). collect() raises if a priority name is not
-# registered.
+# round (r7). Tier A (3): corpus_dsir_weights_hashed (NEW — the
+# hashed-bigram DSIR recipe, VERDICT r6 item 4),
+# dedup_span_removal_incremental (registered in r6 after the block
+# froze — never driver-checked; local checks green at both SFs), and
+# text_feature_hashing (plan modified r7: hash-once projection,
+# values unchanged). Tier C: ALL 36 queries whose latest green row is
+# r3 (VERDICT r6 item 2 — the events batch twins, ml rows-only,
+# multimodal family, json/pivot/map/distinct, quality_constraints,
+# scd2_history, table_stats, TPC-H q2/q11/q12/q15/q20/q21/q22).
+# 3 + 36 = 39 ≤ 50; the remaining 11 slots go to the riskiest-shaped
+# r4-era rows (multi-join TPC-H, dedup component/canonical tiers,
+# as-of/bucketed joins, grouping sets, BPE pair counts, quantile
+# calibration). No composition re-enters (corpus_curate*/
+# sim_ivf_incremental latest green is r5 — slot policy rules b/c say
+# r8). collect() raises if a priority name is not registered.
 _PRIORITY = (
-    # --- tier A: new in r6 ---
-    "dedup_span_removal",
+    # --- tier A: new in r7 / never driver-checked / plan-modified ---
+    "corpus_dsir_weights_hashed",
+    "dedup_span_removal_incremental",
     "text_feature_hashing",
-    "ann_recall_report_ivfpq",
-    "corpus_dsir_weights_smoothed",
-    # --- tier A: behaviorally modified in r6 ---
-    "text_search_bm25",
-    "corpus_dsir_weights",
-    "corpus_dsir_sample",
-    "corpus_source_divergence",
-    "dedup_semantic",
-    "ann_recall_report",
-    # --- tier C: the 34 r2-era rows, riskiest shapes first ---
-    "dedup_components",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_buckets",
-    "dedup_exact",
-    "sim_ivf_topk",
-    "sim_lsh_buckets",
-    "sim_topk_bruteforce",
-    "merge_cdc_snapshot",
-    "events_retention_cohorts",
-    "events_spine_fill",
-    "events_gaps_islands",
-    "corpus_mix_plan",
-    "docs_pack_greedy",
-    "embed_quantize_int8",
-    "sample_hash_documents",
-    "sample_stratified_by_lang",
-    "split_assign_documents",
-    "text_winnow_fingerprints",
-    "text_repetition_scores",
-    "text_fingerprints",
-    "text_tfidf_top",
-    "text_idf",
-    "text_tf",
-    "text_ngram_counts",
-    "text_token_counts",
-    "text_clean_lower",
-    "text_wordpunct_tokens",
-    "window_range_time",
-    "window_moving_avg",
-    "window_first_last",
-    "window_lag_lead",
-    "window_ntile",
-    "window_rank_orders",
-    "window_running_sum",
+    # --- tier C: the 36 r3-era rows, riskiest shapes first ---
+    "sim_neardup_allpairs_exact",
+    "ml_minhash_pairs",
+    "multimodal_content_dedup",
+    "events_multi_rollup",
+    "events_tumbling_1h",
+    "events_sliding_15m_5m",
+    "events_session_30m",
+    "events_dedup_keyed",
+    "events_click_attribution",
+    "scd2_history",
+    "corpus_vocab_growth",
+    "corpus_health_report",
+    "quality_constraints",
+    "table_stats",
+    "json_extract",
+    "agg_pivot",
+    "agg_distinct",
+    "map_functions",
+    "ml_chisq_tokens",
+    "ml_kmeans_clusters",
+    "ml_sentiment_predictions",
+    "ml_crossval_metrics",
+    "ml_crossval_dt_metrics",
+    "ml_chisq_select_vectors",
+    "multimodal_feature_extract",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_fake_decode",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
+    # --- 11 fills: riskiest r4-era rows ---
+    "q9_product_profit",
+    "q8_market_share",
+    "join_asof_purchase_click",
+    "join_bucketed_priority_counts",
+    "agg_grouping_sets",
+    "dedup_components_verified_prefiltered",
+    "dedup_keep_canonical",
+    "dedup_embedding_cosine",
+    "text_search_topk",
+    "corpus_bpe_pair_counts",
+    "corpus_quality_quantiles",
 )
 
 # Ordered so the driver's correctness budget reaches every family:

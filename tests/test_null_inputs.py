@@ -65,6 +65,9 @@ PER_DOC_KEEPERS = [
     "corpus_dsir_weights_smoothed",  # r6: add-one keeps every doc
     "dedup_span_removal",  # r6: null text coalesced to '' (0 tokens)
     "text_bigram_prob_score",
+    # r7: hashed-bucket DSIR anchors the full doc set (null/short text
+    # -> n_bigrams=0, NULL weight)
+    "corpus_dsir_weights_hashed",
     "corpus_ngram_diversity",  # in-row: null text -> zero-count row
 ]
 

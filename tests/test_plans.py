@@ -48,6 +48,9 @@ CARTESIAN_OK = {
     "text_search_bm25",
     "corpus_dsir_weights",
     "corpus_dsir_weights_smoothed",
+    # r7: the hashed variant folds the same (r_total, t_total) 1-row
+    # total into the V-row bucket-ratio table
+    "corpus_dsir_weights_hashed",
     # dsir_sample crossJoins the 1-row (Σw, n) aggregate (broadcast)
     "corpus_dsir_sample",
     # source divergence crossJoins TWO 1-row broadcast constants
@@ -273,6 +276,9 @@ EXCHANGE_BUDGET = {
     "dedup_span_removal": 4,
     # projection + ONE hash-agg (partial/final pair) — no vocab join
     "text_feature_hashing": 2,
+    # r7: hashed-bucket DSIR — same post-barrier shape as the unigram
+    # variant (ratio crossJoin + scoring join + anchor)
+    "corpus_dsir_weights_hashed": 5,
 }
 
 

@@ -442,3 +442,74 @@ def test_source_divergence_matches_python_model(spark):
     assert got == expected
     for _, tv in got.values():
         assert 0 <= tv <= 1_000_000_000
+
+
+def test_dsir_hashed_matches_python_model(spark, docs, docs_lang):
+    """corpus_dsir_weights_hashed == a from-scratch Python model of
+    the hashed-bigram DSIR recipe (Xie et al. 2023): md5-60-bit bucket
+    per adjacent word pair, add-one ratio with V = DSIR_HASH_BUCKETS,
+    integral divides throughout. Also pins the recipe's direction
+    (en docs average a higher weight) and that hashing preserves the
+    smoothing guarantee (every doc with >=2 tokens keeps a strictly
+    positive weight)."""
+    import hashlib
+
+    from projetbigdata_spark.operators.selection import (
+        DSIR_HASH_BUCKETS,
+        DSIR_TARGET_LANG,
+        corpus_dsir_weights_hashed,
+    )
+
+    def bucket(bg):
+        return (
+            int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:15], 16)
+            % DSIR_HASH_BUCKETS
+        )
+
+    c_r: Counter = Counter()
+    c_t: Counter = Counter()
+    doc_buckets = {}
+    for d, t in docs.items():
+        w = _tokens(t)
+        bks = [bucket(f"{a} {b}") for a, b in zip(w, w[1:])]
+        doc_buckets[d] = bks
+        c_r.update(bks)
+        if docs_lang[d] == DSIR_TARGET_LANG:
+            c_t.update(bks)
+    r_total = sum(c_r.values())
+    t_total = sum(c_t.values())
+    v = DSIR_HASH_BUCKETS
+    expected = {}
+    for d, bks in doc_buckets.items():
+        if not bks:
+            expected[d] = (0, None)
+            continue
+        s = sum(
+            ((c_t.get(b, 0) + 1) * (r_total + v) * 1_000_000)
+            // ((c_r[b] + 1) * (t_total + v))
+            for b in bks
+        )
+        expected[d] = (len(bks), s // len(bks))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.dsir_weight_ppm)
+        for r in corpus_dsir_weights_hashed(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+    # smoothing survives hashing: every bigram-bearing doc keeps a
+    # strictly positive weight
+    assert all(wt > 0 for n, wt in got.values() if n > 0)
+
+    # selection direction: target-slice docs average a higher weight
+    en = [
+        wt
+        for d, (n, wt) in expected.items()
+        if docs_lang[d] == "en" and n > 0
+    ]
+    rest = [
+        wt
+        for d, (n, wt) in expected.items()
+        if docs_lang[d] != "en" and n > 0
+    ]
+    assert sum(en) / len(en) > sum(rest) / len(rest)

@@ -93,6 +93,8 @@ QUERIES = [
     "dedup_span_removal",
     "dedup_span_removal_incremental",
     "text_feature_hashing",
+    # r7 additions
+    "corpus_dsir_weights_hashed",
 ]
 
 
