@@ -43,6 +43,9 @@ from projetbigdata_spark.operators.curation import (  # noqa: E402
     CURATE_MAX_TOP_BIGRAM_SHARE,
     CURATE_MIN_TOKENS,
     contamination_ngram_overlap,
+    dedup_span_profile,
+    dedup_span_removal,
+    span_profile_of,
 )
 from projetbigdata_spark.operators.dedup import (  # noqa: E402
     dedup_components_minhash,
@@ -74,9 +77,45 @@ MAX_EVAL_OVERLAP_PPM = CURATE_MAX_EVAL_OVERLAP_PPM  # eval doc dropped
 # if >50% of its 5-grams appear in train (GPT-3-style ceiling)
 
 
-def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def span_clean(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The profile → removal → re-profile loop dedup_span_removal's
+    docstring promises (exact-substring dedup, Lee et al. 2021, run as
+    an auditable pass): PROFILE the corpus's duplicated-span rate
+    (is the pass worth running?), REMOVE every token covered by a
+    10-token window already seen in an earlier document, then
+    RE-PROFILE the rewritten corpus to verify the duplication is gone
+    (n_dup_spans falls to ~0 — not exactly 0 in general, because
+    reassembly makes previously-distant tokens adjacent and can mint
+    new windows; the fixture measures 0). Returns (before_profile,
+    rewritten, after_profile); token accounting is pinned in
+    tests/test_curation_pipeline.py."""
+    before = dedup_span_profile(spark, sf_dir)
+    rewritten = dedup_span_removal(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # consumed by the re-profile AND the caller's accounting
+    after = span_profile_of(
+        rewritten.select("doc_id", F.col("text_deduped").alias("text"))
+    )
+    return before, rewritten, after
+
+
+def curate(
+    spark: SparkSession, sf_dir: str, span_removal: bool = False
+) -> DataFrame:
     """The curated corpus: (doc_id, text, lang, split). Deterministic —
-    same input always yields byte-identical output."""
+    same input always yields byte-identical output.
+
+    span_removal=True inserts the exact-substring pass between the
+    dedup and split stages: surviving documents get their text
+    REWRITTEN (duplicated 10-token windows cut, keep-first at doc
+    granularity) instead of being dropped — the stage that edits
+    documents rather than selecting them. The cut is computed on the
+    FULL corpus (the decontamination superset convention: keep-first
+    against all earlier docs, not just survivors — retuning an
+    upstream gate can never resurrect a duplicated span), and the doc
+    set is unchanged by construction."""
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. quality gate — keep docs long enough and not stopword soup
@@ -123,6 +162,18 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     kept = kept.join(losers, "doc_id", "left_anti")
+
+    # 3b. (opt-in) exact-substring span removal — rewrite survivor
+    # text with cross-doc duplicated windows cut; drops no documents
+    if span_removal:
+        rewritten = dedup_span_removal(spark, sf_dir).select(
+            "doc_id", F.col("text_deduped").alias("text")
+        )
+        kept = (
+            kept.drop("text")
+            .join(rewritten, "doc_id")
+            .select("doc_id", "text", "lang")
+        )
 
     # 4. deterministic split assignment (80/10/10 by md5 bucket —
     # the shared split_col definition, so step 4b can never drift)
@@ -171,6 +222,14 @@ def main() -> None:
     print(f"input docs: {total}")
     for r in summary.orderBy("split").collect():
         print(f"  {r.split}: {r.n} docs in {r.n_packs} packs")
+    before, rewritten, after = span_clean(spark, sf_dir)
+    b = before.agg(F.sum("n_dup_spans").alias("d")).first().d
+    c = rewritten.agg(F.sum("n_cut").alias("c")).first().c
+    a = after.agg(F.sum("n_dup_spans").alias("d")).first().d
+    print(
+        f"span clean: {b} duplicated spans profiled -> {c} tokens cut"
+        f" -> {a} duplicated spans remain"
+    )
     print("mixture plan over survivors:")
     for r in mix_plan_of(written).orderBy("lang").collect():
         print(

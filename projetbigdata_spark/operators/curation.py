@@ -206,23 +206,14 @@ WHERE g.split <> 'train'
 SPAN_K = 10  # token-window width for span-level dedup
 
 
-def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level duplication profile — the granularity between
-    whole-document dedup and n-gram contamination: for every document,
-    how many of its 10-token windows (stride 1) also occur in an
-    EARLIER document (doc_id order = keep-first semantics, matching
-    dedup_exact's keeper rule). The corpus-wide duplicated-span rate
-    is what substring-dedup pipelines (exact-substring dedup on
-    suffix-array clusters) decide to cut; this profile is the audit
-    that tells you whether that pass is worth running.
-
-    Plan: spans hashed in-array to 60-bit keys (8-byte explode/shuffle
-    rows, as in contamination_ngram_overlap); one groupBy(span) for
-    (min_doc, df); the span→stats join arrives already partitioned on
-    the span key; one groupBy(doc); anchor join resurfaces short docs
-    with n_spans=0."""
-    tune(spark)
-    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+def span_profile_of(docs: DataFrame) -> DataFrame:
+    """Frame-level core of dedup_span_profile: the span-duplication
+    profile of ANY (doc_id, text) frame — factored out (r7) so a
+    pipeline can RE-profile a rewritten corpus, closing the
+    profile → removal → re-profile loop dedup_span_removal promises
+    (examples/corpus_curation.py span_clean). Identical plan and
+    output contract to the registered query, which now delegates
+    here."""
     skeys = F.array_distinct(
         F.transform(
             ngrams(tokenize("text"), SPAN_K), lambda g: _gram_key(g)
@@ -256,6 +247,28 @@ def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN coalesce(n_spans, 0) > 0 THEN "
             "(n_dup_spans * CAST(1000000 AS BIGINT)) div n_spans END"
         ).alias("dup_span_ppm"),
+    )
+
+
+def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile — the granularity between
+    whole-document dedup and n-gram contamination: for every document,
+    how many of its 10-token windows (stride 1) also occur in an
+    EARLIER document (doc_id order = keep-first semantics, matching
+    dedup_exact's keeper rule). The corpus-wide duplicated-span rate
+    is what substring-dedup pipelines (exact-substring dedup on
+    suffix-array clusters) decide to cut; this profile is the audit
+    that tells you whether that pass is worth running.
+
+    Plan: spans hashed in-array to 60-bit keys (8-byte explode/shuffle
+    rows, as in contamination_ngram_overlap); one groupBy(span) for
+    (min_doc, df); the span→stats join arrives already partitioned on
+    the span key; one groupBy(doc); anchor join resurfaces short docs
+    with n_spans=0. The dataflow lives in span_profile_of (frame-level
+    core, r7) so a rewritten corpus can be re-profiled."""
+    tune(spark)
+    return span_profile_of(
+        _spread_input(spark, load_table(spark, sf_dir, "documents"))
     )
 
 
