@@ -476,9 +476,15 @@ def corpus_dsir_weights_hashed(
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     nb = DSIR_HASH_BUCKETS
-    # one corpus explode+hash, barriered — consumed by the bucket
-    # counts AND the per-doc scoring join
-    bk = (
+    # ROOT at the per-(doc, bucket) pre-aggregated frame, not the raw
+    # bigram stream: the plan barrier then materializes ≤ |docs|·V
+    # skinny rows instead of |corpus bigrams| (a raw-stream checkpoint
+    # measured 7× wall at the 50× soak; this frame restored the
+    # linear class), and it is the same per-doc-root idiom that keeps
+    # AQE from broadcasting a corpus-sized explode
+    # (text_bigram_prob_score). Consumed by the bucket counts AND the
+    # per-doc scoring join.
+    per_db = (
         docs.select(
             "doc_id",
             "lang",
@@ -492,17 +498,22 @@ def corpus_dsir_weights_hashed(
                 f" % {nb}"
             ).alias("bucket"),
         )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=False)
     )
     counts = (
-        bk.groupBy("bucket")
+        per_db.groupBy("bucket")
         .agg(
-            F.count("*").alias("c_r"),
+            F.sum("n").alias("c_r"),
             F.sum(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+                F.when(
+                    F.col("lang") == DSIR_TARGET_LANG, F.col("n")
+                ).otherwise(0)
             ).alias("c_t"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # V rows; consumed by totals
+        # AND ratios — don't re-run the bucket agg per consumer
     )
     totals = counts.agg(
         F.sum("c_r").alias("r_total"), F.sum("c_t").alias("t_total")
@@ -517,12 +528,12 @@ def corpus_dsir_weights_hashed(
         ).alias("ratio_ppm"),
     )
     scored = (
-        bk.join(ratios, "bucket")
+        per_db.join(ratios, "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
             F.expr(
-                "sum(CAST(ratio_ppm AS DECIMAL(38,0))) div count(*)"
+                "sum(n * CAST(ratio_ppm AS DECIMAL(38,0))) div sum(n)"
             ).alias("dsir_weight_ppm"),
         )
     )
