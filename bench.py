@@ -59,6 +59,8 @@ EXTENDED = [
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "dedup_semantic",
+    # r7 heavy hitter (bigram-family floor, ~5s at sf0.1)
+    "corpus_dsir_weights_hashed",
 ]
 
 

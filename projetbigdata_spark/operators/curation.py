@@ -1442,6 +1442,130 @@ GROUP BY p.source
 """
 
 
+def dedup_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level TRAIN decontamination — the surgical variant of
+    eval-leak handling: instead of DROPPING a contaminated train doc
+    (or, as contamination_ngram_overlap/dedup_contamination do,
+    flagging EVAL docs), cut from every TRAIN document exactly the
+    SPAN_K-token windows that also occur in ANY val/test document, and
+    keep the rewritten doc. This is how production pipelines remove
+    benchmark leakage without shrinking the training set (the
+    eval-side twin of dedup_span_removal's keep-first rule; same
+    machinery as the _incremental probe with the eval slice as the
+    frozen index). The split is the shared deterministic md5 split
+    (operators/sampling.split_col), so the cut can never drift from
+    the assigned eval sets.
+
+    Output: (doc_id, n_tokens, n_cut, text_decontaminated) for every
+    TRAIN doc (anchored on the train slice — an uncontaminated or
+    <SPAN_K-token doc surfaces uncut). Eval docs are not rewritten
+    (benchmarks are immutable by definition).
+
+    Plan/scale posture: identical to dedup_span_removal_incremental —
+    ONE corpus tokenize behind a plan barrier, 60-bit hashed span
+    keys, the probe is |train spans| semi-joined against the DISTINCT
+    eval-span index (|eval| << |train| at deployment: the index side
+    is the small one), dup positions fold to ONE int-array row per
+    affected doc, the cut is an in-row higher-order filter, and wide
+    text rows never transit the span join."""
+    tune(spark)
+    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        _split_col().alias("split"),
+        tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
+    ).localCheckpoint(eager=False)
+    spans = toks.select(
+        "doc_id",
+        "split",
+        F.posexplode(
+            F.transform(ngrams(F.col("w"), SPAN_K), lambda g: _gram_key(g))
+        ).alias("i0", "k"),
+    )
+    eval_keys = (
+        spans.where(F.col("split") != "train").select("k").distinct()
+    )
+    dup_starts = (
+        spans.where(F.col("split") == "train")
+        .join(eval_keys, "k", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.col("i0") + 1).alias("starts"))
+    )
+    base = (
+        toks.where(F.col("split") == "train")
+        .join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "w",
+            F.coalesce("starts", F.array().cast("array<int>")).alias(
+                "starts"
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda t, i: ~F.exists(
+            F.col("starts"),
+            lambda s: (s <= i + 1) & (i + 1 < s + F.lit(SPAN_K)),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_cut"),
+        F.array_join(kept, " ").alias("text_decontaminated"),
+    )
+
+
+SPAN_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                ELSE 'eval' END AS split,
+           list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               t -> t <> '') AS w
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, split, i,
+           CAST('0x' || substr(md5(
+                array_to_string(w[i:i+{SPAN_K - 1}], ' ')), 1, 15)
+                AS BIGINT) AS k
+    FROM toks, LATERAL unnest(generate_series(1, len(w) - {SPAN_K - 1}))
+         AS u(i)
+    WHERE len(w) >= {SPAN_K}
+),
+eval_keys AS (
+    SELECT DISTINCT k FROM spans WHERE split <> 'train'
+),
+dupstarts AS (
+    SELECT s.doc_id, list(s.i) AS starts
+    FROM spans s SEMI JOIN eval_keys e ON s.k = e.k
+    WHERE s.split = 'train'
+    GROUP BY s.doc_id
+),
+base AS (
+    SELECT t.doc_id, t.w, coalesce(d.starts, []) AS starts
+    FROM toks t LEFT JOIN dupstarts d USING (doc_id)
+    WHERE t.split = 'train'
+),
+kept AS (
+    SELECT doc_id, len(w) AS n_tokens,
+           [w[p] FOR p IN generate_series(1, len(w))
+            IF len(list_filter(starts,
+                   s -> s <= p AND p < s + {SPAN_K})) = 0] AS kw
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kw) AS BIGINT) AS n_cut,
+       coalesce(array_to_string(kw, ' '), '') AS text_decontaminated
+FROM kept
+"""
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_curate_calibrated": corpus_curate_calibrated,
@@ -1454,6 +1578,7 @@ QUERIES = {
     "dedup_span_profile": dedup_span_profile,
     "dedup_span_removal": dedup_span_removal,
     "dedup_span_removal_incremental": dedup_span_removal_incremental,
+    "dedup_span_decontaminate": dedup_span_decontaminate,
     "dedup_keep_canonical": dedup_keep_canonical,
     "text_redact_pii": text_redact_pii,
 }
@@ -1470,6 +1595,7 @@ ORACLE_SQL = {
     "dedup_span_profile": SPAN_PROFILE_SQL,
     "dedup_span_removal": SPAN_REMOVAL_SQL,
     "dedup_span_removal_incremental": SPAN_REMOVAL_INCR_SQL,
+    "dedup_span_decontaminate": SPAN_DECONTAMINATE_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),
     "text_redact_pii": REDACT_SQL,
 }

@@ -162,3 +162,129 @@ ORACLE_SQL = {
     "split_assign_documents": SPLIT_SQL,
     "sample_stratified_by_lang": STRATIFIED_SQL,
 }
+
+
+TOKEN_BUDGET = 2000  # per-language token budget (fixture dial: the
+# sf0.01 languages hold ~2.9k-10.2k tokens each, so the fill selects a
+# strict subset per lang AND exercises the under-budget edge at other
+# scales); a deployment passes its real budget (e.g. 1e9 tokens/lang)
+BUDGET_BUCKETS = 1_000_000  # the selection grid: overshoot is bounded
+# by one bucket's token mass, and the per-lang threshold scan is
+# bounded by this many rows REGARDLESS of corpus size
+
+
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language TOKEN-BUDGET fill — "give me
+    TOKEN_BUDGET tokens of each language, reproducibly": every doc
+    hashes to a salted md5 bucket on the 1e6 grid, and a language
+    selects all docs whose bucket is at or below the smallest
+    threshold bucket T_lang where the cumulative bucket token mass
+    first reaches the budget (whole threshold bucket included —
+    overshoot is bounded by one bucket's mass and auditable from the
+    output). A language whose total mass is under budget keeps
+    everything. Output is the full-corpus audit frame (doc_id, lang,
+    n_tokens, bucket, selected).
+
+    This is the budget-fill problem solved WITHOUT a global per-doc
+    sort/cumsum (the naive recipe: rank docs per lang, running-sum
+    n_tokens, cut at the budget — a corpus-sized skewed sort at
+    100 TB): the cumulative sum runs over the per-(lang, bucket)
+    HISTOGRAM, ≤ BUDGET_BUCKETS rows per language at ANY corpus size,
+    so the window stage is O(langs · grid) while the corpus passes
+    are one tokenize projection and one hash-agg. The same
+    histogram-threshold trick corpus_quality_quantiles uses for
+    percentiles, pointed at budget fill. Hash buckets, not rand():
+    re-runs and engine changes never flip a verdict; appends shift
+    T_lang only downward (more mass per bucket), which is the
+    documented budget-fill semantic (the budget stays filled; the
+    selection is a prefix of the hash order, so a frozen snapshot's
+    selection is reproducible from its own data alone).
+
+    Null/absent lang is normalized to '' on both engines (partition
+    keys must never silently drop rows); null text scores 0 tokens
+    and still receives a verdict."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from projetbigdata_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('budget',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {BUDGET_BUCKETS}"
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)  # consumed by the histogram AND
+    # the verdict projection — one tokenize pass, not two
+    per_lb = per_doc.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("t")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    thresh = (
+        per_lb.withColumn("cum", F.sum("t").over(w))
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= TOKEN_BUDGET, F.col("bucket"))
+            ).alias("t_bucket")
+        )
+    )
+    return per_doc.join(F.broadcast(thresh), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "bucket",
+        (
+            F.col("bucket")
+            <= F.coalesce(F.col("t_bucket"), F.lit(BUDGET_BUCKETS))
+        ).alias("selected"),
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH per_doc AS (
+    SELECT doc_id,
+           coalesce(lang, '') AS lang,
+           CAST(len(list_filter(
+                string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5('budget' || CAST(doc_id AS VARCHAR)),
+                               1, 8) AS BIGINT)
+               % {BUDGET_BUCKETS} AS bucket
+    FROM documents
+),
+per_lb AS (
+    SELECT lang, bucket, sum(n_tokens) AS t
+    FROM per_doc GROUP BY lang, bucket
+),
+cum AS (
+    SELECT lang, bucket,
+           sum(t) OVER (PARTITION BY lang ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+    FROM per_lb
+),
+thresh AS (
+    SELECT lang,
+           min(CASE WHEN cum >= {TOKEN_BUDGET} THEN bucket END) AS t_bucket
+    FROM cum GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.n_tokens,
+       CAST(p.bucket AS BIGINT) AS bucket,
+       p.bucket <= coalesce(t.t_bucket, {BUDGET_BUCKETS}) AS selected
+FROM per_doc p JOIN thresh t USING (lang)
+"""
+
+
+QUERIES["corpus_token_budget_sample"] = corpus_token_budget_sample
+ORACLE_SQL["corpus_token_budget_sample"] = TOKEN_BUDGET_SQL

@@ -290,3 +290,62 @@ def test_span_removal_incremental_semantics(spark, tmp_path):
     assert got[4] == (10, 0, v10)
     # sub-window doc anchors through, uncut
     assert got[5] == (4, 0, "too short to window")
+
+
+def test_span_decontaminate_matches_python_model(spark):
+    """dedup_span_decontaminate == the naive Python model (real window
+    tuples, real md5 split — certifying both the 60-bit hashing and
+    the shared split expression), plus the defining property: after
+    the cut, NO surviving train window coincides with an eval window
+    on this fixture (reassembly can in general mint new windows; the
+    fixture measures zero), and eval docs are never emitted."""
+    import hashlib
+
+    from projetbigdata_spark.operators.curation import (
+        SPAN_K,
+        dedup_span_decontaminate,
+    )
+
+    rows = {
+        r.doc_id: (r.text or "")
+        for r in spark.read.parquet(
+            f"{SF_CHECK}/documents.parquet"
+        ).collect()
+    }
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 80 else "eval"
+
+    eval_windows = set()
+    for d, t in rows.items():
+        if split_of(d) != "train":
+            w = t.lower().split()
+            for i in range(len(w) - SPAN_K + 1):
+                eval_windows.add(tuple(w[i : i + SPAN_K]))
+    expected = {}
+    for d, t in rows.items():
+        if split_of(d) != "train":
+            continue
+        w = t.lower().split()
+        cut = set()
+        for i in range(len(w) - SPAN_K + 1):
+            if tuple(w[i : i + SPAN_K]) in eval_windows:
+                cut.update(range(i, i + SPAN_K))
+        kept = [t for p, t in enumerate(w) if p not in cut]
+        expected[d] = (len(w), len(w) - len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_cut, r.text_decontaminated)
+        for r in dedup_span_decontaminate(spark, SF_CHECK).collect()
+    }
+    assert got == expected  # train-slice anchor + exact accounting
+    assert all(split_of(d) == "train" for d in got)
+    # the fixture must exercise the cut (it holds cross-split dups)
+    assert sum(c for _, c, _ in got.values()) > 0
+
+    # defining property: the rewritten train corpus leaks no eval span
+    for d, (_, _, txt) in got.items():
+        w = txt.split()
+        for i in range(len(w) - SPAN_K + 1):
+            assert tuple(w[i : i + SPAN_K]) not in eval_windows, d

@@ -68,6 +68,9 @@ PER_DOC_KEEPERS = [
     # r7: hashed-bucket DSIR anchors the full doc set (null/short text
     # -> n_bigrams=0, NULL weight)
     "corpus_dsir_weights_hashed",
+    # r7: budget fill anchors the full doc set (null text -> 0 tokens,
+    # still bucketed and verdict-ed)
+    "corpus_token_budget_sample",
     "corpus_ngram_diversity",  # in-row: null text -> zero-count row
 ]
 
@@ -110,6 +113,8 @@ MISC_R5 = [
     "corpus_source_divergence",  # null-text docs add no token mass
     # r6: anchors on the src0 slice only (null src0 text -> 0 tokens)
     "dedup_span_removal_incremental",
+    # r7: anchors on the train slice only (null train text -> 0 tokens)
+    "dedup_span_decontaminate",
 ]
 
 

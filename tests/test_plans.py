@@ -279,6 +279,13 @@ EXCHANGE_BUDGET = {
     # r7: hashed-bucket DSIR — same post-barrier shape as the unigram
     # variant (ratio crossJoin + scoring join + anchor)
     "corpus_dsir_weights_hashed": 5,
+    # r7: budget fill — histogram agg + per-lang window + threshold
+    # agg; the verdict join is a broadcast of the |langs|-row frame
+    "corpus_token_budget_sample": 3,
+    # r7: eval-span decontamination — same post-barrier shape as the
+    # incremental span twin (distinct eval index + semi probe + fold
+    # + anchor)
+    "dedup_span_decontaminate": 4,
 }
 
 

@@ -513,3 +513,75 @@ def test_dsir_hashed_matches_python_model(spark, docs, docs_lang):
         if docs_lang[d] != "en" and n > 0
     ]
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_token_budget_sample_matches_python_model(spark, docs, docs_lang):
+    """corpus_token_budget_sample == a from-scratch Python model of
+    the histogram-threshold budget fill, plus the fill contract:
+    (a) every language's selected token mass reaches min(budget,
+    language total); (b) the threshold is MINIMAL — dropping the
+    threshold bucket would leave the fill under budget; (c) the frame
+    anchors every document."""
+    import hashlib
+
+    from projetbigdata_spark.operators.sampling import (
+        BUDGET_BUCKETS,
+        TOKEN_BUDGET,
+        corpus_token_budget_sample,
+    )
+
+    def bucket(doc_id):
+        return (
+            int(
+                hashlib.md5(f"budget{doc_id}".encode()).hexdigest()[:8], 16
+            )
+            % BUDGET_BUCKETS
+        )
+
+    per_doc = {
+        d: (docs_lang[d] or "", len(_tokens(t)), bucket(d))
+        for d, t in docs.items()
+    }
+    hist: defaultdict = defaultdict(Counter)
+    for lang, n, b in per_doc.values():
+        hist[lang][b] += n
+    t_bucket = {}
+    for lang, cnt in hist.items():
+        cum = 0
+        t_bucket[lang] = None
+        for b in sorted(cnt):
+            cum += cnt[b]
+            if cum >= TOKEN_BUDGET:
+                t_bucket[lang] = b
+                break
+    expected = {
+        d: (lang, n, b, b <= (t_bucket[lang] if t_bucket[lang] is not None
+                              else BUDGET_BUCKETS))
+        for d, (lang, n, b) in per_doc.items()
+    }
+
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.bucket, r.selected)
+        for r in corpus_token_budget_sample(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert len(got) == len(docs)  # full-corpus anchor
+
+    # fill contract per language
+    totals: Counter = Counter()
+    filled: Counter = Counter()
+    for lang, n, b, sel in got.values():
+        totals[lang] += n
+        if sel:
+            filled[lang] += n
+    for lang in totals:
+        assert filled[lang] >= min(TOKEN_BUDGET, totals[lang]), lang
+        # minimality: the fill minus the threshold bucket's mass is
+        # under budget (when a threshold exists)
+        if t_bucket[lang] is not None:
+            assert (
+                filled[lang] - hist[lang][t_bucket[lang]] < TOKEN_BUDGET
+            ), lang
+    # the fixture must exercise BOTH outcomes
+    sels = [sel for (_, _, _, sel) in got.values()]
+    assert any(sels) and not all(sels)

@@ -95,6 +95,8 @@ QUERIES = [
     "text_feature_hashing",
     # r7 additions
     "corpus_dsir_weights_hashed",
+    "corpus_token_budget_sample",
+    "dedup_span_decontaminate",
 ]
 
 
