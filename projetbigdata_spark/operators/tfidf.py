@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projetbigdata_spark.functions.text import tokenize
+from projetbigdata_spark.functions.text import ngrams, tokenize
 from projetbigdata_spark.session import tune
 from projetbigdata_spark.sources.catalog import load_documents_parallel, load_table
 
@@ -416,7 +416,71 @@ LIMIT {BM25_TOP_N}
 """
 
 
+PHRASE_TERMS = ("hash", "join")  # static so the oracle is static; a
+# search API parameterizes the phrase
+PHRASE_TOP_N = 20
+
+
+def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-PHRASE search — the positional-retrieval query the
+    conjunctive (text_search_topk) and ranked (text_search_bm25)
+    tiers can't express: documents where the query terms appear
+    ADJACENT and in order ("hash join", not hash…join), ranked by
+    occurrence count with doc_id tiebreak, top-20.
+
+    Spark-first plan: phrase adjacency is a WITHIN-document property,
+    so on a scan-side engine it needs no positional-index self-join at
+    all — the match count is an in-row fold (count of bigrams equal to
+    the phrase over the same ngrams() kernel NGram/T4 uses), one scan,
+    zero joins, TakeOrderedAndProject for the top-k. The classic
+    IR spelling (positional postings joined on doc_id with pos+1 —
+    what Lucene does against a PREBUILT index) only wins when the
+    index is amortized across many queries; for an in-pipeline audit
+    query the corpus scan is already the floor, and this plan adds
+    nothing to it. Deterministic tiebreak (score desc, doc_id asc)
+    keeps the LIMIT boundary engine-exact."""
+    tune(spark)
+    docs = load_documents_parallel(spark, sf_dir)
+    phrase = " ".join(PHRASE_TERMS)
+    grams = ngrams(tokenize(F.coalesce(F.col("text"), F.lit(""))), 2)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(grams, lambda g: g == F.lit(phrase)))
+            .cast("bigint")
+            .alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(PHRASE_TOP_N)
+    )
+
+
+PHRASE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               t -> t <> '') AS w
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len([i FOR i IN generate_series(1, len(w) - 1)
+                IF w[i] = '{PHRASE_TERMS[0]}'
+                AND w[i + 1] = '{PHRASE_TERMS[1]}']) AS n_matches
+    FROM toks
+)
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+FROM m
+WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id
+LIMIT {PHRASE_TOP_N}
+"""
+
+
 QUERIES = {
+    "text_search_phrase": text_search_phrase,
     "text_tf": text_tf,
     "text_idf": text_idf,
     "text_tfidf_top": text_tfidf_top,
@@ -426,6 +490,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "text_search_phrase": PHRASE_SQL,
     "text_tf": TF_SQL,
     "text_idf": IDF_SQL,
     "text_tfidf_top": TFIDF_SQL,

@@ -108,6 +108,7 @@ MISC_R4 = [
 
 MISC_R5 = [
     "text_search_bm25",          # null tokens never match the terms
+    "text_search_phrase",        # r7: null text holds no bigrams
     "dedup_containment_pairs",   # null-text docs emit no shingles
     "corpus_bpe_fertility",      # null-text docs count 0 words per lang
     "corpus_source_divergence",  # null-text docs add no token mass

@@ -286,6 +286,9 @@ EXCHANGE_BUDGET = {
     # incremental span twin (distinct eval index + semi probe + fold
     # + anchor)
     "dedup_span_decontaminate": 4,
+    # r7: phrase search — in-row bigram fold + TakeOrderedAndProject
+    # (the one exchange is the top-k gather)
+    "text_search_phrase": 1,
 }
 
 

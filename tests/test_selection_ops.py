@@ -585,3 +585,47 @@ def test_token_budget_sample_matches_python_model(spark, docs, docs_lang):
     # the fixture must exercise BOTH outcomes
     sels = [sel for (_, _, _, sel) in got.values()]
     assert any(sels) and not all(sels)
+
+
+def test_phrase_search_matches_python_model(spark, docs):
+    """text_search_phrase == the naive Python phrase counter with the
+    same (count desc, doc_id asc) top-20 boundary, and every reported
+    doc really contains the phrase as ADJACENT tokens in order."""
+    from projetbigdata_spark.operators.tfidf import (
+        PHRASE_TERMS,
+        PHRASE_TOP_N,
+        text_search_phrase,
+    )
+
+    counts = {}
+    for d, t in docs.items():
+        w = _tokens(t)
+        n = sum(
+            1
+            for i in range(len(w) - 1)
+            if (w[i], w[i + 1]) == PHRASE_TERMS
+        )
+        if n > 0:
+            counts[d] = n
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :PHRASE_TOP_N
+    ]
+
+    got = [
+        (r.doc_id, r.n_matches)
+        for r in text_search_phrase(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    assert 0 < len(got) <= PHRASE_TOP_N
+    # adjacency, not mere co-occurrence: a doc containing both terms
+    # NON-adjacent only must not appear (construct the check from the
+    # fixture: any doc with both terms but zero phrase count)
+    non_adjacent = [
+        d
+        for d, t in docs.items()
+        if d not in counts
+        and set(PHRASE_TERMS) <= set(_tokens(t))
+    ]
+    assert non_adjacent, "fixture should hold non-adjacent co-occurrence"
+    got_ids = {d for d, _ in got}
+    assert not (got_ids & set(non_adjacent))

@@ -97,6 +97,7 @@ QUERIES = [
     "corpus_dsir_weights_hashed",
     "corpus_token_budget_sample",
     "dedup_span_decontaminate",
+    "text_search_phrase",
 ]
 
 
