@@ -1792,8 +1792,251 @@ def _dedup_semantic_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_semantic(spark, sf_dir, k=K_CENTROIDS)
 
 
+MMR_SHORTLIST = 10  # relevance candidates per query fed to MMR
+MMR_SELECT = 5      # diversified picks returned per query
+# λ = 1/2: argmax λ·rel − (1−λ)·maxsim ≡ argmax (rel − maxsim), so the
+# dial folds into a single integer subtraction
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR — Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998, the reranker RAG/retrieval stacks bolt onto a
+    similarity index): from each query's exact top-MMR_SHORTLIST
+    cosine candidates, iteratively select MMR_SELECT results, each
+    step picking the candidate maximizing
+    relevance − max-similarity-to-already-selected (λ=1/2) — near-dup
+    candidates cannibalize each other's marginal score, so the final
+    list covers the neighborhood instead of returning five copies of
+    the same cluster. The dedup ladder applied at QUERY time.
+
+    Exactness: cosines round to the shared 6dp grid (cross-engine
+    exact, the sim_topk_bruteforce contract) then land as INTEGER
+    micros via floor(x·1e6 + 0.5); every argmax is integer-scored
+    with a neighbor_id tiebreak, so the greedy trajectory is
+    engine-deterministic. Output: (query_id, rank 1..MMR_SELECT,
+    neighbor_id, rel_micros).
+
+    Plan/scale posture: the corpus pays ONE brute-force scoring pass
+    (the shortlist tier — swap in IVF/PQ for the candidate source at
+    deployment; MMR itself never touches the corpus again). The MMR
+    state is |queries|·shortlist candidates and |queries|·shortlist²
+    pair sims — BROADCAST-SIZED at any corpus scale because both are
+    per-query constants — and each of the MMR_SELECT-1 greedy steps
+    is one join + one window over that frame, localCheckpoint-pinned
+    (the BPE iterative-trainer idiom). A query short of candidates
+    just stops early (ranks are a prefix)."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)"
+            ).alias("rel_u"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") <= MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", "rel_u")
+        .localCheckpoint(eager=False)
+    )
+    cv = cand.join(
+        emb.select("vec_id", "e", "norm"),
+        cand.neighbor_id == F.col("vec_id"),
+    ).select("query_id", "neighbor_id", "rel_u", "e", "norm")
+    a = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        F.col("e").alias("ae"),
+        F.col("norm").alias("anorm"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("b"),
+        F.col("e").alias("be"),
+        F.col("norm").alias("bnorm"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.expr(
+                "CAST(floor(round("
+                "aggregate(zip_with(ae, be, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / (anorm * bnorm), 6) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("sim_u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    selected = (
+        cand.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("rank"),
+            "neighbor_id",
+            F.col("rel_u").alias("rel_micros"),
+        )
+    )
+    for step in range(2, MMR_SELECT + 1):
+        rem = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        ms = (
+            pairs.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("b")
+                ),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim_u").alias("maxsim_u"))
+        )
+        pick = (
+            rem.join(
+                ms,
+                (rem.query_id == ms.query_id)
+                & (rem.neighbor_id == ms.a),
+            )
+            .select(
+                rem.query_id,
+                "neighbor_id",
+                "rel_u",
+                (F.col("rel_u") - F.col("maxsim_u")).alias("score"),
+            )
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("score").desc(), F.col("neighbor_id")
+                    )
+                ),
+            )
+            .where(F.col("r") == 1)
+            .select(
+                "query_id",
+                F.lit(step).alias("rank"),
+                "neighbor_id",
+                F.col("rel_u").alias("rel_micros"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected
+
+
+def _mmr_sql() -> str:
+    """The MMR oracle: the greedy loop unrolled into one CTE per step
+    (the BPE-trainer oracle idiom) over the same integer-micros
+    scores."""
+    head = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe, norm AS qnorm FROM v
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, v.vec_id AS nid,
+           CAST(floor(round(list_dot_product(qe, e) / (qnorm * norm), 6)
+                      * 1000000 + 0.5) AS BIGINT) AS rel_u
+    FROM v CROSS JOIN q
+    WHERE v.vec_id <> q.query_id
+),
+cand AS (
+    SELECT query_id, nid, rel_u
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rel_u DESC, nid) AS r
+          FROM scored)
+    WHERE r <= {MMR_SHORTLIST}
+),
+cv AS (SELECT c.query_id, c.nid, v.e, v.norm
+       FROM cand c JOIN v ON v.vec_id = c.nid),
+pairs AS (
+    SELECT x.query_id, x.nid AS a, y.nid AS b,
+           CAST(floor(round(list_dot_product(x.e, y.e)
+                            / (x.norm * y.norm), 6)
+                      * 1000000 + 0.5) AS BIGINT) AS sim_u
+    FROM cv x JOIN cv y
+      ON x.query_id = y.query_id AND x.nid <> y.nid
+),
+sel1 AS (
+    SELECT query_id, nid, rel_u, 1 AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rel_u DESC, nid) AS r
+          FROM cand)
+    WHERE r = 1
+)"""
+    steps = []
+    prev_union = "SELECT * FROM sel1"
+    for k in range(2, MMR_SELECT + 1):
+        prev = f"sels{k - 1}"
+        steps.append(f""",
+sels{k - 1} AS ({prev_union})""")
+        steps.append(f""",
+sel{k} AS (
+    SELECT query_id, nid, rel_u, {k} AS rank
+    FROM (
+        SELECT c.query_id, c.nid, c.rel_u,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY c.rel_u - m.maxsim_u DESC, c.nid) AS r
+        FROM cand c
+        JOIN (SELECT p.query_id, p.a, max(p.sim_u) AS maxsim_u
+              FROM pairs p
+              JOIN {prev} s ON p.query_id = s.query_id AND p.b = s.nid
+              GROUP BY p.query_id, p.a) m
+          ON m.query_id = c.query_id AND m.a = c.nid
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.query_id = c.query_id
+                          AND s.nid = c.nid)
+    )
+    WHERE r = 1
+)""")
+        prev_union = f"SELECT * FROM {prev} UNION ALL SELECT * FROM sel{k}"
+    tail = f"""
+SELECT query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+       rel_u AS rel_micros
+FROM ({prev_union})
+"""
+    return head + "".join(steps) + tail
+
+
+MMR_SQL = _mmr_sql()
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_mmr_rerank": sim_mmr_rerank,
     "dedup_semantic": _dedup_semantic_registered,
     "sim_ivf_incremental": sim_ivf_incremental,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
@@ -1810,6 +2053,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
+    "sim_mmr_rerank": MMR_SQL,
     "dedup_semantic": SEMDEDUP_SQL,
     "sim_ivf_incremental": IVF_INCREMENTAL_SQL,
     "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,

@@ -289,6 +289,10 @@ EXCHANGE_BUDGET = {
     # r7: phrase search — in-row bigram fold + TakeOrderedAndProject
     # (the one exchange is the top-k gather)
     "text_search_phrase": 1,
+    # r7: MMR — every greedy step ends in a localCheckpoint, so the
+    # final plan is the union of pinned step frames (a new exchange
+    # here would mean a step leaked past its barrier)
+    "sim_mmr_rerank": 0,
 }
 
 

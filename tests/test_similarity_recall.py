@@ -384,3 +384,82 @@ def test_soak_ivfpq_refine_recall(spark, soak_truth):
     got = _topk_pairs(sim_ivfpq_topk(spark, ANN_SOAK_DIR))
     recall = len(soak_truth & got) / len(soak_truth)
     assert recall >= 0.95, f"soak IVF-PQ recall {recall:.3f}"
+
+
+def test_mmr_rerank_matches_python_model(spark):
+    """sim_mmr_rerank == a from-scratch greedy MMR in Python (same
+    integer-micros scores, same neighbor_id tiebreaks), and the
+    reranker actually diversifies on this fixture: at least one
+    query's MMR selection differs from its pure-relevance top-5, and
+    no query's MMR picks are MORE self-similar than its relevance
+    picks (max pairwise sim can only go down or tie)."""
+    import math
+
+    from projetbigdata_spark.operators.similarity import (
+        MMR_SELECT,
+        MMR_SHORTLIST,
+        N_QUERIES,
+        sim_mmr_rerank,
+    )
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(
+            f"{SF_CHECK}/embeddings.parquet"
+        ).collect()
+    }
+    norm = {i: math.sqrt(sum(x * x for x in v)) for i, v in vecs.items()}
+
+    def micros(a, b):
+        c = sum(x * y for x, y in zip(vecs[a], vecs[b])) / (
+            norm[a] * norm[b]
+        )
+        return math.floor(c * 1_000_000 + 0.5)
+
+    expected = {}
+    rel_top5 = {}
+    for qid in range(N_QUERIES):
+        rel = {n: micros(qid, n) for n in vecs if n != qid}
+        shortlist = sorted(rel, key=lambda n: (-rel[n], n))[:MMR_SHORTLIST]
+        rel_top5[qid] = set(
+            sorted(rel, key=lambda n: (-rel[n], n))[:MMR_SELECT]
+        )
+        sel = [min(shortlist, key=lambda n: (-rel[n], n))]
+        while len(sel) < MMR_SELECT:
+            remaining = [n for n in shortlist if n not in sel]
+            if not remaining:
+                break
+            sel.append(
+                min(
+                    remaining,
+                    key=lambda n: (
+                        -(rel[n] - max(micros(n, s) for s in sel)),
+                        n,
+                    ),
+                )
+            )
+        expected.update(
+            {(qid, i + 1): (n, rel[n]) for i, n in enumerate(sel)}
+        )
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.rel_micros)
+        for r in sim_mmr_rerank(spark, SF_CHECK).collect()
+    }
+    assert got == expected
+
+    # diversification is real on this fixture
+    mmr_sets = {
+        qid: {n for (q, _), (n, _) in expected.items() if q == qid}
+        for qid in range(N_QUERIES)
+    }
+    assert any(mmr_sets[q] != rel_top5[q] for q in range(N_QUERIES))
+    for q in range(N_QUERIES):
+        def max_pair(ids):
+            ids = sorted(ids)
+            return max(
+                micros(a, b)
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+            )
+        assert max_pair(mmr_sets[q]) <= max_pair(rel_top5[q]), q

@@ -98,6 +98,7 @@ QUERIES = [
     "corpus_token_budget_sample",
     "dedup_span_decontaminate",
     "text_search_phrase",
+    "sim_mmr_rerank",
 ]
 
 
