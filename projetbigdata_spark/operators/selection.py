@@ -594,3 +594,182 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 
 QUERIES["corpus_dsir_weights_hashed"] = corpus_dsir_weights_hashed
 ORACLE_SQL["corpus_dsir_weights_hashed"] = DSIR_HASHED_SQL
+
+
+def corpus_dsir_weights_hashed_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_dsir_weights_hashed's INGEST twin (the dedup_incremental
+    / sim_ivf_incremental / dedup_span_removal_incremental contract
+    applied to selection): score an incoming batch (source = 'src0')
+    against the STANDING corpus's FROZEN bucket profile — the raw and
+    target counts, totals, and therefore every ratio come from old
+    documents only; the new batch contributes nothing to the profile
+    it is scored by. This is how continuous crawl scoring actually
+    deploys: the profile is built once per epoch (it is exactly
+    V = DSIR_HASH_BUCKETS rows — broadcastable forever), and each
+    daily batch pays ONE tokenize+hash pass over ITS OWN rows plus a
+    broadcast join, never a corpus rescan. Re-running a batch yields
+    identical weights (no self-influence: a batch's verdicts don't
+    depend on what else arrived the same day).
+
+    Output: (doc_id, n_bigrams, dsir_weight_ppm) for every NEW doc,
+    anchored on the new slice (< 2-token docs surface with
+    n_bigrams = 0, NULL weight). Buckets the standing corpus never
+    occupied still score: add-one smoothing gives them the
+    (1·(R+V))/(1·(T+V)) floor — the frozen-profile analogue of the
+    unseen-token mass."""
+    tune(spark)
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    nb = DSIR_HASH_BUCKETS
+    per_db = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(ngrams(tokenize("text"), 2)).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
+                f" % {nb}"
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    standing = per_db.where(F.col("source") != INCR_NEW_SOURCE)
+    counts = (
+        standing.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("c_r"),
+            F.sum(
+                F.when(
+                    F.col("lang") == DSIR_TARGET_LANG, F.col("n")
+                ).otherwise(0)
+            ).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("r_total"), F.sum("c_t").alias("t_total")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "r_total",
+        "t_total",
+        F.expr(
+            "CAST(((CAST(c_t AS DECIMAL(38,0)) + 1)"
+            f" * (r_total + {nb}) * 1000000)"
+            " div ((CAST(c_r AS DECIMAL(38,0)) + 1)"
+            f" * (t_total + {nb})) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    new_db = per_db.where(F.col("source") == INCR_NEW_SOURCE)
+    # buckets the standing corpus never saw take the add-one floor:
+    # ((0+1)·(R+V)·1e6) div ((0+1)·(T+V)) — realized via a LEFT join +
+    # a broadcast 1-row totals fold
+    scored = (
+        new_db.join(F.broadcast(ratios), "bucket", "left")
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("r_total").alias("rt"),
+                    F.col("t_total").alias("tt"),
+                )
+            )
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce(
+                "ratio_ppm",
+                F.expr(
+                    f"CAST(((rt + {nb}) * CAST(1000000 AS DECIMAL(38,0)))"
+                    f" div (tt + {nb}) AS BIGINT)"
+                ),
+            ).alias("ratio_ppm"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "sum(n * CAST(ratio_ppm AS DECIMAL(38,0))) div sum(n)"
+            ).alias("dsir_weight_ppm"),
+        )
+    )
+    anchor = docs.where(F.col("source") == INCR_NEW_SOURCE).select("doc_id")
+    return anchor.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("dsir_weight_ppm").cast("bigint").alias("dsir_weight_ppm"),
+    )
+
+
+DSIR_HASHED_INCR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split_regex(lower(coalesce(text, '')),
+                                          '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, lang, source, w[i] || ' ' || w[i + 1] AS bg
+    FROM toks, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+),
+per_db AS (
+    SELECT doc_id, lang, source,
+           CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT)
+               % {DSIR_HASH_BUCKETS} AS bucket,
+           count(*) AS n
+    FROM grams GROUP BY doc_id, lang, source, bucket
+),
+counts AS (
+    SELECT bucket,
+           sum(n) AS c_r,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN n ELSE 0 END)
+               AS c_t
+    FROM per_db WHERE source <> 'src0' GROUP BY bucket
+),
+totals AS (SELECT sum(c_r) AS r_total, sum(c_t) AS t_total FROM counts),
+ratios AS (
+    SELECT bucket,
+           CAST(((c.c_t::HUGEINT + 1)
+                 * (t.r_total + {DSIR_HASH_BUCKETS}) * 1000000)
+                // ((c.c_r::HUGEINT + 1)
+                    * (t.t_total + {DSIR_HASH_BUCKETS}))
+               AS BIGINT) AS ratio_ppm
+    FROM counts c, totals t
+),
+scored AS (
+    SELECT d.doc_id,
+           sum(d.n) AS n_bigrams,
+           sum(d.n * coalesce(r.ratio_ppm,
+                 CAST(((t.r_total + {DSIR_HASH_BUCKETS})::HUGEINT * 1000000)
+                      // (t.t_total + {DSIR_HASH_BUCKETS}) AS BIGINT)
+               )::HUGEINT) // sum(d.n) AS dsir_weight_ppm
+    FROM per_db d
+    LEFT JOIN ratios r USING (bucket)
+    CROSS JOIN totals t
+    WHERE d.source = 'src0'
+    GROUP BY d.doc_id
+)
+SELECT a.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(s.dsir_weight_ppm AS BIGINT) AS dsir_weight_ppm
+FROM (SELECT doc_id FROM documents WHERE source = 'src0') a
+LEFT JOIN scored s ON a.doc_id = s.doc_id
+"""
+
+
+QUERIES["corpus_dsir_weights_hashed_incremental"] = (
+    corpus_dsir_weights_hashed_incremental
+)
+ORACLE_SQL["corpus_dsir_weights_hashed_incremental"] = DSIR_HASHED_INCR_SQL

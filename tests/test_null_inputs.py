@@ -116,6 +116,8 @@ MISC_R5 = [
     "dedup_span_removal_incremental",
     # r7: anchors on the train slice only (null train text -> 0 tokens)
     "dedup_span_decontaminate",
+    # r7: anchors on the src0 slice only (null text -> 0 bigrams)
+    "corpus_dsir_weights_hashed_incremental",
 ]
 
 

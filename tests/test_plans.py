@@ -51,6 +51,9 @@ CARTESIAN_OK = {
     # r7: the hashed variant folds the same (r_total, t_total) 1-row
     # total into the V-row bucket-ratio table
     "corpus_dsir_weights_hashed",
+    # r7: the ingest twin folds the totals twice (ratio table + the
+    # unseen-bucket add-one floor on the probe side)
+    "corpus_dsir_weights_hashed_incremental",
     # dsir_sample crossJoins the 1-row (Σw, n) aggregate (broadcast)
     "corpus_dsir_sample",
     # source divergence crossJoins TWO 1-row broadcast constants
@@ -293,6 +296,9 @@ EXCHANGE_BUDGET = {
     # final plan is the union of pinned step frames (a new exchange
     # here would mean a step leaked past its barrier)
     "sim_mmr_rerank": 0,
+    # r7: ingest DSIR — per-(doc,bucket) barrier + standing counts +
+    # probe-side left join + per-doc agg + new-slice anchor
+    "corpus_dsir_weights_hashed_incremental": 7,
 }
 
 

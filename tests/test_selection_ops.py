@@ -629,3 +629,69 @@ def test_phrase_search_matches_python_model(spark, docs):
     assert non_adjacent, "fixture should hold non-adjacent co-occurrence"
     got_ids = {d for d, _ in got}
     assert not (got_ids & set(non_adjacent))
+
+
+def test_dsir_hashed_incremental_frozen_profile(spark, tmp_path):
+    """Constructed rows pin the ingest contract: (a) only the new
+    batch (source='src0') is emitted, anchored (short docs surface
+    with 0 bigrams); (b) weights come from the STANDING profile only —
+    adding another new doc to the batch changes NO existing verdict
+    (no self-influence); (c) a bigram the standing corpus never saw
+    takes the add-one floor ((R+V)·1e6) div (T+V), not zero."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from projetbigdata_spark.operators.selection import (
+        DSIR_HASH_BUCKETS,
+        corpus_dsir_weights_hashed_incremental,
+    )
+
+    standing = [
+        (100, "alpha beta alpha beta gamma", "en", "srcA", 0),
+        (101, "delta epsilon delta epsilon", "fr", "srcA", 0),
+    ]
+    new1 = [
+        # holds an en-heavy standing bigram ("alpha beta", c_t=c_r=2)
+        # AND an fr-only one ("delta epsilon", c_t=0 < c_r=2), so its
+        # mean ratio cannot collapse to the add-one floor
+        (1, "alpha beta delta epsilon", "en", "src0", 0),
+        (2, "zz yy xx ww", "fr", "src0", 0),  # all-novel bigrams
+        (3, "single", "en", "src0", 0),  # < 2 tokens
+    ]
+
+    def write(rows, d):
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+
+    d1 = str(tmp_path / "one")
+    write(standing + new1, d1)
+    got1 = {
+        r.doc_id: (r.n_bigrams, r.dsir_weight_ppm)
+        for r in corpus_dsir_weights_hashed_incremental(spark, d1).collect()
+    }
+    assert sorted(got1) == [1, 2, 3]  # new slice only, anchored
+    assert got1[3] == (0, None)
+    assert got1[1][0] == 3 and got1[2][0] == 3
+
+    # (c) all-novel doc 2: every bucket takes the identical add-one
+    # floor, so its weight IS the floor
+    r_total = 4 + 3  # standing bigram counts (en doc has 4, fr has 3)
+    t_total = 4
+    v = DSIR_HASH_BUCKETS
+    floor = ((r_total + v) * 1_000_000) // (t_total + v)
+    assert got1[2][1] == floor
+    # doc 1 shares standing bigrams: its weight must differ from the
+    # floor (the profile is actually consulted)
+    assert got1[1][1] != floor
+
+    # (b) no self-influence: a second batch doc changes nothing
+    d2 = str(tmp_path / "two")
+    write(standing + new1 + [(4, "alpha beta alpha beta", "en", "src0", 0)], d2)
+    got2 = {
+        r.doc_id: (r.n_bigrams, r.dsir_weight_ppm)
+        for r in corpus_dsir_weights_hashed_incremental(spark, d2).collect()
+    }
+    for d in (1, 2, 3):
+        assert got2[d] == got1[d], d

@@ -99,6 +99,7 @@ QUERIES = [
     "dedup_span_decontaminate",
     "text_search_phrase",
     "sim_mmr_rerank",
+    "corpus_dsir_weights_hashed_incremental",
 ]
 
 
