@@ -441,12 +441,21 @@ def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the LIMIT boundary engine-exact."""
     tune(spark)
     docs = load_documents_parallel(spark, sf_dir)
-    phrase = " ".join(PHRASE_TERMS)
-    grams = ngrams(tokenize(F.coalesce(F.col("text"), F.lit(""))), 2)
+    # adjacency via zip_with(w, w[1:]) — two scalar equality checks
+    # per position instead of MINTING every bigram string through the
+    # ngrams kernel (concat_ws per window measured ~3× the whole scan:
+    # 3.1s → ~1s at sf0.1); identical semantics, same oracle
+    w = tokenize(F.coalesce(F.col("text"), F.lit("")))
+    matched = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, y: (x == F.lit(PHRASE_TERMS[0]))
+        & (y == F.lit(PHRASE_TERMS[1])),
+    )
     return (
         docs.select(
             "doc_id",
-            F.size(F.filter(grams, lambda g: g == F.lit(phrase)))
+            F.size(F.filter(matched, lambda p: p))
             .cast("bigint")
             .alias("n_matches"),
         )
