@@ -2034,9 +2034,143 @@ FROM ({prev_union})
 MMR_SQL = _mmr_sql()
 
 
+RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
+RRF_DEPTH = 20      # ranks consumed from each list (= both tiers' top-N)
+HYBRID_TOP_N = 10
+HYBRID_QUERY_VEC = 0  # static so the oracle is static; a search API
+# parameterizes the query vector alongside BM25_TERMS
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009 — the fusion every hybrid keyword+vector search stack ships):
+    the BM25 keyword ranking (text_search_bm25, top-20) and the exact
+    cosine ranking for the query embedding (vec_id 0, top-20, the
+    doc_id = vec_id mapping dedup_embedding_cosine established) are
+    fused by rrf = Σ 1e6 div (60 + rank) over the lists a doc appears
+    in — rank fusion needs NO score calibration between the tiers
+    (BM25 millionths vs cosine micros never meet), which is exactly
+    why RRF won: it composes ANY two rankers. Output: top-10 by fused
+    score, with each side's rank (NULL where the doc appeared in only
+    one list) — integer arithmetic end to end.
+
+    Plan/scale posture: each tier keeps its own plan (BM25's exploded
+    hash-aggs + TakeOrderedAndProject; one brute cosine pass — swap
+    in the IVF/PQ tier at deployment); the fusion itself touches 2 ×
+    RRF_DEPTH rows, a full-outer join of two 20-row frames. The
+    row_number windows run AFTER each tier's top-N gather, so no
+    single-partition sort ever sees more than RRF_DEPTH rows."""
+    from pyspark.sql.window import Window
+
+    from projetbigdata_spark.operators.tfidf import (
+        BM25_TOP_N,
+        text_search_bm25,
+    )
+
+    tune(spark)
+    bm = text_search_bm25(spark, sf_dir)  # already top-BM25_TOP_N
+    tr = (
+        bm.withColumn(
+            "r_text",
+            F.row_number().over(
+                Window.orderBy(F.col("score_m").desc(), "doc_id")
+            ),
+        )
+        .where(F.col("r_text") <= RRF_DEPTH)
+        .select("doc_id", "r_text")
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("e").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    vs = (
+        emb.where(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(RRF_DEPTH)
+    )
+    vr = vs.withColumn(
+        "r_vec",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), "vec_id")
+        ),
+    ).select(F.col("vec_id").alias("v_doc"), "r_vec")
+    fused = tr.join(vr, tr.doc_id == vr.v_doc, "full").select(
+        F.coalesce("doc_id", "v_doc").alias("doc_id"),
+        "r_text",
+        "r_vec",
+        (
+            F.coalesce(
+                F.expr(f"CAST(1000000 div ({RRF_K} + r_text) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+            + F.coalesce(
+                F.expr(f"CAST(1000000 div ({RRF_K} + r_vec) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("rrf_micros"),
+    )
+    return fused.orderBy(F.col("rrf_micros").desc(), "doc_id").limit(
+        HYBRID_TOP_N
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from projetbigdata_spark.operators.tfidf import BM25_SQL
+
+    return f"""
+WITH bm AS ({BM25_SQL}),
+tr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_m DESC, doc_id)
+                AS INT) AS r_text
+    FROM bm
+    QUALIFY r_text <= {RRF_DEPTH}
+),
+v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS norm
+    FROM embeddings
+),
+q AS (SELECT e AS qe, norm AS qnorm FROM v
+      WHERE vec_id = {HYBRID_QUERY_VEC}),
+vs AS (
+    SELECT v.vec_id,
+           round(list_dot_product(qe, e) / (qnorm * norm), 6) AS cosine
+    FROM v CROSS JOIN q
+    WHERE v.vec_id <> {HYBRID_QUERY_VEC}
+),
+vr AS (
+    SELECT vec_id AS v_doc,
+           CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                AS INT) AS r_vec
+    FROM vs
+    QUALIFY r_vec <= {RRF_DEPTH}
+)
+SELECT coalesce(t.doc_id, u.v_doc) AS doc_id,
+       t.r_text, u.r_vec,
+       CAST(coalesce(1000000 // ({RRF_K} + t.r_text), 0)
+            + coalesce(1000000 // ({RRF_K} + u.r_vec), 0)
+           AS BIGINT) AS rrf_micros
+FROM tr t FULL JOIN vr u ON t.doc_id = u.v_doc
+ORDER BY rrf_micros DESC, doc_id
+LIMIT {HYBRID_TOP_N}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_mmr_rerank": sim_mmr_rerank,
+    "search_hybrid_rrf": search_hybrid_rrf,
     "dedup_semantic": _dedup_semantic_registered,
     "sim_ivf_incremental": sim_ivf_incremental,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
@@ -2054,6 +2188,7 @@ QUERIES = {
 ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
     "sim_mmr_rerank": MMR_SQL,
+    "search_hybrid_rrf": _hybrid_rrf_sql(),
     "dedup_semantic": SEMDEDUP_SQL,
     "sim_ivf_incremental": IVF_INCREMENTAL_SQL,
     "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,

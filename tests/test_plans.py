@@ -51,6 +51,9 @@ CARTESIAN_OK = {
     # r7: the hashed variant folds the same (r_total, t_total) 1-row
     # total into the V-row bucket-ratio table
     "corpus_dsir_weights_hashed",
+    # r7: hybrid RRF crossJoins the broadcast 1-row query vector (the
+    # sim_topk_bruteforce shape) + BM25's inherited totals folds
+    "search_hybrid_rrf",
     # r7: the ingest twin folds the totals twice (ratio table + the
     # unseen-bucket add-one floor on the probe side)
     "corpus_dsir_weights_hashed_incremental",
@@ -299,6 +302,9 @@ EXCHANGE_BUDGET = {
     # r7: ingest DSIR — per-(doc,bucket) barrier + standing counts +
     # probe-side left join + per-doc agg + new-slice anchor
     "corpus_dsir_weights_hashed_incremental": 7,
+    # r7: hybrid RRF — BM25's 9 post-barrier exchanges + the vector
+    # top-20 gather; the fusion join runs on two 20-row frames
+    "search_hybrid_rrf": 10,
 }
 
 

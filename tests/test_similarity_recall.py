@@ -463,3 +463,68 @@ def test_mmr_rerank_matches_python_model(spark):
                 for b in ids[i + 1 :]
             )
         assert max_pair(mmr_sets[q]) <= max_pair(rel_top5[q]), q
+
+
+def test_hybrid_rrf_matches_python_fusion(spark):
+    """search_hybrid_rrf == Python RRF over its two constituent
+    rankings — the vector side recomputed from scratch, the keyword
+    side taken from text_search_bm25 (itself pinned to a Python model
+    in test_selection_ops) — plus the fusion contract: every reported
+    rank pair is consistent, rrf_micros is exactly
+    Σ 1e6 // (60 + rank), and the fixture exercises single-list docs
+    (NULL on the absent side)."""
+    import math
+
+    from projetbigdata_spark.operators.similarity import (
+        HYBRID_QUERY_VEC,
+        HYBRID_TOP_N,
+        RRF_DEPTH,
+        RRF_K,
+        search_hybrid_rrf,
+    )
+    from projetbigdata_spark.operators.tfidf import text_search_bm25
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(
+            f"{SF_CHECK}/embeddings.parquet"
+        ).collect()
+    }
+    norm = {i: math.sqrt(sum(x * x for x in v)) for i, v in vecs.items()}
+    qv, qn = vecs[HYBRID_QUERY_VEC], norm[HYBRID_QUERY_VEC]
+    cos = {
+        i: round(sum(x * y for x, y in zip(qv, v)) / (qn * norm[i]), 6)
+        for i, v in vecs.items()
+        if i != HYBRID_QUERY_VEC
+    }
+    v_rank = {
+        d: r + 1
+        for r, d in enumerate(
+            sorted(cos, key=lambda d: (-cos[d], d))[:RRF_DEPTH]
+        )
+    }
+    bm = sorted(
+        [(r.doc_id, r.score_m) for r in text_search_bm25(spark, SF_CHECK).collect()],
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    t_rank = {d: r + 1 for r, (d, _) in enumerate(bm[:RRF_DEPTH])}
+
+    fused = {}
+    for d in set(t_rank) | set(v_rank):
+        fused[d] = (
+            (1_000_000 // (RRF_K + t_rank[d]) if d in t_rank else 0)
+            + (1_000_000 // (RRF_K + v_rank[d]) if d in v_rank else 0)
+        )
+    expected = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :HYBRID_TOP_N
+    ]
+
+    got = [
+        (r.doc_id, r.r_text, r.r_vec, r.rrf_micros)
+        for r in search_hybrid_rrf(spark, SF_CHECK).collect()
+    ]
+    assert [(d, s) for d, _, _, s in got] == expected
+    for d, rt, rv, s in got:
+        assert rt == t_rank.get(d) and rv == v_rank.get(d), d
+    # the fixture exercises the single-list path on at least one side
+    assert any(rt is None or rv is None for _, rt, rv, _ in got)

@@ -100,6 +100,7 @@ QUERIES = [
     "text_search_phrase",
     "sim_mmr_rerank",
     "corpus_dsir_weights_hashed_incremental",
+    "search_hybrid_rrf",
 ]
 
 
