@@ -144,6 +144,16 @@ BYTE_BUDGET_MB = {
     # PQ tiers: the subvector/code frames are the volume
     "sim_pq_topk": 3.0,
     "sim_ivfpq_topk": 3.0,
+    # r6/r7: the span family's volume is the 8-byte span-key streams;
+    # hashed DSIR's is the per-(doc,bucket) histogram; hybrid RRF
+    # inherits BM25's tf/dl streams
+    "dedup_span_removal": 7.2,
+    "dedup_span_removal_incremental": 6.0,
+    "text_feature_hashing": 4.0,
+    "corpus_dsir_weights_hashed": 5.1,
+    "corpus_dsir_weights_hashed_incremental": 5.7,
+    "dedup_span_decontaminate": 2.7,
+    "search_hybrid_rrf": 3.9,
 }
 
 
