@@ -2167,10 +2167,98 @@ LIMIT {HYBRID_TOP_N}
 """
 
 
+def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_hybrid_rrf with the vector tier SWAPPED to IVF — the
+    deployment claim made executable: RRF composes ANY two rankers,
+    so the brute cosine pass can hand the vector side to the
+    posting-list-bounded index (sim_ivf_topk, top-5 for the query
+    vector) with no other change. Rank lists of different depths fuse
+    fine — that is RRF's point; the keyword side still contributes
+    ranks 1..20, the IVF side 1..5. The fused set can differ from the
+    brute variant's exactly where IVF's nprobe recall trade bites —
+    comparing the two registered rows IS the ANN-quality telemetry at
+    the fusion level (the ann_recall_report idea, expressed as ranks).
+
+    Plan: BM25's plan + the IVF tier's plan (posting-list probe, no
+    corpus rescan at search time) + a full-outer join of a 20-row and
+    a ≤5-row frame."""
+    from pyspark.sql.window import Window
+
+    from projetbigdata_spark.operators.tfidf import text_search_bm25
+
+    tune(spark)
+    bm = text_search_bm25(spark, sf_dir)
+    tr = (
+        bm.withColumn(
+            "r_text",
+            F.row_number().over(
+                Window.orderBy(F.col("score_m").desc(), "doc_id")
+            ),
+        )
+        .where(F.col("r_text") <= RRF_DEPTH)
+        .select("doc_id", "r_text")
+    )
+    vr = (
+        sim_ivf_topk(spark, sf_dir)
+        .where(F.col("query_id") == HYBRID_QUERY_VEC)
+        .select(
+            F.col("neighbor_id").alias("v_doc"),
+            F.col("rnk").cast("int").alias("r_vec"),
+        )
+    )
+    fused = tr.join(vr, tr.doc_id == vr.v_doc, "full").select(
+        F.coalesce("doc_id", "v_doc").alias("doc_id"),
+        "r_text",
+        "r_vec",
+        (
+            F.coalesce(
+                F.expr(f"CAST(1000000 div ({RRF_K} + r_text) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+            + F.coalesce(
+                F.expr(f"CAST(1000000 div ({RRF_K} + r_vec) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("rrf_micros"),
+    )
+    return fused.orderBy(F.col("rrf_micros").desc(), "doc_id").limit(
+        HYBRID_TOP_N
+    )
+
+
+def _hybrid_rrf_ivf_sql() -> str:
+    from projetbigdata_spark.operators.tfidf import BM25_SQL
+
+    return f"""
+WITH bm AS ({BM25_SQL}),
+tr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_m DESC, doc_id)
+                AS INT) AS r_text
+    FROM bm
+    QUALIFY r_text <= {RRF_DEPTH}
+),
+ivf AS ({IVF_SQL}),
+vr AS (
+    SELECT neighbor_id AS v_doc, CAST(rnk AS INT) AS r_vec
+    FROM ivf WHERE query_id = {HYBRID_QUERY_VEC}
+)
+SELECT coalesce(t.doc_id, u.v_doc) AS doc_id,
+       t.r_text, u.r_vec,
+       CAST(coalesce(1000000 // ({RRF_K} + t.r_text), 0)
+            + coalesce(1000000 // ({RRF_K} + u.r_vec), 0)
+           AS BIGINT) AS rrf_micros
+FROM tr t FULL JOIN vr u ON t.doc_id = u.v_doc
+ORDER BY rrf_micros DESC, doc_id
+LIMIT {HYBRID_TOP_N}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_mmr_rerank": sim_mmr_rerank,
     "search_hybrid_rrf": search_hybrid_rrf,
+    "search_hybrid_rrf_ivf": search_hybrid_rrf_ivf,
     "dedup_semantic": _dedup_semantic_registered,
     "sim_ivf_incremental": sim_ivf_incremental,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
@@ -2189,6 +2277,7 @@ ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
     "sim_mmr_rerank": MMR_SQL,
     "search_hybrid_rrf": _hybrid_rrf_sql(),
+    "search_hybrid_rrf_ivf": _hybrid_rrf_ivf_sql(),
     "dedup_semantic": SEMDEDUP_SQL,
     "sim_ivf_incremental": IVF_INCREMENTAL_SQL,
     "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,

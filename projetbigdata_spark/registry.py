@@ -16,7 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r7). Tier A (9): corpus_dsir_weights_hashed (NEW — the
+# round (r7). Tier A (10): corpus_dsir_weights_hashed (NEW — the
 # hashed-bigram DSIR recipe, VERDICT r6 item 4),
 # corpus_token_budget_sample (NEW — per-lang token-budget fill via the
 # bucket-histogram threshold, no global cumsum),
@@ -24,7 +24,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # text_search_phrase (NEW — exact-phrase retrieval, in-row adjacency),
 # sim_mmr_rerank (NEW — MMR diversified top-k over the brute tier),
 # corpus_dsir_weights_hashed_incremental (NEW — frozen-profile ingest),
-# search_hybrid_rrf (NEW — keyword+vector reciprocal rank fusion),
+# search_hybrid_rrf (NEW — keyword+vector reciprocal rank fusion)
+# + its IVF-tier variant search_hybrid_rrf_ivf,
 # dedup_span_removal_incremental (registered in r6 after the block
 # froze — never driver-checked; local checks green at both SFs), and
 # text_feature_hashing (plan modified r7: hash-once projection,
@@ -32,12 +33,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r3 (VERDICT r6 item 2 — the events batch twins, ml rows-only,
 # multimodal family, json/pivot/map/distinct, quality_constraints,
 # scd2_history, table_stats, TPC-H q2/q11/q12/q15/q20/q21/q22).
-# 9 + 36 = 45 ≤ 50; the remaining slots go to the riskiest-shaped
-# r4-era rows (multi-join TPC-H, dedup component tier, as-of join; the
-# last six fills — dedup_components_verified_prefiltered,
+# 10 + 36 = 46 ≤ 50; the remaining slots go to the riskiest-shaped
+# r4-era rows (multi-join TPC-H, as-of join; the last seven fills —
+# agg_grouping_sets, dedup_components_verified_prefiltered,
 # dedup_keep_canonical, dedup_embedding_cosine, text_search_topk,
 # corpus_bpe_pair_counts, corpus_quality_quantiles — sit at slots
-# 51-56, next-in-line if the driver budget stretches). No composition
+# 51-57, next-in-line if the driver budget stretches). No composition
 # re-enters (corpus_curate*/sim_ivf_incremental latest green is r5 —
 # slot policy rules b/c say r8). collect() raises if a priority name
 # is not registered.
@@ -50,6 +51,7 @@ _PRIORITY = (
     "sim_mmr_rerank",
     "corpus_dsir_weights_hashed_incremental",
     "search_hybrid_rrf",
+    "search_hybrid_rrf_ivf",
     "dedup_span_removal_incremental",
     "text_feature_hashing",
     # --- tier C: the 36 r3-era rows, riskiest shapes first ---

@@ -54,6 +54,7 @@ CARTESIAN_OK = {
     # r7: hybrid RRF crossJoins the broadcast 1-row query vector (the
     # sim_topk_bruteforce shape) + BM25's inherited totals folds
     "search_hybrid_rrf",
+    "search_hybrid_rrf_ivf",
     # r7: the ingest twin folds the totals twice (ratio table + the
     # unseen-bucket add-one floor on the probe side)
     "corpus_dsir_weights_hashed_incremental",
@@ -305,6 +306,9 @@ EXCHANGE_BUDGET = {
     # r7: hybrid RRF — BM25's 9 post-barrier exchanges + the vector
     # top-20 gather; the fusion join runs on two 20-row frames
     "search_hybrid_rrf": 10,
+    # r7: the IVF-tier swap inherits BM25's 9 + the IVF search's
+    # post-barrier exchanges (probe windows + rerank)
+    "search_hybrid_rrf_ivf": 19,
 }
 
 

@@ -528,3 +528,46 @@ def test_hybrid_rrf_matches_python_fusion(spark):
         assert rt == t_rank.get(d) and rv == v_rank.get(d), d
     # the fixture exercises the single-list path on at least one side
     assert any(rt is None or rv is None for _, rt, rv, _ in got)
+
+
+def test_hybrid_rrf_ivf_swaps_vector_tier(spark):
+    """search_hybrid_rrf_ivf == RRF with the vector side handed to
+    sim_ivf_topk: the keyword ranks are identical to the brute
+    variant's, the vector ranks are exactly the IVF tier's rnk for
+    the query vector, and the fused score is exactly
+    Σ 1e6 // (60 + rank) over the sides present."""
+    from projetbigdata_spark.operators.similarity import (
+        HYBRID_QUERY_VEC,
+        HYBRID_TOP_N,
+        RRF_K,
+        search_hybrid_rrf,
+        search_hybrid_rrf_ivf,
+        sim_ivf_topk,
+    )
+
+    got = [
+        (r.doc_id, r.r_text, r.r_vec, r.rrf_micros)
+        for r in search_hybrid_rrf_ivf(spark, SF_CHECK).collect()
+    ]
+    assert 0 < len(got) <= HYBRID_TOP_N
+
+    ivf_rank = {
+        r.neighbor_id: r.rnk
+        for r in sim_ivf_topk(spark, SF_CHECK).collect()
+        if r.query_id == HYBRID_QUERY_VEC
+    }
+    brute_text = {
+        r.doc_id: r.r_text
+        for r in search_hybrid_rrf(spark, SF_CHECK).collect()
+        if r.r_text is not None
+    }
+    for d, rt, rv, s in got:
+        assert rv == ivf_rank.get(d), d
+        if d in brute_text and rt is not None:
+            assert rt == brute_text[d], d
+        expect = (1_000_000 // (RRF_K + rt) if rt is not None else 0) + (
+            1_000_000 // (RRF_K + rv) if rv is not None else 0
+        )
+        assert s == expect, d
+    # the vector side actually contributes (IVF hits present)
+    assert any(rv is not None for _, _, rv, _ in got)

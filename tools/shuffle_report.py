@@ -101,6 +101,7 @@ QUERIES = [
     "sim_mmr_rerank",
     "corpus_dsir_weights_hashed_incremental",
     "search_hybrid_rrf",
+    "search_hybrid_rrf_ivf",
 ]
 
 
