@@ -1862,6 +1862,20 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rel_u")
         .localCheckpoint(eager=False)
     )
+    return _mmr_over(cand, emb, MMR_SELECT)
+
+
+def _mmr_over(cand: DataFrame, emb: DataFrame, select_n: int) -> DataFrame:
+    """The greedy MMR core over ANY candidate frame (query_id,
+    neighbor_id, rel_u) — factored out (r7) so the candidate source
+    is swappable (brute top-k, IVF, PQ); `cand` must already be
+    plan-barriered (it is consumed by the pair sims and every greedy
+    step). emb is the _with_norm embeddings frame for the pair sims."""
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), F.col("neighbor_id")
+    )
     cv = cand.join(
         emb.select("vec_id", "e", "norm"),
         cand.neighbor_id == F.col("vec_id"),
@@ -1904,7 +1918,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rel_u").alias("rel_micros"),
         )
     )
-    for step in range(2, MMR_SELECT + 1):
+    for step in range(2, select_n + 1):
         rem = cand.join(
             selected.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
@@ -1952,10 +1966,27 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected
 
 
-def _mmr_sql() -> str:
+_MMR_BRUTE_CAND_SQL = f"""
+    SELECT query_id, nid, rel_u
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rel_u DESC, nid) AS r
+          FROM (SELECT q.vec_id AS query_id, x.vec_id AS nid,
+                       CAST(floor(round(list_dot_product(q.e, x.e)
+                                        / (q.norm * x.norm), 6)
+                                  * 1000000 + 0.5) AS BIGINT) AS rel_u
+                FROM v x CROSS JOIN v q
+                WHERE q.vec_id < {N_QUERIES}
+                AND x.vec_id <> q.vec_id))
+    WHERE r <= {MMR_SHORTLIST}
+"""
+
+
+def _mmr_sql(cand_sql: str, select_n: int) -> str:
     """The MMR oracle: the greedy loop unrolled into one CTE per step
     (the BPE-trainer oracle idiom) over the same integer-micros
-    scores."""
+    scores, parameterized on the candidate-source CTE body (r7) so
+    the brute and IVF variants share every greedy CTE verbatim. The
+    cand_sql body may reference the outer `v` norms CTE."""
     head = f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -1963,22 +1994,7 @@ WITH v AS (
                AS norm
     FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, e AS qe, norm AS qnorm FROM v
-      WHERE vec_id < {N_QUERIES}),
-scored AS (
-    SELECT q.query_id, v.vec_id AS nid,
-           CAST(floor(round(list_dot_product(qe, e) / (qnorm * norm), 6)
-                      * 1000000 + 0.5) AS BIGINT) AS rel_u
-    FROM v CROSS JOIN q
-    WHERE v.vec_id <> q.query_id
-),
-cand AS (
-    SELECT query_id, nid, rel_u
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY rel_u DESC, nid) AS r
-          FROM scored)
-    WHERE r <= {MMR_SHORTLIST}
-),
+cand AS ({cand_sql}),
 cv AS (SELECT c.query_id, c.nid, v.e, v.norm
        FROM cand c JOIN v ON v.vec_id = c.nid),
 pairs AS (
@@ -1998,7 +2014,7 @@ sel1 AS (
 )"""
     steps = []
     prev_union = "SELECT * FROM sel1"
-    for k in range(2, MMR_SELECT + 1):
+    for k in range(2, select_n + 1):
         prev = f"sels{k - 1}"
         steps.append(f""",
 sels{k - 1} AS ({prev_union})""")
@@ -2031,7 +2047,45 @@ FROM ({prev_union})
     return head + "".join(steps) + tail
 
 
-MMR_SQL = _mmr_sql()
+MMR_SQL = _mmr_sql(_MMR_BRUTE_CAND_SQL, MMR_SELECT)
+
+
+MMR_SELECT_IVF = 3  # the IVF tier shortlists TOP_K=5 per query, so
+# the diversified pick keeps headroom (3 of 5)
+
+
+def sim_mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_mmr_rerank with the candidate source SWAPPED to the IVF
+    tier — the docstring's "swap in IVF/PQ for the candidate source
+    at deployment" made executable and oracle-checked: the greedy
+    core (_mmr_over) is shared verbatim; only the shortlist changes
+    (sim_ivf_topk's posting-list-bounded top-5, so the corpus pays
+    the INDEX probe instead of a brute scoring pass). Selects
+    MMR_SELECT_IVF=3 of each query's 5 IVF candidates. Same output
+    contract: (query_id, rank, neighbor_id, rel_micros)."""
+    tune(spark)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cand = (
+        sim_ivf_topk(spark, sf_dir)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)"
+            ).alias("rel_u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return _mmr_over(cand, emb, MMR_SELECT_IVF)
+
+
+_MMR_IVF_CAND_SQL = f"""
+    SELECT query_id, neighbor_id AS nid,
+           CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_u
+    FROM ({IVF_SQL})
+"""
+
+MMR_IVF_SQL = _mmr_sql(_MMR_IVF_CAND_SQL, MMR_SELECT_IVF)
 
 
 RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
@@ -2257,6 +2311,7 @@ LIMIT {HYBRID_TOP_N}
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_mmr_rerank": sim_mmr_rerank,
+    "sim_mmr_rerank_ivf": sim_mmr_rerank_ivf,
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_hybrid_rrf_ivf": search_hybrid_rrf_ivf,
     "dedup_semantic": _dedup_semantic_registered,
@@ -2276,6 +2331,7 @@ QUERIES = {
 ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
     "sim_mmr_rerank": MMR_SQL,
+    "sim_mmr_rerank_ivf": MMR_IVF_SQL,
     "search_hybrid_rrf": _hybrid_rrf_sql(),
     "search_hybrid_rrf_ivf": _hybrid_rrf_ivf_sql(),
     "dedup_semantic": SEMDEDUP_SQL,

@@ -300,6 +300,7 @@ EXCHANGE_BUDGET = {
     # final plan is the union of pinned step frames (a new exchange
     # here would mean a step leaked past its barrier)
     "sim_mmr_rerank": 0,
+    "sim_mmr_rerank_ivf": 0,  # same barrier discipline, IVF shortlist
     # r7: ingest DSIR — per-(doc,bucket) barrier + standing counts +
     # probe-side left join + per-doc agg + new-slice anchor
     "corpus_dsir_weights_hashed_incremental": 7,

@@ -571,3 +571,41 @@ def test_hybrid_rrf_ivf_swaps_vector_tier(spark):
         assert s == expect, d
     # the vector side actually contributes (IVF hits present)
     assert any(rv is not None for _, _, rv, _ in got)
+
+
+def test_mmr_ivf_variant_contract(spark):
+    """sim_mmr_rerank_ivf: the shared greedy core over the IVF
+    shortlist — every pick must come from the query's IVF top-5 with
+    its exact cosine micros, rank 1 is the IVF shortlist's relevance
+    argmax, and picks per query == min(MMR_SELECT_IVF, |shortlist|)."""
+    import math
+
+    from projetbigdata_spark.operators.similarity import (
+        MMR_SELECT_IVF,
+        sim_ivf_topk,
+        sim_mmr_rerank_ivf,
+    )
+
+    ivf = {}
+    for r in sim_ivf_topk(spark, SF_CHECK).collect():
+        ivf.setdefault(r.query_id, {})[r.neighbor_id] = math.floor(
+            r.cosine * 1_000_000 + 0.5
+        )
+
+    got = {}
+    for r in sim_mmr_rerank_ivf(spark, SF_CHECK).collect():
+        got.setdefault(r.query_id, {})[r.rank] = (
+            r.neighbor_id,
+            r.rel_micros,
+        )
+
+    assert set(got) == set(ivf)
+    for qid, picks in got.items():
+        shortlist = ivf[qid]
+        assert len(picks) == min(MMR_SELECT_IVF, len(shortlist))
+        assert sorted(picks) == list(range(1, len(picks) + 1))
+        for rank, (nid, rel) in picks.items():
+            assert shortlist.get(nid) == rel, (qid, rank)
+        # rank 1 = relevance argmax with id tiebreak
+        best = min(shortlist, key=lambda n: (-shortlist[n], n))
+        assert picks[1][0] == best, qid

@@ -99,6 +99,7 @@ QUERIES = [
     "dedup_span_decontaminate",
     "text_search_phrase",
     "sim_mmr_rerank",
+    "sim_mmr_rerank_ivf",
     "corpus_dsir_weights_hashed_incremental",
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
