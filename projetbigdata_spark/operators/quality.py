@@ -100,3 +100,140 @@ SELECT 'custkey_references_customer', n_rows, n_orphans FROM base, orphans
 
 QUERIES = {"quality_constraints": quality_constraints}
 ORACLE_SQL = {"quality_constraints": QUALITY_SQL}
+
+
+SKEW_QUANTILES = (50, 99)  # percentiles of the per-key row-count
+# distribution reported by join_key_skew_report
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW telemetry — the diagnostic that decides whether a
+    key needs salting / AQE skew-join before a 100 TB run: for the two
+    join keys that matter in this schema (lineitem.l_orderkey, the
+    fact⋈fact sort-merge key; events.user_id, the hot-key aggregation
+    case agg_salted_user_totals exists for), the per-key row-count
+    distribution summarized as one row each — key cardinality, total
+    rows, max rows on one key, p50/p99 per-key counts, and
+    skew_ratio_ppm = (max · n_keys · 1e6) div total (max over mean on
+    the 1e6 grid, exact integers: a ratio near 1e6 is uniform; ≫1e6
+    says one reducer will eat a multiple of the average).
+
+    Scale recipe: percentiles of per-key counts WITHOUT sorting |keys|
+    rows — the COUNT-OF-COUNTS histogram: groupBy(key) (the only
+    corpus-sized shuffle, map-side combined), then groupBy(count)
+    (rows = |distinct count values|, a few hundred at any corpus
+    size), cumsum over that tiny frame, pick the smallest count whose
+    cumulative key mass reaches ceil(q·n_keys) — the
+    corpus_quality_quantiles integer-rank idiom pointed at key
+    frequencies. An un-partitioned window over |keys| rows would be a
+    single-task sort at scale; over |distinct counts| rows it is
+    free."""
+    from pyspark.sql.window import Window
+
+    from projetbigdata_spark.sources.catalog import load_events
+
+    tune(spark)
+    outs = []
+    for label, frame, key in (
+        ("lineitem.l_orderkey", load_table(spark, sf_dir, "lineitem"),
+         "l_orderkey"),
+        ("events.user_id", load_events(spark, sf_dir), "user_id"),
+    ):
+        per_key = frame.groupBy(key).agg(F.count("*").alias("n"))
+        hist = per_key.groupBy("n").agg(F.count("*").alias("k"))
+        w = (
+            Window.orderBy("n")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.withColumn("ck", F.sum("k").over(w)).localCheckpoint(
+            eager=False
+        )  # |distinct counts| rows; consumed per quantile + totals
+        tot = cum.agg(
+            F.sum("k").cast("bigint").alias("n_keys"),
+            F.sum(F.col("n") * F.col("k")).cast("bigint").alias("total_rows"),
+            F.max("n").cast("bigint").alias("max_rows"),
+        )
+        qcols = []
+        for q in SKEW_QUANTILES:
+            qcols.append(
+                F.min(
+                    F.when(
+                        F.col("ck") * 100 >= F.col("n_keys") * q,
+                        F.col("n"),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p{q}_rows")
+            )
+        stats = (
+            cum.crossJoin(F.broadcast(tot))
+            .groupBy("n_keys", "total_rows", "max_rows")
+            .agg(*qcols)
+        )
+        outs.append(
+            stats.select(
+                F.lit(label).alias("join_key"),
+                "n_keys",
+                "total_rows",
+                "max_rows",
+                *[F.col(f"p{q}_rows") for q in SKEW_QUANTILES],
+                F.expr(
+                    "CAST((CAST(max_rows AS DECIMAL(38,0)) * n_keys"
+                    " * 1000000) div total_rows AS BIGINT)"
+                ).alias("skew_ratio_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _skew_sql_for(table_expr: str, key: str, label: str) -> str:
+    qsel = ",\n       ".join(
+        f"""CAST((SELECT min(n) FROM cum_{key}
+             WHERE ck * 100 >= (SELECT n_keys FROM tot_{key}) * {q})
+            AS BIGINT) AS p{q}_rows"""
+        for q in SKEW_QUANTILES
+    )
+    return f"""
+per_key_{key} AS (
+    SELECT {key} AS kk, count(*) AS n FROM {table_expr} GROUP BY {key}
+),
+hist_{key} AS (SELECT n, count(*) AS k FROM per_key_{key} GROUP BY n),
+cum_{key} AS (
+    SELECT n, k,
+           sum(k) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ck
+    FROM hist_{key}
+),
+tot_{key} AS (
+    SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+           CAST(sum(n * k) AS BIGINT) AS total_rows,
+           CAST(max(n) AS BIGINT) AS max_rows
+    FROM hist_{key}
+),
+row_{key} AS (
+    SELECT '{label}' AS join_key, n_keys, total_rows, max_rows,
+       {qsel},
+       CAST((max_rows::HUGEINT * n_keys * 1000000) // total_rows
+           AS BIGINT) AS skew_ratio_ppm
+    FROM tot_{key}
+)"""
+
+
+JOIN_KEY_SKEW_SQL = (
+    "WITH "
+    + _skew_sql_for("lineitem", "l_orderkey", "lineitem.l_orderkey").lstrip()
+    + ","
+    + _skew_sql_for("events", "user_id", "events.user_id")
+    + """
+SELECT * FROM row_l_orderkey
+UNION ALL
+SELECT * FROM row_user_id
+"""
+)
+
+
+QUERIES["join_key_skew_report"] = join_key_skew_report
+ORACLE_SQL["join_key_skew_report"] = JOIN_KEY_SKEW_SQL

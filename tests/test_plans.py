@@ -55,6 +55,8 @@ CARTESIAN_OK = {
     # sim_topk_bruteforce shape) + BM25's inherited totals folds
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
+    # r7: skew report crossJoins each table's broadcast 1-row totals
+    "join_key_skew_report",
     # r7: the ingest twin folds the totals twice (ratio table + the
     # unseen-bucket add-one floor on the probe side)
     "corpus_dsir_weights_hashed_incremental",
@@ -301,6 +303,9 @@ EXCHANGE_BUDGET = {
     # here would mean a step leaked past its barrier)
     "sim_mmr_rerank": 0,
     "sim_mmr_rerank_ivf": 0,  # same barrier discipline, IVF shortlist
+    # r7: skew telemetry — per table: one corpus-sized key agg + the
+    # tiny count-of-counts stages; two tables unioned
+    "join_key_skew_report": 6,
     # r7: ingest DSIR — per-(doc,bucket) barrier + standing counts +
     # probe-side left join + per-doc agg + new-slice anchor
     "corpus_dsir_weights_hashed_incremental": 7,

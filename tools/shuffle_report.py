@@ -100,6 +100,7 @@ QUERIES = [
     "text_search_phrase",
     "sim_mmr_rerank",
     "sim_mmr_rerank_ivf",
+    "join_key_skew_report",
     "corpus_dsir_weights_hashed_incremental",
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
