@@ -432,3 +432,125 @@ ORACLE_SQL = {
     "corpus_sample_assign": SAMPLE_ASSIGN_SQL,
     "corpus_temperature_mix": TEMPERATURE_MIX_SQL,
 }
+
+
+def docs_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOC-BOUNDARY-PRESERVING packing — next-fit-decreasing per
+    shard: where docs_pack_greedy concatenates the token stream and
+    lets sequences cut across documents, this variant never splits a
+    document (the packing used when attention must not cross doc
+    boundaries and cross-doc contamination of a sequence is
+    unacceptable): within each md5 shard, docs are taken in
+    (n_tokens DESC, doc_id) order; a doc goes into the current pack
+    if it fits the remaining budget, else a new pack opens. An
+    oversized doc (> PACK_BUDGET tokens) gets a pack of its own.
+    Output: (doc_id, n_tokens, shard, pack_id, pack_fill) — pack_fill
+    is the pack's running token count AFTER this doc, so per-pack
+    waste audits fall out of max(pack_fill) per pack.
+
+    This is the repo's applyInPandas tier on an inherently SEQUENTIAL
+    algorithm: next-fit's state (current pack's remaining budget)
+    folds left-to-right and no window/cumsum can express the reset,
+    so each shard's fold runs as one Arrow-batched pandas kernel —
+    the sanctioned custom-operator path when built-ins genuinely
+    can't express the semantics. Parallelism = shards (the same unit
+    docs_pack_greedy uses); per-task state is one integer; the
+    kernel touches (doc_id, n_tokens) only — wide text never enters
+    the pandas boundary. The DuckDB oracle folds the same order with
+    a RECURSIVE CTE (one step per doc within a shard), so even the
+    sequential algorithm is full-oracle-checked.
+
+    Next-fit (not first-fit/best-fit) is deliberate: FFD/BFD need a
+    per-pack free-list that grows with the shard, while next-fit is
+    O(1)-state and its decreasing order already bounds waste — the
+    standard quality/parallelism trade for distributed packing."""
+    import pandas as pd
+
+    tune(spark)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "n_tokens"
+        ),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            f" AS BIGINT) % {N_SHARDS}"
+        ).cast("int").alias("shard"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        seq, fill = 0, 0
+        seqs, fills = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > PACK_BUDGET:
+                seq, fill = seq + 1, 0
+            fill += n
+            seqs.append(seq)
+            fills.append(fill)
+        pdf["pack_seq"] = seqs
+        pdf["pack_fill"] = fills
+        return pdf
+
+    out_schema = (
+        "doc_id bigint, n_tokens int, shard int,"
+        " pack_seq bigint, pack_fill bigint"
+    )
+    packed = toks.groupBy("shard").applyInPandas(fold, out_schema)
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "shard",
+        (F.col("shard").cast("bigint") * 1_000_000 + F.col("pack_seq"))
+        .cast("bigint")
+        .alias("pack_id"),
+        F.col("pack_fill").cast("bigint").alias("pack_fill"),
+    )
+
+
+PACK_NEXTFIT_SQL = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS BIGINT) % {N_SHARDS} AS INT) AS shard
+    FROM documents
+),
+ordered AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM toks
+),
+fold AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS pack_seq,
+           n_tokens AS pack_fill
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+           CASE WHEN f.pack_fill > 0
+                     AND f.pack_fill + d.n_tokens > {PACK_BUDGET}
+                THEN f.pack_seq + 1 ELSE f.pack_seq END,
+           CASE WHEN f.pack_fill > 0
+                     AND f.pack_fill + d.n_tokens > {PACK_BUDGET}
+                THEN d.n_tokens ELSE f.pack_fill + d.n_tokens END
+    FROM fold f
+    JOIN ordered d ON d.shard = f.shard AND d.rn = f.rn + 1
+)
+SELECT doc_id,
+       n_tokens,
+       shard,
+       CAST(shard * 1000000 + pack_seq AS BIGINT) AS pack_id,
+       CAST(pack_fill AS BIGINT) AS pack_fill
+FROM fold
+"""
+
+
+QUERIES["docs_pack_nextfit"] = docs_pack_nextfit
+ORACLE_SQL["docs_pack_nextfit"] = PACK_NEXTFIT_SQL

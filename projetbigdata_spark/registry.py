@@ -16,7 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r7). Tier A (12): corpus_dsir_weights_hashed (NEW — the
+# round (r7). Tier A (13): corpus_dsir_weights_hashed (NEW — the
 # hashed-bigram DSIR recipe, VERDICT r6 item 4),
 # corpus_token_budget_sample (NEW — per-lang token-budget fill via the
 # bucket-histogram threshold, no global cumsum),
@@ -25,6 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sim_mmr_rerank (NEW — MMR diversified top-k over the brute tier)
 # + its IVF-shortlist variant sim_mmr_rerank_ivf,
 # join_key_skew_report (NEW — count-of-counts key-skew telemetry),
+# docs_pack_nextfit (NEW — applyInPandas next-fit packing, recursive-
+# CTE oracle),
 # corpus_dsir_weights_hashed_incremental (NEW — frozen-profile ingest),
 # search_hybrid_rrf (NEW — keyword+vector reciprocal rank fusion)
 # + its IVF-tier variant search_hybrid_rrf_ivf,
@@ -35,10 +37,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r3 (VERDICT r6 item 2 — the events batch twins, ml rows-only,
 # multimodal family, json/pivot/map/distinct, quality_constraints,
 # scd2_history, table_stats, TPC-H q2/q11/q12/q15/q20/q21/q22).
-# 12 + 36 = 48 ≤ 50; the remaining 2 slots go to the riskiest-shaped
-# r4-era rows (q9/q8 multi-join TPC-H; the other nine fills sit at
-# slots 51-59, next-in-line if the driver budget stretches — rotate
-# them in r8). No composition
+# 13 + 36 = 49 ≤ 50; the remaining slot goes to q9_product_profit
+# (multi-join TPC-H; the other ten fills sit at slots 51-60,
+# next-in-line if the driver budget stretches — rotate them in r8). No composition
 # re-enters (corpus_curate*/sim_ivf_incremental latest green is r5 —
 # slot policy rules b/c say r8). collect() raises if a priority name
 # is not registered.
@@ -54,6 +55,7 @@ _PRIORITY = (
     "search_hybrid_rrf_ivf",
     "sim_mmr_rerank_ivf",
     "join_key_skew_report",
+    "docs_pack_nextfit",
     "dedup_span_removal_incremental",
     "text_feature_hashing",
     # --- tier C: the 36 r3-era rows, riskiest shapes first ---

@@ -118,6 +118,9 @@ MISC_R5 = [
     "dedup_span_decontaminate",
     # r7: anchors on the src0 slice only (null text -> 0 bigrams)
     "corpus_dsir_weights_hashed_incremental",
+    # r7: next-fit packing anchors every doc (null text -> 0 tokens,
+    # still packed)
+    "docs_pack_nextfit",
 ]
 
 

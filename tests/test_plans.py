@@ -306,6 +306,9 @@ EXCHANGE_BUDGET = {
     # r7: skew telemetry — per table: one corpus-sized key agg + the
     # tiny count-of-counts stages; two tables unioned
     "join_key_skew_report": 6,
+    # r7: next-fit packing — ONE exchange (the shard groupBy feeding
+    # the Arrow applyInPandas fold)
+    "docs_pack_nextfit": 1,
     # r7: ingest DSIR — per-(doc,bucket) barrier + standing counts +
     # probe-side left join + per-doc agg + new-slice anchor
     "corpus_dsir_weights_hashed_incremental": 7,

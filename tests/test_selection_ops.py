@@ -695,3 +695,63 @@ def test_dsir_hashed_incremental_frozen_profile(spark, tmp_path):
     }
     for d in (1, 2, 3):
         assert got2[d] == got1[d], d
+
+
+def test_pack_nextfit_matches_python_model(spark, docs):
+    """docs_pack_nextfit == a from-scratch Python next-fit-decreasing
+    fold per shard, plus the packing contract: documents are never
+    split, no pack exceeds the budget unless it holds exactly one
+    oversized doc, and the decreasing order means waste is bounded
+    (every non-final pack in a shard is more than half full when all
+    docs fit the budget)."""
+    import hashlib
+
+    from projetbigdata_spark.operators.packing import (
+        N_SHARDS,
+        PACK_BUDGET,
+        docs_pack_nextfit,
+    )
+
+    def shard_of(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % N_SHARDS
+
+    by_shard: defaultdict = defaultdict(list)
+    for d, t in docs.items():
+        by_shard[shard_of(d)].append((d, len(_tokens(t))))
+    expected = {}
+    for sh, items in by_shard.items():
+        items.sort(key=lambda kv: (-kv[1], kv[0]))
+        seq, fill = 0, 0
+        for d, n in items:
+            if fill > 0 and fill + n > PACK_BUDGET:
+                seq, fill = seq + 1, 0
+            fill += n
+            expected[d] = (n, sh, sh * 1_000_000 + seq, fill)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.shard, r.pack_id, r.pack_fill)
+        for r in docs_pack_nextfit(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert len(got) == len(docs)  # no doc split, none dropped
+
+    # pack contract: per-pack token total <= budget unless the pack is
+    # one oversized doc
+    packs: defaultdict = defaultdict(list)
+    for d, (n, sh, pid, fill) in got.items():
+        packs[pid].append(n)
+    for pid, ns in packs.items():
+        if sum(ns) > PACK_BUDGET:
+            assert len(ns) == 1 and ns[0] > PACK_BUDGET, pid
+    # decreasing next-fit quality: in each shard every pack except the
+    # last-opened is > half full (when no oversized docs exist there)
+    by_sh: defaultdict = defaultdict(dict)
+    for pid, ns in packs.items():
+        by_sh[pid // 1_000_000][pid] = sum(ns)
+    for sh, fills in by_sh.items():
+        if max(fills.values()) > PACK_BUDGET:
+            continue
+        last = max(fills)
+        for pid, tot in fills.items():
+            if pid != last:
+                assert tot * 2 > PACK_BUDGET, (sh, pid)

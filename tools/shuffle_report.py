@@ -101,6 +101,7 @@ QUERIES = [
     "sim_mmr_rerank",
     "sim_mmr_rerank_ivf",
     "join_key_skew_report",
+    "docs_pack_nextfit",
     "corpus_dsir_weights_hashed_incremental",
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
