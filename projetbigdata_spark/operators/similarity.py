@@ -2088,6 +2088,39 @@ _MMR_IVF_CAND_SQL = f"""
 MMR_IVF_SQL = _mmr_sql(_MMR_IVF_CAND_SQL, MMR_SELECT_IVF)
 
 
+def sim_mmr_rerank_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_mmr_rerank over the PQ tier's shortlist — the third
+    candidate source for the shared greedy core (_mmr_over), closing
+    the swap family (brute / IVF / PQ): sim_pq_topk's ADC-scored,
+    exact-refined top-5 feeds the same diversification, so at
+    deployment the reranker composes with whichever index tier the
+    corpus size dictates. Selects MMR_SELECT_IVF=3 of 5, as the IVF
+    variant does."""
+    tune(spark)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cand = (
+        sim_pq_topk(spark, sf_dir)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)"
+            ).alias("rel_u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return _mmr_over(cand, emb, MMR_SELECT_IVF)
+
+
+_MMR_PQ_CAND_SQL = f"""
+    SELECT query_id, neighbor_id AS nid,
+           CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_u
+    FROM ({PQ_SQL})
+"""
+
+MMR_PQ_SQL = _mmr_sql(_MMR_PQ_CAND_SQL, MMR_SELECT_IVF)
+
+
 RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
 RRF_DEPTH = 20      # ranks consumed from each list (= both tiers' top-N)
 HYBRID_TOP_N = 10
@@ -2312,6 +2345,7 @@ QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_mmr_rerank": sim_mmr_rerank,
     "sim_mmr_rerank_ivf": sim_mmr_rerank_ivf,
+    "sim_mmr_rerank_pq": sim_mmr_rerank_pq,
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_hybrid_rrf_ivf": search_hybrid_rrf_ivf,
     "dedup_semantic": _dedup_semantic_registered,
@@ -2332,6 +2366,7 @@ ORACLE_SQL = {
     "sim_topk_bruteforce": BRUTE_SQL,
     "sim_mmr_rerank": MMR_SQL,
     "sim_mmr_rerank_ivf": MMR_IVF_SQL,
+    "sim_mmr_rerank_pq": MMR_PQ_SQL,
     "search_hybrid_rrf": _hybrid_rrf_sql(),
     "search_hybrid_rrf_ivf": _hybrid_rrf_ivf_sql(),
     "dedup_semantic": SEMDEDUP_SQL,

@@ -16,14 +16,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r7). Tier A (13): corpus_dsir_weights_hashed (NEW — the
+# round (r7). Tier A (14): corpus_dsir_weights_hashed (NEW — the
 # hashed-bigram DSIR recipe, VERDICT r6 item 4),
 # corpus_token_budget_sample (NEW — per-lang token-budget fill via the
 # bucket-histogram threshold, no global cumsum),
 # dedup_span_decontaminate (NEW — eval-span removal from train text),
 # text_search_phrase (NEW — exact-phrase retrieval, in-row adjacency),
 # sim_mmr_rerank (NEW — MMR diversified top-k over the brute tier)
-# + its IVF-shortlist variant sim_mmr_rerank_ivf,
+# + its IVF- and PQ-shortlist variants sim_mmr_rerank_ivf/_pq,
 # join_key_skew_report (NEW — count-of-counts key-skew telemetry),
 # docs_pack_nextfit (NEW — applyInPandas next-fit packing, recursive-
 # CTE oracle),
@@ -37,9 +37,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r3 (VERDICT r6 item 2 — the events batch twins, ml rows-only,
 # multimodal family, json/pivot/map/distinct, quality_constraints,
 # scd2_history, table_stats, TPC-H q2/q11/q12/q15/q20/q21/q22).
-# 13 + 36 = 49 ≤ 50; the remaining slot goes to q9_product_profit
-# (multi-join TPC-H; the other ten fills sit at slots 51-60,
-# next-in-line if the driver budget stretches — rotate them in r8). No composition
+# 14 + 36 = 50 exactly; the r4-era fills all sit at slots 51-61,
+# next-in-line if the driver budget stretches — rotate them in r8. No composition
 # re-enters (corpus_curate*/sim_ivf_incremental latest green is r5 —
 # slot policy rules b/c say r8). collect() raises if a priority name
 # is not registered.
@@ -54,6 +53,7 @@ _PRIORITY = (
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
     "sim_mmr_rerank_ivf",
+    "sim_mmr_rerank_pq",
     "join_key_skew_report",
     "docs_pack_nextfit",
     "dedup_span_removal_incremental",

@@ -303,6 +303,7 @@ EXCHANGE_BUDGET = {
     # here would mean a step leaked past its barrier)
     "sim_mmr_rerank": 0,
     "sim_mmr_rerank_ivf": 0,  # same barrier discipline, IVF shortlist
+    "sim_mmr_rerank_pq": 0,   # same, PQ shortlist
     # r7: skew telemetry — per table: one corpus-sized key agg + the
     # tiny count-of-counts stages; two tables unioned
     "join_key_skew_report": 6,

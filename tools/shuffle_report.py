@@ -100,6 +100,7 @@ QUERIES = [
     "text_search_phrase",
     "sim_mmr_rerank",
     "sim_mmr_rerank_ivf",
+    "sim_mmr_rerank_pq",
     "join_key_skew_report",
     "docs_pack_nextfit",
     "corpus_dsir_weights_hashed_incremental",
