@@ -131,8 +131,14 @@ FROM documents,
 
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed decode output through the stubbed kernel — the schema and
-    batch shape a real image decode would produce. Rows-only (the fake
-    is Python-side by design)."""
+    batch shape a real image decode would produce. Full-oracle since
+    r7: the deterministic fake derives (width, height, format) from
+    the payload's first byte and byte length, both of which DuckDB
+    recomputes relationally (the fixture payloads are ASCII text
+    bytes, so ascii(first char) == first byte — the META_SQL
+    convention) — the row now asserts the Arrow binary round-trip AND
+    the kernel's arithmetic, not just row counts. A real decode would
+    drop back to rows-only."""
     tune(spark)
     docs = with_payload(load_table(spark, sf_dir, "documents"))
 
@@ -160,6 +166,20 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "payload").mapInPandas(
         decode, "doc_id long, width int, height int, format string"
     )
+
+
+FAKE_DECODE_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN octet_length(encode(coalesce(text, ''))) = 0
+                 THEN 16
+                 ELSE 16 + ascii(substr(text, 1, 1)) % 64 END
+           AS INT) AS width,
+       CAST(16 + octet_length(encode(coalesce(text, ''))) % 64
+           AS INT) AS height,
+       ['png', 'jpeg', 'webp']
+           [1 + octet_length(encode(coalesce(text, ''))) % 3] AS format
+FROM documents
+"""
 
 
 RESIZE_TO = 64
@@ -315,6 +335,7 @@ QUERIES = {
 ORACLE_SQL = {
     "multimodal_feature_extract": FEATURE_SQL,
     "multimodal_meta": META_SQL,
+    "multimodal_fake_decode": FAKE_DECODE_SQL,
     "multimodal_resize": RESIZE_SQL,
     "multimodal_frame_sample": FRAME_SQL,
     "multimodal_content_dedup": CONTENT_DEDUP_SQL,
