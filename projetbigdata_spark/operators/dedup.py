@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import tokenize
-from projetbigdata_spark.operators.similarity import NEARDUP_SQL as _SIM_NEARDUP_SQL
+from projetbigdata_spark.operators.similarity import (
+    NEARDUP_SQL as _SIM_NEARDUP_SQL,
+)
+from projetbigdata_spark.operators.similarity import (
+    SEMDEDUP_SQL as _SEMDEDUP_SQL,
+)
 from projetbigdata_spark.session import tune
 from projetbigdata_spark.sources.catalog import load_documents_parallel, load_table
 
@@ -1489,8 +1494,133 @@ ORDER BY df_bucket_pow2
 """
 
 
+
+def dedup_tier_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TIER dedup audit — what each rung of the ladder uniquely
+    catches: the drop sets of the exact tier (md5 keep-first), the
+    near-dup tier (minhash components, keep the representative), and
+    the semantic tier (SemDeDup, doc_id = vec_id) as a 7-row overlap
+    matrix — (tier, tier, drops) on the diagonal, (a, b, overlap) for
+    the three pairs, and ('any', 'any', union) — the table a data team
+    reads to decide which tiers are worth their cost on THIS corpus
+    (if semantic ⊆ minhash here, the embedding pass buys nothing; a
+    large semantic-only count is the argument for paying it).
+
+    Plan: three independently-green subtree drop sets (each a skinny
+    doc_id frame, plan-barriered — every set feeds its diagonal count,
+    two overlap joins, and the union), then seven 1-row aggregates
+    unioned; the overlaps join |drops|-sized frames, never the corpus.
+    Composition slot-cost note: inherits the semantic tier's Lloyd
+    stages — NEXT.md's composition budget rules apply."""
+    tune(spark)
+    from projetbigdata_spark.operators.similarity import (
+        K_CENTROIDS,
+        dedup_semantic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = docs.select(
+        "doc_id", F.md5(F.lower("text")).alias("content_md5")
+    )
+    exact_drops = (
+        key.join(dedup_exact(spark, sf_dir), "content_md5")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    nd_drops = (
+        dedup_components_minhash(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    sem_drops = (
+        dedup_semantic(spark, sf_dir, k=K_CENTROIDS)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    tiers = [
+        ("exact", exact_drops),
+        ("neardup", nd_drops),
+        ("semantic", sem_drops),
+    ]
+    rows = []
+    for name, df in tiers:
+        rows.append(
+            df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+                F.lit(name).alias("tier_a"),
+                F.lit(name).alias("tier_b"),
+                "n_docs",
+            )
+        )
+    for i, (na, da) in enumerate(tiers):
+        for nb, db in tiers[i + 1 :]:
+            rows.append(
+                da.join(db, "doc_id")
+                .agg(F.count("*").cast("bigint").alias("n_docs"))
+                .select(
+                    F.lit(na).alias("tier_a"),
+                    F.lit(nb).alias("tier_b"),
+                    "n_docs",
+                )
+            )
+    union_drops = exact_drops.unionByName(nd_drops).unionByName(sem_drops)
+    rows.append(
+        union_drops.distinct()
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            F.lit("any").alias("tier_a"),
+            F.lit("any").alias("tier_b"),
+            "n_docs",
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+
+TIER_OVERLAP_SQL = f"""
+WITH exd AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_id
+        FROM documents)
+    WHERE doc_id <> keep_id
+),
+ndd AS (
+    SELECT doc_id FROM ({COMPONENTS_MINHASH_SQL})
+    WHERE doc_id <> component_id
+),
+smd AS (SELECT vec_id AS doc_id FROM ({_SEMDEDUP_SQL}))
+SELECT 'exact' AS tier_a, 'exact' AS tier_b,
+       CAST(count(*) AS BIGINT) AS n_docs FROM exd
+UNION ALL
+SELECT 'neardup', 'neardup', CAST(count(*) AS BIGINT) FROM ndd
+UNION ALL
+SELECT 'semantic', 'semantic', CAST(count(*) AS BIGINT) FROM smd
+UNION ALL
+SELECT 'exact', 'neardup', CAST(count(*) AS BIGINT)
+FROM exd JOIN ndd USING (doc_id)
+UNION ALL
+SELECT 'exact', 'semantic', CAST(count(*) AS BIGINT)
+FROM exd JOIN smd USING (doc_id)
+UNION ALL
+SELECT 'neardup', 'semantic', CAST(count(*) AS BIGINT)
+FROM ndd JOIN smd USING (doc_id)
+UNION ALL
+SELECT 'any', 'any', CAST(count(*) AS BIGINT)
+FROM (SELECT DISTINCT doc_id FROM (
+      SELECT doc_id FROM exd UNION ALL
+      SELECT doc_id FROM ndd UNION ALL
+      SELECT doc_id FROM smd))
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_tier_overlap_report": dedup_tier_overlap_report,
     "corpus_shingle_stats": corpus_shingle_stats,
     "dedup_components": dedup_components,
     "dedup_components_minhash": dedup_components_minhash,
@@ -1510,6 +1640,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": EXACT_SQL,
+    "dedup_tier_overlap_report": TIER_OVERLAP_SQL,
     "corpus_shingle_stats": SHINGLE_STATS_SQL,
     "dedup_components": COMPONENTS_SQL,
     "dedup_components_minhash": COMPONENTS_MINHASH_SQL,

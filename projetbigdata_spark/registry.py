@@ -16,7 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r7). Tier A (14): corpus_dsir_weights_hashed (NEW — the
+# round (r7). Tier A (15): corpus_dsir_weights_hashed (NEW — the
 # hashed-bigram DSIR recipe, VERDICT r6 item 4),
 # corpus_token_budget_sample (NEW — per-lang token-budget fill via the
 # bucket-histogram threshold, no global cumsum),
@@ -26,7 +26,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # + its IVF- and PQ-shortlist variants sim_mmr_rerank_ivf/_pq,
 # join_key_skew_report (NEW — count-of-counts key-skew telemetry),
 # docs_pack_nextfit (NEW — applyInPandas next-fit packing, recursive-
-# CTE oracle),
+# CTE oracle), dedup_tier_overlap_report (NEW — cross-tier drop-set
+# audit composition; its ~12s sf0.01 wall is the block's one
+# composition, inside the 25% cap),
 # corpus_dsir_weights_hashed_incremental (NEW — frozen-profile ingest),
 # search_hybrid_rrf (NEW — keyword+vector reciprocal rank fusion)
 # + its IVF-tier variant search_hybrid_rrf_ivf,
@@ -37,8 +39,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r3 (VERDICT r6 item 2 — the events batch twins, ml rows-only,
 # multimodal family, json/pivot/map/distinct, quality_constraints,
 # scd2_history, table_stats, TPC-H q2/q11/q12/q15/q20/q21/q22).
-# 14 + 36 = 50 exactly; the r4-era fills all sit at slots 51-61,
-# next-in-line if the driver budget stretches — rotate them in r8. No composition
+# 15 + 36 = 51 — one over, so the LAST tier-C row
+# (q22_sales_opportunity, the lowest-risk single-scan shape of the 36)
+# sits at slot 51 with the r4-era fills at 52-62, next-in-line if the
+# driver budget stretches — rotate them in r8. No composition
 # re-enters (corpus_curate*/sim_ivf_incremental latest green is r5 —
 # slot policy rules b/c say r8). collect() raises if a priority name
 # is not registered.
@@ -56,6 +60,7 @@ _PRIORITY = (
     "sim_mmr_rerank_pq",
     "join_key_skew_report",
     "docs_pack_nextfit",
+    "dedup_tier_overlap_report",
     "dedup_span_removal_incremental",
     "text_feature_hashing",
     # --- tier C: the 36 r3-era rows, riskiest shapes first ---

@@ -100,3 +100,62 @@ def test_contamination_includes_unsigned_docs(spark, short_docs_dir):
         assert got[k]["is_contaminated"] is False
         assert got[k]["train_match"] is None
     assert got[5]["is_contaminated"] is True
+
+
+def test_tier_overlap_report_consistency(spark):
+    """dedup_tier_overlap_report == set algebra over the three tiers'
+    own drop sets (recomputed from the registered queries), and the
+    matrix invariants hold: overlap <= min(diagonals), max(diagonal)
+    <= union <= sum(diagonals)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_minhash,
+        dedup_exact,
+        dedup_tier_overlap_report,
+    )
+    from projetbigdata_spark.operators.similarity import (
+        K_CENTROIDS,
+        dedup_semantic,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from tests.conftest import SF_CHECK
+
+    docs = load_table(spark, SF_CHECK, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("content_md5")
+    )
+    exact = {
+        r.doc_id
+        for r in docs.join(dedup_exact(spark, SF_CHECK), "content_md5")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .collect()
+    }
+    nd = {
+        r.doc_id
+        for r in dedup_components_minhash(spark, SF_CHECK)
+        .where(F.col("doc_id") != F.col("component_id"))
+        .collect()
+    }
+    sem = {
+        r.vec_id
+        for r in dedup_semantic(spark, SF_CHECK, k=K_CENTROIDS).collect()
+    }
+    sets = {"exact": exact, "neardup": nd, "semantic": sem}
+
+    got = {
+        (r.tier_a, r.tier_b): r.n_docs
+        for r in dedup_tier_overlap_report(spark, SF_CHECK).collect()
+    }
+    assert len(got) == 7
+    for t, s in sets.items():
+        assert got[(t, t)] == len(s), t
+    names = ["exact", "neardup", "semantic"]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            ov = got[(a, b)]
+            assert ov == len(sets[a] & sets[b]), (a, b)
+            assert ov <= min(got[(a, a)], got[(b, b)])
+    union = got[("any", "any")]
+    assert union == len(exact | nd | sem)
+    assert max(len(s) for s in sets.values()) <= union
+    assert union <= sum(len(s) for s in sets.values())

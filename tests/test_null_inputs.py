@@ -44,6 +44,7 @@ PER_DOC_KEEPERS = [
     "text_pos_universal",
     "text_wordpunct_tokens",
     "corpus_health_report",  # report rows, not per-doc — just no crash
+    "dedup_tier_overlap_report",  # r7: 7 report rows — just no crash
     # r3 curation tier: all anchor on the full document set, so null/
     # empty texts must surface as degenerate rows, never vanish
     "text_unigram_freq_score",
@@ -134,7 +135,10 @@ def test_runs_with_null_and_empty_text(spark, nulled_sf_dir, name):
     queries, _ = registry.collect()
     out = queries[name](spark, nulled_sf_dir)
     rows = out.count()  # executes; must not raise
-    if name in PER_DOC_KEEPERS and name != "corpus_health_report":
+    if name in PER_DOC_KEEPERS and name not in (
+        "corpus_health_report",
+        "dedup_tier_overlap_report",
+    ):
         total_docs = spark.read.parquet(
             f"{nulled_sf_dir}/documents.parquet"
         ).count()

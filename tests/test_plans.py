@@ -310,6 +310,9 @@ EXCHANGE_BUDGET = {
     # r7: next-fit packing — ONE exchange (the shard groupBy feeding
     # the Arrow applyInPandas fold)
     "docs_pack_nextfit": 1,
+    # r7: cross-tier audit — inherits the three drop subtrees' stages;
+    # the seven report aggregates join barriered skinny frames
+    "dedup_tier_overlap_report": 24,
     # r7: ingest DSIR — per-(doc,bucket) barrier + standing counts +
     # probe-side left join + per-doc agg + new-slice anchor
     "corpus_dsir_weights_hashed_incremental": 7,

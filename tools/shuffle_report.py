@@ -103,6 +103,7 @@ QUERIES = [
     "sim_mmr_rerank_pq",
     "join_key_skew_report",
     "docs_pack_nextfit",
+    "dedup_tier_overlap_report",
     "corpus_dsir_weights_hashed_incremental",
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
