@@ -1495,7 +1495,9 @@ ORDER BY df_bucket_pow2
 
 
 
-def dedup_tier_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_tier_overlap_report(
+    spark: SparkSession, sf_dir: str, k: int | str = None
+) -> DataFrame:
     """CROSS-TIER dedup audit — what each rung of the ladder uniquely
     catches: the drop sets of the exact tier (md5 keep-first), the
     near-dup tier (minhash components, keep the representative), and
@@ -1511,12 +1513,22 @@ def dedup_tier_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     two overlap joins, and the union), then seven 1-row aggregates
     unioned; the overlaps join |drops|-sized frames, never the corpus.
     Composition slot-cost note: inherits the semantic tier's Lloyd
-    stages — NEXT.md's composition budget rules apply."""
+    stages — NEXT.md's composition budget rules apply.
+
+    THE k DIAL FOLLOWS THE SEMANTIC TIER'S RULES: the registered row
+    pins k=K_CENTROIDS=16 (the static oracle's seed range); any caller
+    at real corpus size MUST pass k="auto" (≈√n/2) or an explicit
+    dial — k=16 inherited at a 100k-vector corpus puts the inherited
+    pair stage at n²/16 (the measured r5 trap; the sf5 soak row below
+    is k="auto" for exactly this reason)."""
     tune(spark)
     from projetbigdata_spark.operators.similarity import (
         K_CENTROIDS,
         dedup_semantic,
     )
+
+    if k is None:
+        k = K_CENTROIDS
 
     docs = load_table(spark, sf_dir, "documents")
     key = docs.select(
@@ -1535,7 +1547,7 @@ def dedup_tier_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     sem_drops = (
-        dedup_semantic(spark, sf_dir, k=K_CENTROIDS)
+        dedup_semantic(spark, sf_dir, k=k)
         .select(F.col("vec_id").alias("doc_id"))
         .localCheckpoint(eager=False)
     )
