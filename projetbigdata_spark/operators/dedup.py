@@ -23,7 +23,7 @@ no UDFs, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import tokenize
@@ -1534,8 +1534,19 @@ def dedup_tier_overlap_report(
     key = docs.select(
         "doc_id", F.md5(F.lower("text")).alias("content_md5")
     )
+    # NULL-safe exact tier (ADVICE r7): md5(NULL) IS NULL, and an
+    # equi-join on content_md5 would silently exclude NULL-text docs
+    # from the drop set while the oracle's window PARTITION BY groups
+    # them into one dup group (the repo contract —
+    # test_exact_dedup_groups_null_and_empty). A window min over the
+    # same key matches both the oracle and dedup_exact's groupBy
+    # semantics (groupBy/PARTITION BY both group NULLs), at the same
+    # single shuffle on content_md5.
     exact_drops = (
-        key.join(dedup_exact(spark, sf_dir), "content_md5")
+        key.withColumn(
+            "keep_id",
+            F.min("doc_id").over(Window.partitionBy("content_md5")),
+        )
         .where(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
         .localCheckpoint(eager=False)

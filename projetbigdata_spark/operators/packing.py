@@ -30,6 +30,10 @@ from projetbigdata_spark.sources.catalog import load_table
 
 PACK_BUDGET = 2048  # tokens per training sequence
 N_SHARDS = 8
+# pack_id = shard * PACK_SHARD_STRIDE + pack_seq. 2^40 seqs/shard of
+# headroom (ADVICE r7: the old 1e6 stride collides at ~1e9 packs/shard
+# under the 100 TB posture); shard < 2^22 keeps the product in BIGINT.
+PACK_SHARD_STRIDE = 1 << 40
 
 
 def pack_assign(docs: DataFrame) -> DataFrame:
@@ -57,7 +61,7 @@ def pack_assign(docs: DataFrame) -> DataFrame:
         "n_tokens",
         F.col("shard").cast("int").alias("shard"),
         (
-            F.col("shard") * F.lit(1_000_000)
+            F.col("shard") * F.lit(PACK_SHARD_STRIDE)
             + F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
         ).cast("bigint").alias("pack_id"),
         ((cum - F.col("n_tokens")) % PACK_BUDGET).cast("int").alias("pack_offset"),
@@ -89,7 +93,7 @@ cums AS (
     FROM toks
 )
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(shard AS INT) AS shard,
-       CAST(shard * 1000000 + prev // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(shard * {PACK_SHARD_STRIDE} + prev // {PACK_BUDGET} AS BIGINT) AS pack_id,
        CAST(prev % {PACK_BUDGET} AS INT) AS pack_offset
 FROM cums
 """
@@ -504,7 +508,10 @@ def docs_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "shard",
-        (F.col("shard").cast("bigint") * 1_000_000 + F.col("pack_seq"))
+        (
+            F.col("shard").cast("bigint") * F.lit(PACK_SHARD_STRIDE)
+            + F.col("pack_seq")
+        )
         .cast("bigint")
         .alias("pack_id"),
         F.col("pack_fill").cast("bigint").alias("pack_fill"),
@@ -546,7 +553,7 @@ fold AS (
 SELECT doc_id,
        n_tokens,
        shard,
-       CAST(shard * 1000000 + pack_seq AS BIGINT) AS pack_id,
+       CAST(shard * {PACK_SHARD_STRIDE} + pack_seq AS BIGINT) AS pack_id,
        CAST(pack_fill AS BIGINT) AS pack_fill
 FROM fold
 """

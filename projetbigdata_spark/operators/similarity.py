@@ -575,7 +575,17 @@ def _seed_centroids(vec: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
     min(k, n-SEED_LO) centroids, and identical to the fast path on
     contiguous ids. orderBy+limit is a TakeOrdered (top-(SEED_LO+k)),
     not a global sort; the row_number window runs on that tiny frame.
-    """
+
+    ADVICE r7 hardening: (a) the fast-path count verdict is memoized
+    ON the DataFrame object per k — callers all receive `vec` from
+    the per-(app, sf_dir) persisted cache, so each composed report
+    (e.g. the three tier-overlap subtrees) pays the ≤k-row count job
+    once, not once per operator call; the memo dies with the object,
+    so no cross-session id-reuse hazard. (b) A corpus with
+    n ≤ SEED_LO no longer silently yields ZERO centroids (which made
+    every downstream k-means/dedup output empty with no error): the
+    rank fallback re-anchors at offset 0 and returns the first
+    min(k, n) vectors; a genuinely empty corpus raises."""
     from pyspark.sql.window import Window
 
     fast = vec.where(
@@ -584,15 +594,25 @@ def _seed_centroids(vec: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
         (F.col("vec_id") - SEED_LO).cast("int").alias("cid"),
         F.col("xs").alias("ms"),
     )
+    memo = vec.__dict__.setdefault("_seed_fastpath_ok", set())
+    if k in memo:
+        return fast
     if fast.count() == k:
+        memo.add(k)
         return fast
     head = vec.orderBy("vec_id").limit(SEED_LO + k)
+    n_head = head.count()
+    if n_head == 0:
+        raise ValueError(
+            "_seed_centroids: empty vector corpus — nothing to seed"
+        )
+    offset = SEED_LO if n_head > SEED_LO else 0
     w = Window.orderBy("vec_id")
     return (
         head.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") > SEED_LO)
+        .where((F.col("rn") > offset) & (F.col("rn") <= offset + k))
         .select(
-            (F.col("rn") - SEED_LO - 1).cast("int").alias("cid"),
+            (F.col("rn") - offset - 1).cast("int").alias("cid"),
             F.col("xs").alias("ms"),
         )
     )

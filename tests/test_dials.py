@@ -317,3 +317,63 @@ def test_seed_centroids_sparse_ids_fallback(spark):
     assert sorted(sh) == list(range(k))
     for cid, ms in sh.items():
         assert ms[0] == float(1000 + SEED_LO + cid)
+
+
+def test_seed_centroids_tiny_and_empty_corpus(spark):
+    """ADVICE r7 (low): on a corpus with n <= SEED_LO the rank-based
+    fallback silently returned ZERO centroids — every downstream
+    k-means/dedup output went empty with no error. Now it re-anchors
+    at offset 0 (first min(k, n) vectors); an empty corpus raises."""
+    import pytest as _pytest
+
+    from projetbigdata_spark.operators.similarity import (
+        SEED_LO,
+        _seed_centroids,
+    )
+
+    k = 4
+    dims = list(range(3))
+
+    def vec_frame(ids):
+        return spark.createDataFrame(
+            [(i, [float(i) + d for d in dims]) for i in ids],
+            "vec_id bigint, xs array<double>",
+        )
+
+    # n = SEED_LO - 2 <= SEED_LO: first min(k, n) vectors, cid = rank
+    tiny_n = max(SEED_LO - 2, 1)
+    tiny = {
+        r.cid: r.ms
+        for r in _seed_centroids(vec_frame(range(tiny_n)), k).collect()
+    }
+    assert sorted(tiny) == list(range(min(k, tiny_n)))
+    for cid, ms in tiny.items():
+        assert ms[0] == float(cid)
+
+    # n < k (and <= SEED_LO): all n vectors become centroids
+    few = {
+        r.cid: r.ms
+        for r in _seed_centroids(vec_frame(range(2)), k).collect()
+    }
+    assert sorted(few) == [0, 1]
+
+    with _pytest.raises(ValueError, match="empty vector corpus"):
+        _seed_centroids(vec_frame([]), k)
+
+
+def test_seed_centroids_memoizes_fastpath_verdict(spark):
+    """ADVICE r7 (low): the fast-path count job runs once per
+    (DataFrame object, k) — composed reports calling into the seeding
+    repeatedly (three tier-overlap subtrees) reuse the verdict."""
+    from projetbigdata_spark.operators.similarity import _seed_centroids
+
+    k = 4
+    vec = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(40)],
+        "vec_id bigint, xs array<double>",
+    )
+    _seed_centroids(vec, k)
+    assert vec.__dict__.get("_seed_fastpath_ok") == {k}
+    # second call must not clear or rebuild the memo
+    _seed_centroids(vec, k)
+    assert vec.__dict__.get("_seed_fastpath_ok") == {k}

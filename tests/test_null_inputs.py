@@ -163,6 +163,34 @@ def test_exact_dedup_groups_null_and_empty(spark, nulled_sf_dir):
     assert by_hash[empty_md5].n_copies == N_EMPTY
 
 
+def test_tier_overlap_exact_diagonal_counts_null_texts(
+    spark, nulled_sf_dir
+):
+    """ADVICE r7 (medium): the overlap report's exact tier must count
+    NULL-text drops. An equi-join on content_md5 silently excluded
+    them (md5(NULL) IS NULL never matches) while the DuckDB oracle's
+    window PARTITION BY groups NULLs into one dup group — on any
+    corpus with >=2 NULL texts the exact diagonal, both exact
+    overlaps, and the 'any' union diverged between engines. The fix
+    derives keep_id with a window min (NULL-grouping, like groupBy);
+    this pins the diagonal to dedup_exact's own null-inclusive
+    accounting: drops == sum(n_copies - 1) over the group frame."""
+    from projetbigdata_spark import registry
+
+    queries, _ = registry.collect()
+    groups = queries["dedup_exact"](spark, nulled_sf_dir).collect()
+    expect_drops = sum(r.n_copies - 1 for r in groups)
+    # the fixture's N_NULL nulls alone guarantee a nonzero diagonal
+    assert expect_drops >= N_NULL - 1 + N_EMPTY - 1
+    report = {
+        (r.tier_a, r.tier_b): r.n_docs
+        for r in queries["dedup_tier_overlap_report"](
+            spark, nulled_sf_dir
+        ).collect()
+    }
+    assert report[("exact", "exact")] == expect_drops
+
+
 @pytest.fixture(scope="module")
 def nulled_events_emb_dir(spark, tmp_path_factory):
     """events with NULL event_type/value/props rows; embeddings with

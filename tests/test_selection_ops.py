@@ -709,6 +709,7 @@ def test_pack_nextfit_matches_python_model(spark, docs):
     from projetbigdata_spark.operators.packing import (
         N_SHARDS,
         PACK_BUDGET,
+        PACK_SHARD_STRIDE,
         docs_pack_nextfit,
     )
 
@@ -726,7 +727,7 @@ def test_pack_nextfit_matches_python_model(spark, docs):
             if fill > 0 and fill + n > PACK_BUDGET:
                 seq, fill = seq + 1, 0
             fill += n
-            expected[d] = (n, sh, sh * 1_000_000 + seq, fill)
+            expected[d] = (n, sh, sh * PACK_SHARD_STRIDE + seq, fill)
 
     got = {
         r.doc_id: (r.n_tokens, r.shard, r.pack_id, r.pack_fill)
@@ -747,7 +748,7 @@ def test_pack_nextfit_matches_python_model(spark, docs):
     # last-opened is > half full (when no oversized docs exist there)
     by_sh: defaultdict = defaultdict(dict)
     for pid, ns in packs.items():
-        by_sh[pid // 1_000_000][pid] = sum(ns)
+        by_sh[pid // PACK_SHARD_STRIDE][pid] = sum(ns)
     for sh, fills in by_sh.items():
         if max(fills.values()) > PACK_BUDGET:
             continue
