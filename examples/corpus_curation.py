@@ -36,8 +36,12 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from projetbigdata_spark.operators.classifier import (  # noqa: E402
+    corpus_quality_classifier_scores,
+)
 from projetbigdata_spark.operators.curation import (  # noqa: E402
     CURATE_MAX_DUP_WORD_FRAC,
+    corpus_softdedup_weights,
     CURATE_MAX_EVAL_OVERLAP_PPM,
     CURATE_MAX_STOPWORD_RATIO,
     CURATE_MAX_TOP_BIGRAM_SHARE,
@@ -99,6 +103,28 @@ def span_clean(
         rewritten.select("doc_id", F.col("text_deduped").alias("text"))
     )
     return before, rewritten, after
+
+
+def softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup→sampling loop closed (r8): corpus_softdedup_weights'
+    per-doc ppm weights become acceptance probabilities through the
+    SAME salted-bucket idiom corpus_dsir_sample uses — accept iff the
+    doc's 'softdedup'-salted md5 bucket on the 1e6 grid falls below
+    its weight. Deterministic (re-runs and appends never flip a
+    verdict); near-dup clusters contribute ~1 doc of expected mass
+    instead of being hard-dropped; span-duplicated docs are thinned
+    proportionally to their duplicated fraction."""
+    w = corpus_softdedup_weights(spark, sf_dir)
+    return w.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat('softdedup',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+            " AS BIGINT) % 1000000"
+        ),
+    ).withColumn(
+        "selected", F.col("bucket") < F.col("softdedup_weight_ppm")
+    )
 
 
 def curate(
@@ -230,6 +256,22 @@ def main() -> None:
         f"span clean: {b} duplicated spans profiled -> {c} tokens cut"
         f" -> {a} duplicated spans remain"
     )
+    soft = softdedup_sample(spark, sf_dir)
+    s = soft.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("selected").cast("int")).alias("sel"),
+        F.sum("softdedup_weight_ppm").alias("mass"),
+    ).first()
+    print(
+        f"softdedup: {s.sel}/{s.n} docs sampled "
+        f"(expected mass {s.mass / 1_000_000:.1f} docs)"
+    )
+    qc = corpus_quality_classifier_scores(spark, sf_dir)
+    k = qc.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("keep"),
+    ).first()
+    print(f"quality classifier: {k.keep}/{k.n} docs keep (logit >= 0)")
     print("mixture plan over survivors:")
     for r in mix_plan_of(written).orderBy("lang").collect():
         print(

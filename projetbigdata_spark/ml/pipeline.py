@@ -204,3 +204,68 @@ def crossval_fit(
         rows, "reg_param double, max_iter int, avg_auc double"
     )
     return cv_model, metrics
+
+
+def quality_classifier_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple["LogisticRegression", DataFrame]:
+    """The GPT-3/CCNet-style QUALITY-CLASSIFIER fit — the reference's
+    own LR flow (main_reglogit.py:90-99: per-doc term features ->
+    pyspark.ml LogisticRegression; repo reference-exact config
+    maxIter=30, regParam=0.01) re-aimed at corpus curation: features
+    are the hashing-trick signed counts (operators/features.
+    text_feature_hashing — no vocabulary table, the form a corpus-
+    scale classifier actually trains on), the label is the DSIR
+    target convention (lang == DSIR_TARGET_LANG as the target slice
+    vs the raw rest — Brown et al. 2020's "quality" setup of
+    target-vs-raw discrimination).
+
+    Vector assembly stays JVM-side: the long-form (doc_id, bucket,
+    signed_sum) features fold into a HASH_BUCKETS-wide dense array
+    via map_from_entries + a transform over the bucket range, then
+    pyspark.ml.functions.array_to_vector — no Python UDF, no pivot.
+    Returns (fitted model, the training frame) so callers can score,
+    audit, or export coefficients (tools/fit_quality_classifier.py
+    freezes them in integer micros for the relational scorer
+    operators/classifier.py — the fit is rows-only, the frozen-
+    coefficient scoring is full-oracle)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.features import (
+        HASH_BUCKETS,
+        text_feature_hashing,
+    )
+    from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    feats = text_feature_hashing(spark, sf_dir)
+    fm = feats.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket"),
+                    F.col("signed_sum").cast("double").alias("v"),
+                )
+            )
+        ).alias("fm")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(HASH_BUCKETS - 1)),
+        lambda b: F.coalesce(F.col("fm")[b], F.lit(0.0)),
+    )
+    train = (
+        docs.join(fm, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG)
+            .cast("double")
+            .alias("label"),
+            array_to_vector(dense).alias("features"),
+        )
+    )
+    lr = LogisticRegression(
+        maxIter=30, regParam=0.01, featuresCol="features", labelCol="label"
+    )
+    return lr.fit(train), train

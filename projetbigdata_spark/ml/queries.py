@@ -288,8 +288,33 @@ def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_quality_classifier_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quality-classifier FIT surface (VERDICT r7 item 2): LR
+    (reference config maxIter=30, regParam=0.01 —
+    main_reglogit.py:90-99 re-aimed at curation) over hashing-trick
+    signed counts, label = the DSIR target convention (lang == 'en').
+    Returns the fitted coefficient table in integer micros (bucket -1
+    = intercept) — the artifact operators/classifier.py freezes for
+    the full-oracle relational scorer. Rows-only (estimator fits are
+    not SQL-expressible); coefficient/scorer parity is pinned in
+    tests/test_ml.py."""
+    tune(spark)
+    from projetbigdata_spark.ml.pipeline import quality_classifier_fit
+
+    model, _ = quality_classifier_fit(spark, sf_dir)
+    rows = [(-1, int(round(float(model.intercept) * 1_000_000)))]
+    rows += [
+        (b, int(round(float(c) * 1_000_000)))
+        for b, c in enumerate(model.coefficients.toArray())
+    ]
+    return spark.createDataFrame(rows, "bucket int, coef_micros bigint")
+
+
 QUERIES = {
     "ml_kmeans_clusters": ml_kmeans_clusters,
+    "ml_quality_classifier_fit": ml_quality_classifier_fit,
     "ml_chisq_tokens": ml_chisq_tokens,
     "ml_sentiment_predictions": ml_sentiment_predictions,
     "ml_crossval_metrics": ml_crossval_metrics,

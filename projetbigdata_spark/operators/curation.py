@@ -1566,8 +1566,121 @@ FROM kept
 """
 
 
+def corpus_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (VERDICT r7 item 4) — duplication-aware sampling
+    WEIGHTS instead of drops: modern pipelines often keep near-dups
+    but down-weight them so each duplicate cluster contributes about
+    one document's expected training mass (the reweighting
+    alternative to hard dedup). Two duplication signals compose on
+    the exact ppm grid:
+
+        base_ppm   = 1e6 div component_size   (minhash components —
+                     a k-clone cluster totals ~1 doc of mass)
+        weight_ppm = (base_ppm · (1e6 - dup_span_ppm)) div 1e6
+                     (span-duplication discount: the fraction of the
+                     doc's SPAN_K-windows already seen in earlier
+                     docs scales its unique-content mass)
+
+    so an isolated, span-clean doc keeps 1e6; a doc inside a 4-clone
+    cluster with 40% duplicated spans keeps 150000. Output:
+    (doc_id, component_size, dup_span_ppm, softdedup_weight_ppm) —
+    full-corpus anchored, and the weight column drops into the same
+    salted-bucket acceptance idiom corpus_dsir_sample uses (the
+    examples/corpus_curation.py softdedup_sample composition), or
+    multiplies into DSIR weights before resampling. This closes the
+    dedup→sampling loop the way corpus_dsir_sample closed
+    selection→sampling: the ladder's evidence becomes a sampling
+    distribution, not just a drop list.
+
+    Plan: two independently-green subtrees — the component labels
+    (pointer-jumping tier, plan-barriered) rolled up to per-component
+    sizes (|clusters| rows), probed back per clustered doc; the span
+    profile (8-byte span-key streams). Both anchor-left-join onto the
+    corpus, so docs outside every cluster take size 1 and docs with
+    no spans take discount 0. Integer exactness: base ≤ 1e6,
+    discount ≤ 1e6, product ≤ 1e12 — bigint-safe with room."""
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_prefiltered,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # the exact-collapse component tier: row-identical to
+    # dedup_components_minhash (same COMPONENTS_MINHASH_SQL oracle)
+    # but clone cliques never reach label propagation — the fast path
+    # every composition consumes (corpus_curate's idiom)
+    comp = dedup_components_prefiltered(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("component_size")
+    )
+    per_doc_size = comp.join(sizes, "component_id").select(
+        "doc_id", "component_size"
+    )
+    prof = span_profile_of(_spread_input(spark, docs)).select(
+        "doc_id", F.coalesce("dup_span_ppm", F.lit(0)).alias("dup_span_ppm")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc_size, "doc_id", "left")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_size", F.lit(1))
+            .cast("bigint")
+            .alias("component_size"),
+            F.coalesce("dup_span_ppm", F.lit(0))
+            .cast("bigint")
+            .alias("dup_span_ppm"),
+        )
+        .withColumn(
+            "softdedup_weight_ppm",
+            F.expr(
+                "((CAST(1000000 AS BIGINT) div component_size)"
+                " * (1000000 - dup_span_ppm)) div 1000000"
+            ).cast("bigint"),
+        )
+    )
+
+
+def _softdedup_weights_sql() -> str:
+    from projetbigdata_spark.operators.dedup import COMPONENTS_MINHASH_SQL
+
+    return f"""
+WITH comp AS (SELECT * FROM ({COMPONENTS_MINHASH_SQL})),
+sizes AS (
+    SELECT component_id, count(*) AS component_size
+    FROM comp GROUP BY component_id
+),
+per_doc_size AS (
+    SELECT comp.doc_id, sizes.component_size
+    FROM comp JOIN sizes USING (component_id)
+),
+prof AS (
+    SELECT doc_id, coalesce(dup_span_ppm, 0) AS dup_span_ppm
+    FROM ({SPAN_PROFILE_SQL})
+),
+j AS (
+    SELECT d.doc_id,
+           CAST(coalesce(s.component_size, 1) AS BIGINT)
+               AS component_size,
+           CAST(coalesce(p.dup_span_ppm, 0) AS BIGINT) AS dup_span_ppm
+    FROM documents d
+    LEFT JOIN per_doc_size s ON d.doc_id = s.doc_id
+    LEFT JOIN prof p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, component_size, dup_span_ppm,
+       CAST(((CAST(1000000 AS BIGINT) // component_size)
+             * (1000000 - dup_span_ppm)) // 1000000 AS BIGINT)
+           AS softdedup_weight_ppm
+FROM j
+"""
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
+    "corpus_softdedup_weights": corpus_softdedup_weights,
     "corpus_curate_calibrated": corpus_curate_calibrated,
     "corpus_domain_stats": corpus_domain_stats,
     "corpus_source_divergence": corpus_source_divergence,
@@ -1585,6 +1698,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "corpus_curate": _corpus_curate_sql(),
+    "corpus_softdedup_weights": _softdedup_weights_sql(),
     "corpus_curate_calibrated": _corpus_curate_sql("calibrated"),
     "corpus_domain_stats": _domain_stats_sql(),
     "corpus_source_divergence": SOURCE_DIVERGENCE_SQL,

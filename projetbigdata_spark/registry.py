@@ -144,6 +144,7 @@ _MODULES = (
     "projetbigdata_spark.operators.relational4",
     "projetbigdata_spark.operators.relational5",
     "projetbigdata_spark.operators.quality",
+    "projetbigdata_spark.operators.classifier",
     "projetbigdata_spark.operators.features",
 )
 

@@ -222,3 +222,59 @@ def test_span_clean_loop_and_optin_stage(spark):
         rewritten.where(F.col("n_cut") > 0), "doc_id"
     )
     assert changed.count() == cut_survivors.count()
+
+
+def test_softdedup_weights_compose_and_sample(spark):
+    """corpus_softdedup_weights == the declared composition of its two
+    independently-green subtrees (component sizes x span-duplication
+    discount on the exact ppm grid), full-corpus anchored; and the
+    example's softdedup_sample realizes the weights as deterministic
+    salted-bucket acceptance (selected iff bucket < weight)."""
+    from projetbigdata_spark.operators.curation import (
+        corpus_softdedup_weights,
+        dedup_span_profile,
+    )
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_prefiltered,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup_components_prefiltered(spark, SF_CHECK).collect()
+    }
+    from collections import Counter
+
+    csize = Counter(comp.values())
+    dup = {
+        r.doc_id: r.dup_span_ppm or 0
+        for r in dedup_span_profile(spark, SF_CHECK).collect()
+    }
+    total = load_table(spark, SF_CHECK, "documents").count()
+
+    got = corpus_softdedup_weights(spark, SF_CHECK).collect()
+    assert len(got) == total  # full-corpus anchor
+    saw_cluster = saw_discount = False
+    for r in got:
+        size = csize[comp[r.doc_id]] if r.doc_id in comp else 1
+        assert r.component_size == size, r.doc_id
+        assert r.dup_span_ppm == dup[r.doc_id], r.doc_id
+        expect = ((1_000_000 // size) * (1_000_000 - dup[r.doc_id])) \
+            // 1_000_000
+        assert r.softdedup_weight_ppm == expect, r.doc_id
+        assert 0 <= r.softdedup_weight_ppm <= 1_000_000
+        saw_cluster |= size > 1
+        saw_discount |= dup[r.doc_id] > 0
+    assert saw_cluster and saw_discount  # fixture exercises both dials
+
+    sampled = {
+        r.doc_id: r for r in curation.softdedup_sample(spark, SF_CHECK).collect()
+    }
+    assert len(sampled) == total
+    n_sel = sum(1 for r in sampled.values() if r.selected)
+    assert 0 < n_sel < total
+    for r in sampled.values():
+        assert r.selected == (r.bucket < r.softdedup_weight_ppm)
+    # expected mass: realized count within 10% of sum(weight)/1e6
+    mass = sum(r.softdedup_weight_ppm for r in sampled.values()) / 1e6
+    assert abs(n_sel - mass) <= 0.1 * total

@@ -88,6 +88,11 @@ REPRESENTATIVES = [
     "sim_ivfpq_topk",            # composed index on 0 vectors
     "ann_recall_report",         # recall over 0 queries
     "ann_recall_report_ivfpq",   # same frame over the PQ tier
+    # r8 additions
+    "corpus_quality_classifier_scores",  # frozen-coef dot over 0 docs
+    "text_search_phrase3",               # k-term fold over 0 docs
+    "text_search_phrase_slop",           # gap-OR fold over 0 docs
+    "corpus_softdedup_weights",          # anchor over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input

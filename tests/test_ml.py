@@ -187,3 +187,77 @@ def test_ml_minhash_lsh_parity_with_expression_tier(spark):
     assert len(shared) >= 0.9 * len(ml_pairs)
     for p in shared:
         assert abs(expr_pairs[p] - ml_pairs[p]) <= 2e-6, (p, expr_pairs[p], ml_pairs[p])
+
+
+def test_quality_classifier_scorer_python_model(spark):
+    """corpus_quality_classifier_scores == a from-scratch Python model:
+    md5 60-bit hash -> bucket/sign -> signed counts -> frozen-
+    coefficient dot product, exact at integer-micros precision."""
+    import hashlib
+
+    from projetbigdata_spark.operators.classifier import (
+        QC_COEF_MICROS,
+        QC_INTERCEPT_MICROS,
+        corpus_quality_classifier_scores,
+    )
+    from projetbigdata_spark.operators.features import HASH_BUCKETS
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r.doc_id: (r.text, r.lang)
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    expected = {}
+    for d, (text, lang) in docs.items():
+        logit = QC_INTERCEPT_MICROS
+        for w in (text or "").lower().split():
+            if not w:
+                continue
+            hv = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            sign = 1 if (hv // HASH_BUCKETS) % 2 == 0 else -1
+            logit += sign * QC_COEF_MICROS.get(hv % HASH_BUCKETS, 0)
+        expected[d] = (lang, logit, logit >= 0)
+
+    got = {
+        r.doc_id: (r.lang, r.logit_micros, r.keep)
+        for r in corpus_quality_classifier_scores(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_quality_classifier_fit_exports_faithful_coefficients(spark):
+    """ml_quality_classifier_fit's coefficient table must reproduce
+    the mllib model's own decisions: dotting the exported micros
+    against the hashed features recovers model.transform's
+    predictions (boundary docs within 1 micro of zero excused —
+    that's the export grid, not the model)."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.ml.pipeline import quality_classifier_fit
+    from projetbigdata_spark.ml.queries import ml_quality_classifier_fit
+    from tests.conftest import SF_SMOKE
+
+    model, train = quality_classifier_fit(spark, SF_SMOKE)
+    coef = {
+        r.bucket: r.coef_micros
+        for r in ml_quality_classifier_fit(spark, SF_SMOKE).collect()
+    }
+    icpt = coef.pop(-1)
+    rows = (
+        model.transform(train)
+        .select(
+            "doc_id",
+            "prediction",
+            vector_to_array(F.col("features")).alias("x"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        logit = icpt + sum(
+            int(round(x)) * coef.get(b, 0) for b, x in enumerate(r.x)
+        )
+        if abs(logit) <= 1_000:  # within rounding slack of the boundary
+            continue
+        assert (logit >= 0) == (r.prediction == 1.0), (r.doc_id, logit)

@@ -73,6 +73,12 @@ PER_DOC_KEEPERS = [
     # still bucketed and verdict-ed)
     "corpus_token_budget_sample",
     "corpus_ngram_diversity",  # in-row: null text -> zero-count row
+    # r8: the frozen-coefficient scorer anchors the full doc set
+    # (null text -> no features -> intercept-only logit)
+    "corpus_quality_classifier_scores",
+    # r8: soft-dedup anchors the full doc set (null-text docs form one
+    # exact-clone cluster -> size>1 -> down-weighted, never dropped)
+    "corpus_softdedup_weights",
 ]
 
 EXPLODE_DROPPERS = [
@@ -110,6 +116,8 @@ MISC_R4 = [
 MISC_R5 = [
     "text_search_bm25",          # null tokens never match the terms
     "text_search_phrase",        # r7: null text holds no bigrams
+    "text_search_phrase3",       # r8: k-term fold, same null posture
+    "text_search_phrase_slop",   # r8: gap-OR fold, same null posture
     "dedup_containment_pairs",   # null-text docs emit no shingles
     "corpus_bpe_fertility",      # null-text docs count 0 words per lang
     "corpus_source_divergence",  # null-text docs add no token mass

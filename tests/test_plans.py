@@ -322,6 +322,18 @@ EXCHANGE_BUDGET = {
     # r7: the IVF-tier swap inherits BM25's 9 + the IVF search's
     # post-barrier exchanges (probe windows + rerank)
     "search_hybrid_rrf_ivf": 19,
+    # r8: frozen-coefficient quality scoring — the hashing-trick
+    # per-(doc,bucket) agg + broadcast coef join + per-doc agg +
+    # the full-corpus anchor join
+    "corpus_quality_classifier_scores": 5,
+    # r8: k-term / proximity phrase search — same in-row fold class
+    # as text_search_phrase (one scan, top-k gather is the exchange)
+    "text_search_phrase3": 1,
+    "text_search_phrase_slop": 1,
+    # r8: soft-dedup weights — the component tier runs behind its
+    # barrier; post-barrier: size rollup + probe-back + span-profile
+    # aggs + the two full-corpus anchor joins
+    "corpus_softdedup_weights": 12,
 }
 
 

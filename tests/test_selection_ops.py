@@ -631,6 +631,78 @@ def test_phrase_search_matches_python_model(spark, docs):
     assert not (got_ids & set(non_adjacent))
 
 
+def test_phrase3_and_slop_match_python_model(spark, docs):
+    """text_search_phrase3 / text_search_phrase_slop == naive Python
+    counters with the same (count desc, doc_id asc) top-20 boundary,
+    plus the family laws: slop-0 == exact adjacency, and per-doc slop
+    hits dominate adjacency hits for the same term pair."""
+    from projetbigdata_spark.operators.tfidf import (
+        PHRASE3_TERMS,
+        PHRASE_SLOP,
+        PHRASE_TERMS,
+        PHRASE_TOP_N,
+        text_search_phrase,
+        text_search_phrase3,
+        text_search_phrase_slop,
+    )
+
+    def top(counts):
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :PHRASE_TOP_N
+        ]
+
+    tri_counts, slop_counts, adj_counts = {}, {}, {}
+    for d, t in docs.items():
+        w = _tokens(t)
+        n3 = sum(
+            1
+            for i in range(len(w) - 2)
+            if tuple(w[i : i + 3]) == PHRASE3_TERMS
+        )
+        if n3 > 0:
+            tri_counts[d] = n3
+        ns = sum(
+            1
+            for i in range(len(w) - 1)
+            if w[i] == PHRASE_TERMS[0]
+            and PHRASE_TERMS[1] in w[i + 1 : i + 2 + PHRASE_SLOP]
+        )
+        if ns > 0:
+            slop_counts[d] = ns
+        na = sum(
+            1
+            for i in range(len(w) - 1)
+            if (w[i], w[i + 1]) == PHRASE_TERMS
+        )
+        if na > 0:
+            adj_counts[d] = na
+
+    got3 = [
+        (r.doc_id, r.n_matches)
+        for r in text_search_phrase3(spark, SF_SMOKE).collect()
+    ]
+    assert got3 == top(tri_counts)
+    gots = [
+        (r.doc_id, r.n_matches)
+        for r in text_search_phrase_slop(spark, SF_SMOKE).collect()
+    ]
+    assert gots == top(slop_counts)
+    assert gots  # fixture must exercise the slop matcher
+    # dominance: every adjacency anchor is also a slop anchor
+    for d, n in adj_counts.items():
+        assert slop_counts.get(d, 0) >= n, d
+    # the slop window must add hits beyond adjacency somewhere,
+    # or the test isn't exercising the gap logic
+    assert sum(slop_counts.values()) > sum(adj_counts.values())
+    # exact tier consistency: registered 2-term query vs its counts
+    got2 = {
+        r.doc_id: r.n_matches
+        for r in text_search_phrase(spark, SF_SMOKE).collect()
+    }
+    for d, n in got2.items():
+        assert slop_counts.get(d, 0) >= n, d
+
+
 def test_dsir_hashed_incremental_frozen_profile(spark, tmp_path):
     """Constructed rows pin the ingest contract: (a) only the new
     batch (source='src0') is emitted, anchored (short docs surface

@@ -107,6 +107,11 @@ QUERIES = [
     "corpus_dsir_weights_hashed_incremental",
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
+    # r8 additions
+    "corpus_quality_classifier_scores",
+    "text_search_phrase3",
+    "text_search_phrase_slop",
+    "corpus_softdedup_weights",
 ]
 
 
