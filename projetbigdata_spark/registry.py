@@ -16,102 +16,85 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r7). Tier A (15): corpus_dsir_weights_hashed (NEW — the
-# hashed-bigram DSIR recipe, VERDICT r6 item 4),
-# corpus_token_budget_sample (NEW — per-lang token-budget fill via the
-# bucket-histogram threshold, no global cumsum),
-# dedup_span_decontaminate (NEW — eval-span removal from train text),
-# text_search_phrase (NEW — exact-phrase retrieval, in-row adjacency),
-# sim_mmr_rerank (NEW — MMR diversified top-k over the brute tier)
-# + its IVF- and PQ-shortlist variants sim_mmr_rerank_ivf/_pq,
-# join_key_skew_report (NEW — count-of-counts key-skew telemetry),
-# docs_pack_nextfit (NEW — applyInPandas next-fit packing, recursive-
-# CTE oracle), dedup_tier_overlap_report (NEW — cross-tier drop-set
-# audit composition; its ~12s sf0.01 wall is the block's one
-# composition, inside the 25% cap),
-# corpus_dsir_weights_hashed_incremental (NEW — frozen-profile ingest),
-# search_hybrid_rrf (NEW — keyword+vector reciprocal rank fusion)
-# + its IVF-tier variant search_hybrid_rrf_ivf,
-# dedup_span_removal_incremental (registered in r6 after the block
-# froze — never driver-checked; local checks green at both SFs), and
-# text_feature_hashing (plan modified r7: hash-once projection,
-# values unchanged). Tier C: ALL 36 queries whose latest green row is
-# r3 (VERDICT r6 item 2 — the events batch twins, ml rows-only,
-# multimodal family, json/pivot/map/distinct, quality_constraints,
-# scd2_history, table_stats, TPC-H q2/q11/q12/q15/q20/q21/q22).
-# 15 + 36 = 51 — one over, so the LAST tier-C row
-# (q22_sales_opportunity, the lowest-risk single-scan shape of the 36)
-# sits at slot 51 with the r4-era fills at 52-62, next-in-line if the
-# driver budget stretches — rotate them in r8. No composition
-# re-enters (corpus_curate*/sim_ivf_incremental latest green is r5 —
-# slot policy rules b/c say r8). collect() raises if a priority name
-# is not registered.
+# round (r8). Slot 1: q22_sales_opportunity — the one row the r7
+# rotation missed (it sat at slot 51; its latest green row is r3, four
+# rounds old — VERDICT r7 item 1 says lead with it). Tier A (5): the
+# r8 additions — corpus_quality_classifier_scores (NEW — frozen-
+# coefficient quality-classifier scoring, full oracle),
+# corpus_softdedup_weights (NEW — duplication-aware sampling weights),
+# text_search_phrase3 / text_search_phrase_slop (NEW — k-term and
+# proximity phrase search), and ml_quality_classifier_fit (NEW —
+# rows-only like every mllib fit). Compositions (3, rule c — latest
+# green r5, three rounds old): corpus_curate, corpus_curate_calibrated,
+# sim_ivf_incremental (~24s of sf0.01 wall together, within the ~25%
+# composition cap). Tier C (41): the r4-era tail, led by the six
+# slot-51+ next-in-line rows VERDICT r7 named, then every other query
+# whose latest green row is r4 EXCEPT the three lowest-risk surfaces
+# (vocab_topk — re-proven every round as the entry() flagship and the
+# bench headline; label_index; embed_l2norm — zero-join projection /
+# single-agg shapes), which sit past slot 50 as next-in-line if the
+# driver budget stretches. 1 + 5 + 3 + 41 = 50; after this block every
+# registered query's latest green row is r5+ except those three.
+# collect() raises if a priority name is not registered.
 _PRIORITY = (
-    # --- tier A: new in r7 / never driver-checked / plan-modified ---
-    "corpus_dsir_weights_hashed",
-    "corpus_token_budget_sample",
-    "dedup_span_decontaminate",
-    "text_search_phrase",
-    "sim_mmr_rerank",
-    "corpus_dsir_weights_hashed_incremental",
-    "search_hybrid_rrf",
-    "search_hybrid_rrf_ivf",
-    "sim_mmr_rerank_ivf",
-    "sim_mmr_rerank_pq",
-    "join_key_skew_report",
-    "docs_pack_nextfit",
-    "dedup_tier_overlap_report",
-    "dedup_span_removal_incremental",
-    "text_feature_hashing",
-    # --- tier C: the 36 r3-era rows, riskiest shapes first ---
-    "sim_neardup_allpairs_exact",
-    "ml_minhash_pairs",
-    "multimodal_content_dedup",
-    "events_multi_rollup",
-    "events_tumbling_1h",
-    "events_sliding_15m_5m",
-    "events_session_30m",
-    "events_dedup_keyed",
-    "events_click_attribution",
-    "scd2_history",
-    "corpus_vocab_growth",
-    "corpus_health_report",
-    "quality_constraints",
-    "table_stats",
-    "json_extract",
-    "agg_pivot",
-    "agg_distinct",
-    "map_functions",
-    "ml_chisq_tokens",
-    "ml_kmeans_clusters",
-    "ml_sentiment_predictions",
-    "ml_crossval_metrics",
-    "ml_crossval_dt_metrics",
-    "ml_chisq_select_vectors",
-    "multimodal_feature_extract",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_fake_decode",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
+    # --- slot 1: the missed r3-era straggler ---
     "q22_sales_opportunity",
-    # --- 11 fills: riskiest r4-era rows ---
-    "q9_product_profit",
-    "q8_market_share",
-    "join_asof_purchase_click",
-    "join_bucketed_priority_counts",
-    "agg_grouping_sets",
+    # --- tier A: new in r8 ---
+    "corpus_quality_classifier_scores",
+    "corpus_softdedup_weights",
+    "text_search_phrase3",
+    "text_search_phrase_slop",
+    "ml_quality_classifier_fit",
+    # --- compositions re-entering under rule c (latest green r5) ---
+    "corpus_curate",
+    "corpus_curate_calibrated",
+    "sim_ivf_incremental",
+    # --- tier C: the r4-era tail, slot-51+ six first ---
     "dedup_components_verified_prefiltered",
     "dedup_keep_canonical",
     "dedup_embedding_cosine",
     "text_search_topk",
     "corpus_bpe_pair_counts",
     "corpus_quality_quantiles",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_salted_user_totals",
+    "agg_stats_exact",
+    "bow_vectorize",
+    "chunk_documents_udtf",
+    "dedup_component_sizes",
+    "join_asof_purchase_click",
+    "join_bucketed_priority_counts",
+    "join_full_outer",
+    "join_interval_binned",
+    "join_left_outer",
+    "join_range_late",
+    "pos_trigrams",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q16_supplier_breadth",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "set_ops",
+    "sql_frontend_yearly_revenue",
+    "subquery_above_nation_avg",
+    "text_unigram_freq_score",
+    "unpivot_nation_metrics",
+    # --- next-in-line past slot 50: lowest-risk r4-era rows ---
+    "vocab_topk",
+    "label_index",
+    "embed_l2norm",
 )
 
 # Ordered so the driver's correctness budget reaches every family:
