@@ -61,6 +61,10 @@ EXTENDED = [
     "dedup_semantic",
     # r7 heavy hitter (bigram-family floor, ~5s at sf0.1)
     "corpus_dsir_weights_hashed",
+    # r8: the learned quality filter — cheap (~1.3s at sf0.1) but
+    # bench-tracked because it is the one-pass scoring plan a 100 TB
+    # curation run pays per corpus sweep
+    "corpus_quality_classifier_scores",
 ]
 
 

@@ -41,7 +41,7 @@ from projetbigdata_spark.operators.classifier import (  # noqa: E402
 )
 from projetbigdata_spark.operators.curation import (  # noqa: E402
     CURATE_MAX_DUP_WORD_FRAC,
-    corpus_softdedup_weights,
+    corpus_softdedup_sample,
     CURATE_MAX_EVAL_OVERLAP_PPM,
     CURATE_MAX_STOPWORD_RATIO,
     CURATE_MAX_TOP_BIGRAM_SHARE,
@@ -108,23 +108,10 @@ def span_clean(
 def softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup→sampling loop closed (r8): corpus_softdedup_weights'
     per-doc ppm weights become acceptance probabilities through the
-    SAME salted-bucket idiom corpus_dsir_sample uses — accept iff the
-    doc's 'softdedup'-salted md5 bucket on the 1e6 grid falls below
-    its weight. Deterministic (re-runs and appends never flip a
-    verdict); near-dup clusters contribute ~1 doc of expected mass
-    instead of being hard-dropped; span-duplicated docs are thinned
-    proportionally to their duplicated fraction."""
-    w = corpus_softdedup_weights(spark, sf_dir)
-    return w.withColumn(
-        "bucket",
-        F.expr(
-            "CAST(conv(substring(md5(concat('softdedup',"
-            " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
-            " AS BIGINT) % 1000000"
-        ),
-    ).withColumn(
-        "selected", F.col("bucket") < F.col("softdedup_weight_ppm")
-    )
+    SAME salted-bucket idiom corpus_dsir_sample uses. Delegates to
+    the registered corpus_softdedup_sample (full-oracle surface) so
+    the example and the driver row can never drift."""
+    return corpus_softdedup_sample(spark, sf_dir)
 
 
 def curate(

@@ -155,10 +155,154 @@ LEFT JOIN dot ON d.doc_id = dot.doc_id
 """
 
 
+def corpus_quality_classifier_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EVALUATE the frozen quality classifier against its own training
+    convention — the audit a curation team reads before trusting a
+    learned filter's keep verdicts: per-language rows of
+    (lang, is_target, n_docs, n_keep, keep_rate_ppm) where is_target
+    is the DSIR target-vs-raw label (lang == DSIR_TARGET_LANG). The target
+    row's keep_rate is the classifier's recall on target-like docs;
+    any other row's keep_rate is its per-language false-positive rate
+    — the full confusion matrix is a trivial rollup of this frame.
+    Exact integers throughout (keep_rate_ppm = 1e6·n_keep div n_docs),
+    and the scoring subtree is the one-pass frozen-coefficient plan,
+    so the whole audit costs one corpus pass + a |langs|-row agg.
+    Closes the fit → freeze → score → AUDIT loop the way
+    ann_recall_report closes index-build → search."""
+    tune(spark)
+    from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
+
+    scores = corpus_quality_classifier_scores(spark, sf_dir)
+    return (
+        scores.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+        )
+        .select(
+            "lang",
+            (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+            "n_docs",
+            "n_keep",
+            F.expr("(1000000 * n_keep) div n_docs")
+            .cast("bigint")
+            .alias("keep_rate_ppm"),
+        )
+    )
+
+
+def _classifier_report_sql() -> str:
+    from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
+
+    return f"""
+WITH s AS ({QUALITY_CLASSIFIER_SQL})
+SELECT lang,
+       lang = '{DSIR_TARGET_LANG}' AS is_target,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST((1000000 * sum(CASE WHEN keep THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS keep_rate_ppm
+FROM s
+GROUP BY lang
+"""
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE canonical selection — dedup_keep_canonical with
+    the classifier in the loop: instead of keeping the min-id member
+    of each near-dup component (an arbitrary tie-break), keep the
+    member the frozen quality classifier scores HIGHEST (doc_id
+    ascending as the deterministic tie-break) — what production
+    pipelines actually do when collapsing near-dup clusters (CCNet
+    keeps the best-perplexity member, not the first-crawled one).
+    Output is the same full-corpus verdict frame as
+    dedup_keep_canonical: (doc_id, canonical_id, keep, logit_micros),
+    one row per document, keep iff the doc IS its cluster's best (or
+    is unclustered).
+
+    Plan: the component labels (verified-Jaccard via the exact-clone
+    collapse tier) equi-join the scores on doc_id; the per-cluster
+    argmax is a window over component_id — near-dup clusters are
+    bounded cliques after the collapse, so the window partitions are
+    small at any corpus size and the shuffle key is the cluster id,
+    never the corpus text. The scores frame is plan-barriered: it
+    feeds both the argmax and each doc's own logit column."""
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_verified_prefiltered,
+    )
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    scores = (
+        corpus_quality_classifier_scores(spark, sf_dir)
+        .select("doc_id", "logit_micros")
+        .localCheckpoint(eager=False)
+    )
+    comp = dedup_components_verified_prefiltered(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("logit_micros").desc(), F.col("doc_id")
+    )
+    best = (
+        comp.join(scores, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("best_id"))
+    )
+    return (
+        docs.join(comp, "doc_id", "left")
+        .join(best, "component_id", "left")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("best_id", "doc_id").alias("canonical_id"),
+            (
+                F.col("component_id").isNull()
+                | (F.col("best_id") == F.col("doc_id"))
+            ).alias("keep"),
+            "logit_micros",
+        )
+    )
+
+
+def _keep_best_quality_sql() -> str:
+    from projetbigdata_spark.operators.dedup import COMPONENTS_SQL
+
+    return f"""
+WITH s AS ({QUALITY_CLASSIFIER_SQL}),
+comp AS (SELECT * FROM ({COMPONENTS_SQL})),
+ranked AS (
+    SELECT comp.doc_id, comp.component_id,
+           row_number() OVER (PARTITION BY comp.component_id
+                              ORDER BY s.logit_micros DESC,
+                                       comp.doc_id) AS rn
+    FROM comp JOIN s USING (doc_id)
+),
+best AS (
+    SELECT component_id, doc_id AS best_id FROM ranked WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(b.best_id, d.doc_id) AS canonical_id,
+       (c.component_id IS NULL OR b.best_id = d.doc_id) AS keep,
+       s2.logit_micros
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN best b ON c.component_id = b.component_id
+LEFT JOIN s s2 ON d.doc_id = s2.doc_id
+"""
+
+
 QUERIES = {
     "corpus_quality_classifier_scores": corpus_quality_classifier_scores,
+    "corpus_quality_classifier_report": corpus_quality_classifier_report,
+    "dedup_keep_best_quality": dedup_keep_best_quality,
 }
 
 ORACLE_SQL = {
     "corpus_quality_classifier_scores": QUALITY_CLASSIFIER_SQL,
+    "corpus_quality_classifier_report": _classifier_report_sql(),
+    "dedup_keep_best_quality": _keep_best_quality_sql(),
 }

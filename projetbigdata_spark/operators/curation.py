@@ -1678,9 +1678,56 @@ FROM j
 """
 
 
+def corpus_softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_softdedup_weights made EXECUTABLE — the same
+    deterministic salted-bucket acceptance corpus_dsir_sample uses:
+    a doc is selected iff its 'softdedup'-salted md5 bucket on the
+    1e6 grid falls below its weight, so near-dup clusters contribute
+    ~one document of expected training mass, span-duplicated docs are
+    thinned by their duplicated fraction, and re-runs / corpus
+    appends never flip an existing doc's verdict (hash buckets, not
+    rand() — the corpus_sample_assign stability contract; the
+    'softdedup' salt decorrelates this decision from the DSIR and
+    mixture samplers' buckets). The weight is already a probability
+    in ppm (≤ 1e6 by construction), so no Σw renormalization pass is
+    needed — acceptance is a pure per-row projection on the weights
+    frame. Closes the dedup→sampling loop as REGISTERED surface the
+    way corpus_dsir_sample closed selection→sampling."""
+    return (
+        corpus_softdedup_weights(spark, sf_dir)
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(conv(substring(md5(concat('softdedup',"
+                " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+                " AS BIGINT) % 1000000"
+            ),
+        )
+        .withColumn(
+            "selected", F.col("bucket") < F.col("softdedup_weight_ppm")
+        )
+    )
+
+
+def _softdedup_sample_sql() -> str:
+    return f"""
+WITH w AS ({_softdedup_weights_sql()})
+SELECT doc_id, component_size, dup_span_ppm, softdedup_weight_ppm,
+       CAST(CAST('0x' || substr(md5('softdedup'
+                                    || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000000 AS BIGINT) AS bucket,
+       CAST(CAST('0x' || substr(md5('softdedup'
+                                    || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000000 < softdedup_weight_ppm
+            AS BOOLEAN) AS selected
+FROM w
+"""
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_softdedup_weights": corpus_softdedup_weights,
+    "corpus_softdedup_sample": corpus_softdedup_sample,
     "corpus_curate_calibrated": corpus_curate_calibrated,
     "corpus_domain_stats": corpus_domain_stats,
     "corpus_source_divergence": corpus_source_divergence,
@@ -1699,6 +1746,7 @@ QUERIES = {
 ORACLE_SQL = {
     "corpus_curate": _corpus_curate_sql(),
     "corpus_softdedup_weights": _softdedup_weights_sql(),
+    "corpus_softdedup_sample": _softdedup_sample_sql(),
     "corpus_curate_calibrated": _corpus_curate_sql("calibrated"),
     "corpus_domain_stats": _domain_stats_sql(),
     "corpus_source_divergence": SOURCE_DIVERGENCE_SQL,

@@ -93,6 +93,8 @@ REPRESENTATIVES = [
     "text_search_phrase3",               # k-term fold over 0 docs
     "text_search_phrase_slop",           # gap-OR fold over 0 docs
     "corpus_softdedup_weights",          # anchor over 0 docs
+    "corpus_softdedup_sample",           # verdict frame over 0 docs
+    "dedup_keep_best_quality",           # argmax over 0 clusters
 ]
 
 # these legitimately return constant-row reports even on empty input

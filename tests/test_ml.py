@@ -261,3 +261,89 @@ def test_quality_classifier_fit_exports_faithful_coefficients(spark):
         if abs(logit) <= 1_000:  # within rounding slack of the boundary
             continue
         assert (logit >= 0) == (r.prediction == 1.0), (r.doc_id, logit)
+
+
+def test_quality_classifier_report_rolls_up_scores(spark):
+    """corpus_quality_classifier_report == the per-lang rollup of the
+    scorer frame (exact ppm), with the is_target label following the
+    DSIR target convention; fixture must exercise both keep and drop
+    verdicts inside the target slice or the audit reads trivially."""
+    from collections import defaultdict
+
+    from projetbigdata_spark.operators.classifier import (
+        corpus_quality_classifier_report,
+        corpus_quality_classifier_scores,
+    )
+    from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
+    from tests.conftest import SF_CHECK
+
+    scores = corpus_quality_classifier_scores(spark, SF_CHECK).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in scores:
+        agg[r.lang][0] += 1
+        agg[r.lang][1] += int(r.keep)
+    got = {
+        r.lang: (r.is_target, r.n_docs, r.n_keep, r.keep_rate_ppm)
+        for r in corpus_quality_classifier_report(spark, SF_CHECK).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (n, k) in agg.items():
+        assert got[lang] == (
+            lang == DSIR_TARGET_LANG,
+            n,
+            k,
+            (1_000_000 * k) // n,
+        ), lang
+    tgt = got[DSIR_TARGET_LANG]
+    assert 0 < tgt[2] < tgt[1]  # target slice has keeps AND drops
+
+
+def test_keep_best_quality_python_model(spark):
+    """dedup_keep_best_quality == the Python argmax over the component
+    labels x the scorer frame: canonical = the cluster member with max
+    (logit, -doc_id); full-corpus anchor; keep-count == |clusters| +
+    |unclustered|; and the quality pick must DIFFER from min-id
+    canonical selection somewhere, or the classifier isn't in the
+    loop."""
+    from projetbigdata_spark.operators.classifier import (
+        corpus_quality_classifier_scores,
+        dedup_keep_best_quality,
+    )
+    from projetbigdata_spark.operators.dedup import (
+        dedup_components_verified_prefiltered,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from tests.conftest import SF_CHECK
+
+    logit = {
+        r.doc_id: r.logit_micros
+        for r in corpus_quality_classifier_scores(spark, SF_CHECK).collect()
+    }
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup_components_verified_prefiltered(
+            spark, SF_CHECK
+        ).collect()
+    }
+    best = {}
+    for d, c in comp.items():
+        if c not in best or (logit[d], -d) > (logit[best[c]], -best[c]):
+            best[c] = d
+    total = load_table(spark, SF_CHECK, "documents").count()
+
+    got = dedup_keep_best_quality(spark, SF_CHECK).collect()
+    assert len(got) == total
+    n_keep = 0
+    for r in got:
+        expect_canon = best[comp[r.doc_id]] if r.doc_id in comp else r.doc_id
+        assert r.canonical_id == expect_canon, r.doc_id
+        assert r.keep == (r.canonical_id == r.doc_id), r.doc_id
+        assert r.logit_micros == logit[r.doc_id], r.doc_id
+        n_keep += int(r.keep)
+    n_clusters = len(set(comp.values()))
+    assert n_keep == n_clusters + (total - len(comp))
+    # the quality argmax must disagree with min-id selection somewhere
+    min_id = {}
+    for d, c in comp.items():
+        min_id[c] = min(min_id.get(c, d), d)
+    assert any(best[c] != min_id[c] for c in best)

@@ -79,6 +79,10 @@ PER_DOC_KEEPERS = [
     # r8: soft-dedup anchors the full doc set (null-text docs form one
     # exact-clone cluster -> size>1 -> down-weighted, never dropped)
     "corpus_softdedup_weights",
+    "corpus_softdedup_sample",  # r8: same anchor, verdict projection
+    # r8: quality-aware canonical selection anchors the full doc set
+    # (null-text docs score the intercept and keep their cluster row)
+    "dedup_keep_best_quality",
 ]
 
 EXPLODE_DROPPERS = [

@@ -334,6 +334,13 @@ EXCHANGE_BUDGET = {
     # barrier; post-barrier: size rollup + probe-back + span-profile
     # aggs + the two full-corpus anchor joins
     "corpus_softdedup_weights": 12,
+    # r8: the acceptance verdict is a projection on the weights frame
+    "corpus_softdedup_sample": 12,
+    # r8: scorer plan + one per-lang hash-agg (partial/final)
+    "corpus_quality_classifier_report": 6,
+    # r8: verified-component subtree (not barriered in the final plan)
+    # + the barriered scorer + per-cluster window + anchor joins
+    "dedup_keep_best_quality": 24,
 }
 
 

@@ -112,6 +112,8 @@ QUERIES = [
     "text_search_phrase3",
     "text_search_phrase_slop",
     "corpus_softdedup_weights",
+    "corpus_quality_classifier_report",
+    "dedup_keep_best_quality",
 ]
 
 
