@@ -603,9 +603,14 @@ def _seed_centroids(vec: DataFrame, k: int = K_CENTROIDS) -> DataFrame:
     head = vec.orderBy("vec_id").limit(SEED_LO + k)
     n_head = head.count()
     if n_head == 0:
-        raise ValueError(
-            "_seed_centroids: empty vector corpus — nothing to seed"
-        )
+        # empty corpus: empty centroids -> every downstream k-means /
+        # dedup / balance frame is 0 rows, which IS the registered
+        # empty-input contract (tests/test_empty_inputs.py). The
+        # ADVICE r7 zero-centroid hazard is the NON-empty case (0 < n
+        # <= SEED_LO silently seeding nothing) — that takes the rank
+        # fallback below; genuinely-empty in -> empty out is correct,
+        # not an error.
+        return fast
     offset = SEED_LO if n_head > SEED_LO else 0
     w = Window.orderBy("vec_id")
     return (
@@ -1812,6 +1817,132 @@ def _dedup_semantic_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_semantic(spark, sf_dir, k=K_CENTROIDS)
 
 
+def corpus_cluster_balance_sample(
+    spark: SparkSession, sf_dir: str, k: int | str = K_CENTROIDS
+) -> DataFrame:
+    """CLUSTER-BALANCED sampling — topic-diversity flattening over the
+    embedding space (the cluster-level curation move of MiniPile /
+    DCLM-style pipelines: cluster the corpus, then re-weight cluster
+    MASS instead of judging docs one by one): k-means-cluster the
+    vectors with the shared integer-Lloyd tier, then thin every
+    over-represented cluster to ~one balanced share of the corpus —
+    accept_ppm = min(1e6, 1e6·ceil(n/k) div cluster_n), realized per
+    vector by the salted-bucket acceptance idiom ('clbal' salt, so the
+    decision is independent of the softdedup/DSIR/mixture samplers').
+    Clusters at or under the balanced share keep everything; a cluster
+    holding 10× its share keeps ~10% of its members, chosen
+    deterministically — re-runs and corpus appends never flip a
+    verdict. Output: (vec_id, cid, cluster_n, accept_ppm, bucket,
+    selected) — the verdict frame that composes with the doc_id =
+    vec_id convention exactly like dedup_embedding_cosine.
+
+    Plan: the Lloyd tier is the shared sim_ivf_topk code (broadcast
+    k-row centroid crossJoin + in-row integer folds, 2 unrolled
+    iterations); the assignment frame is plan-barriered because two
+    consumers read it (the k-row size rollup and the verdict
+    projection); cluster_n probes back via a broadcast-sized k-row
+    join and the balanced share is one broadcast 1-row total. At
+    100 TB the only corpus-sized stages are the assignment fold and
+    the final projection — the balancing math runs on k rows.
+
+    The k DIAL follows dedup_semantic's rule (the registered row pins
+    k=K_CENTROIDS=16 so the static oracle's seed range stays exact;
+    library callers pass k="auto" ≈ √n/2 at deployment — the
+    SCALE.md fixture-dial scale trap)."""
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    if k == "auto":
+        k = _auto_k(load_table(spark, sf_dir, "embeddings").count())
+    cents = _seed_centroids(vec, k)
+    for _ in range(2):
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    assign = _argmin_cid(_dists_to_centroids(vec, cents)).localCheckpoint(
+        eager=False
+    )
+    sizes = assign.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("cluster_n")
+    )
+    tot = sizes.agg(
+        F.sum("cluster_n").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+    )
+    return (
+        assign.join(sizes, "cid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            "cid",
+            "cluster_n",
+            F.expr(
+                "LEAST(CAST(1000000 AS BIGINT),"
+                " (1000000 * ((n_total + n_clusters - 1)"
+                " div n_clusters)) div cluster_n)"
+            ).alias("accept_ppm"),
+            F.expr(
+                "CAST(conv(substring(md5(concat('clbal',"
+                " CAST(vec_id AS STRING))), 1, 8), 16, 10)"
+                " AS BIGINT) % 1000000"
+            ).alias("bucket"),
+        )
+        .withColumn("selected", F.col("bucket") < F.col("accept_ppm"))
+    )
+
+
+CLUSTER_BALANCE_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+c0 AS (
+    SELECT CAST(vec_id - {SEED_LO} AS INT) AS cid, dim, xs AS ms
+    FROM v WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+),
+{_ivf_assign_cte("1", "c0")},
+c1 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("2", "c1")},
+c2 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a2 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("3", "c2")},
+sizes AS (
+    SELECT cid, CAST(count(*) AS BIGINT) AS cluster_n
+    FROM a3 GROUP BY cid
+),
+tot AS (
+    SELECT sum(cluster_n) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes
+)
+SELECT a3.vec_id, a3.cid, sizes.cluster_n,
+       CAST(LEAST(1000000,
+                  (1000000 * ((tot.n_total + tot.n_clusters - 1)
+                              // tot.n_clusters))
+                  // sizes.cluster_n) AS BIGINT) AS accept_ppm,
+       CAST(CAST('0x' || substr(md5('clbal'
+                                    || CAST(a3.vec_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000000 AS BIGINT) AS bucket,
+       CAST(CAST('0x' || substr(md5('clbal'
+                                    || CAST(a3.vec_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000000
+            < LEAST(1000000,
+                    (1000000 * ((tot.n_total + tot.n_clusters - 1)
+                                // tot.n_clusters))
+                    // sizes.cluster_n) AS BOOLEAN) AS selected
+FROM a3 JOIN sizes USING (cid), tot
+"""
+
+
 MMR_SHORTLIST = 10  # relevance candidates per query fed to MMR
 MMR_SELECT = 5      # diversified picks returned per query
 # λ = 1/2: argmax λ·rel − (1−λ)·maxsim ≡ argmax (rel − maxsim), so the
@@ -2369,6 +2500,7 @@ QUERIES = {
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_hybrid_rrf_ivf": search_hybrid_rrf_ivf,
     "dedup_semantic": _dedup_semantic_registered,
+    "corpus_cluster_balance_sample": corpus_cluster_balance_sample,
     "sim_ivf_incremental": sim_ivf_incremental,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
     "sim_lsh_buckets": sim_lsh_buckets,
@@ -2390,6 +2522,7 @@ ORACLE_SQL = {
     "search_hybrid_rrf": _hybrid_rrf_sql(),
     "search_hybrid_rrf_ivf": _hybrid_rrf_ivf_sql(),
     "dedup_semantic": SEMDEDUP_SQL,
+    "corpus_cluster_balance_sample": CLUSTER_BALANCE_SQL,
     "sim_ivf_incremental": IVF_INCREMENTAL_SQL,
     "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,
     "sim_lsh_buckets": LSH_SQL,

@@ -16,30 +16,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r8, second wave applied). Slot 1: q22_sales_opportunity — the one row the r7
+# round (r8). Slot 1: q22_sales_opportunity — the one row the r7
 # rotation missed (it sat at slot 51; its latest green row is r3, four
-# rounds old — VERDICT r7 item 1 says lead with it). Tier A (5): the
+# rounds old — VERDICT r7 item 1 says lead with it). Tier A (9): the
 # r8 additions — corpus_quality_classifier_scores (NEW — frozen-
 # coefficient quality-classifier scoring, full oracle),
-# corpus_softdedup_weights (NEW — duplication-aware sampling weights),
+# corpus_softdedup_weights / corpus_softdedup_sample (NEW —
+# duplication-aware sampling weights + the executable verdict),
 # text_search_phrase3 / text_search_phrase_slop (NEW — k-term and
-# proximity phrase search), ml_quality_classifier_fit (NEW —
-# rows-only like every mllib fit), corpus_softdedup_sample (NEW — the
-# executable soft-dedup verdict), corpus_quality_classifier_report
-# (NEW — the per-lang classifier audit), and dedup_keep_best_quality
-# (NEW — quality-aware canonical selection). Compositions (3, rule c — latest
-# green r5, three rounds old): corpus_curate, corpus_curate_calibrated,
-# sim_ivf_incremental (~24s of sf0.01 wall together, within the ~25%
-# composition cap). Tier C (41): the r4-era tail, led by the six
-# slot-51+ next-in-line rows VERDICT r7 named, then every other query
-# whose latest green row is r4 EXCEPT the six lowest-risk surfaces
-# (vocab_topk — re-proven every round as the entry() flagship and the
-# bench headline; label_index; embed_l2norm; agg_percentiles;
-# agg_stats_exact; set_ops — zero-join projection / single-table-agg /
-# static-set shapes), which sit past slot 50 as next-in-line if the
-# driver budget stretches. 1 + 8 + 3 + 38 = 50; after this block every
-# registered query's latest green row is r5+ except those six.
-# collect() raises if a priority name is not registered.
+# proximity phrase search), ml_quality_classifier_fit (NEW — rows-only
+# like every mllib fit), corpus_quality_classifier_report (NEW — the
+# per-lang classifier audit), dedup_keep_best_quality (NEW —
+# quality-aware canonical selection), and
+# corpus_cluster_balance_sample (NEW — topic-diversity cluster-
+# balanced sampling over the shared integer-Lloyd tier). Compositions
+# (3, rule c — latest green r5, three rounds old): corpus_curate,
+# corpus_curate_calibrated, sim_ivf_incremental (~24s of sf0.01 wall
+# together, within the ~25% composition cap). Tier C (37): the r4-era
+# tail, led by the six slot-51+ next-in-line rows VERDICT r7 named,
+# then every other query whose latest green row is r4 EXCEPT the seven
+# lowest-risk surfaces (vocab_topk — re-proven every round as the
+# entry() flagship and the bench headline; label_index; embed_l2norm;
+# agg_percentiles; agg_stats_exact; agg_rollup; set_ops — zero-join
+# projection / single-table-agg / static-set shapes), which sit past
+# slot 50 as next-in-line if the driver budget stretches.
+# 1 + 9 + 3 + 37 = 50; after this block every registered query's
+# latest green row is r5+ except those seven. collect() raises if a
+# priority name is not registered.
 _PRIORITY = (
     # --- slot 1: the missed r3-era straggler ---
     "q22_sales_opportunity",
@@ -52,6 +55,7 @@ _PRIORITY = (
     "corpus_softdedup_sample",
     "corpus_quality_classifier_report",
     "dedup_keep_best_quality",
+    "corpus_cluster_balance_sample",
     # --- compositions re-entering under rule c (latest green r5) ---
     "corpus_curate",
     "corpus_curate_calibrated",
@@ -65,7 +69,6 @@ _PRIORITY = (
     "corpus_quality_quantiles",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_rollup",
     "agg_salted_user_totals",
     "bow_vectorize",
     "chunk_documents_udtf",
@@ -98,6 +101,7 @@ _PRIORITY = (
     # --- next-in-line past slot 50: lowest-risk r4-era rows ---
     "agg_percentiles",
     "agg_stats_exact",
+    "agg_rollup",
     "set_ops",
     "vocab_topk",
     "label_index",

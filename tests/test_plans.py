@@ -72,6 +72,9 @@ CARTESIAN_OK = {
     # localCheckpoint that hides the siblings' folds from the final
     # plan. Candidate generation itself is the equi-join probe.
     "sim_ivf_incremental",
+    # r8: cluster balance crossJoins the broadcast 1-row (n_total,
+    # n_clusters) aggregate — the declared-broadcast totals class
+    "corpus_cluster_balance_sample",
 }
 
 
@@ -341,6 +344,9 @@ EXCHANGE_BUDGET = {
     # r8: verified-component subtree (not barriered in the final plan)
     # + the barriered scorer + per-cluster window + anchor joins
     "dedup_keep_best_quality": 24,
+    # r8: cluster balance — post-barrier: the k-row size rollup, its
+    # 1-row total, and the verdict projection's probe-back join
+    "corpus_cluster_balance_sample": 5,
 }
 
 

@@ -828,3 +828,63 @@ def test_pack_nextfit_matches_python_model(spark, docs):
         for pid, tot in fills.items():
             if pid != last:
                 assert tot * 2 > PACK_BUDGET, (sh, pid)
+
+
+def test_cluster_balance_sample_laws(spark):
+    """corpus_cluster_balance_sample invariants: full-corpus anchor
+    (one row per vector), the balance arithmetic recomputed in Python
+    from the frame's own cluster sizes, the salted-bucket acceptance
+    recomputed from md5, under-share clusters fully kept, and the
+    realized thinning of over-share clusters within binomial
+    tolerance of its target."""
+    import hashlib
+
+    from projetbigdata_spark.operators.similarity import (
+        corpus_cluster_balance_sample,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from tests.conftest import SF_CHECK
+
+    rows = corpus_cluster_balance_sample(spark, SF_CHECK).collect()
+    n = load_table(spark, SF_CHECK, "embeddings").count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r.cid, set()).add(r.vec_id)
+    csize = {c: len(v) for c, v in sizes.items()}
+    assert sum(csize.values()) == n
+    k = len(csize)
+    share = -(-n // k)  # ceil
+    kept_by_cid = {}
+    for r in rows:
+        assert r.cluster_n == csize[r.cid], r.vec_id
+        expect_ppm = min(1_000_000, (1_000_000 * share) // r.cluster_n)
+        assert r.accept_ppm == expect_ppm, r.vec_id
+        hv = int(
+            hashlib.md5(f"clbal{r.vec_id}".encode()).hexdigest()[:8], 16
+        )
+        assert r.bucket == hv % 1_000_000, r.vec_id
+        assert r.selected == (r.bucket < r.accept_ppm), r.vec_id
+        kept_by_cid[r.cid] = kept_by_cid.get(r.cid, 0) + int(r.selected)
+    # under-share clusters keep everything
+    small = [c for c in csize if csize[c] <= share]
+    assert small, "fixture must have at least one under-share cluster"
+    for c in small:
+        assert kept_by_cid[c] == csize[c], c
+    # over-share clusters are genuinely thinned toward the share (the
+    # synthetic embedding space is near-uniform — clusters run ~0.7x
+    # to ~1.3x the share — so the law is binomial closeness to the
+    # target mass, not a dramatic cut; the 10x-cluster case is pinned
+    # arithmetically by the accept_ppm check above)
+    big = [c for c in csize if csize[c] > share]
+    assert big, "fixture must have at least one over-share cluster"
+    thinned_somewhere = False
+    for c in big:
+        thinned_somewhere |= kept_by_cid[c] < csize[c]
+        # binomial tolerance: 5 sigma around cluster_n * accept_ppm
+        p = min(1.0, share / csize[c])
+        mu, sd = csize[c] * p, (csize[c] * p * (1 - p)) ** 0.5
+        assert abs(kept_by_cid[c] - mu) <= 5 * sd + 3, (c, kept_by_cid[c], mu)
+    assert thinned_somewhere

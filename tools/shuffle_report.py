@@ -114,6 +114,7 @@ QUERIES = [
     "corpus_softdedup_weights",
     "corpus_quality_classifier_report",
     "dedup_keep_best_quality",
+    "corpus_cluster_balance_sample",
 ]
 
 
