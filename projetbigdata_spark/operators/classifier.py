@@ -240,6 +240,13 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "logit_micros")
         .localCheckpoint(eager=False)
     )
+    # the component labels feed two consumers (the argmax join and the
+    # full-corpus anchor) but are NOT barriered: the two subplans are
+    # identical, so ReuseExchange canonicalizes them inside the one
+    # query — measured, a localCheckpoint here is a net LOSS (sf0.01
+    # 4.0s -> 14.1s; sf5 20.0s -> 22.8s) because the materialization
+    # costs more than the reuse saves. The barrier rule applies when
+    # consumers diverge BEFORE a shuffle; here they don't.
     comp = dedup_components_verified_prefiltered(spark, sf_dir)
     from pyspark.sql import Window
 

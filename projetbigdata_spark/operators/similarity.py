@@ -2492,6 +2492,89 @@ LIMIT {HYBRID_TOP_N}
 """
 
 
+def search_hybrid_rrf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_hybrid_rrf with the vector tier swapped to PQ —
+    completing the candidate-source swap family for the fusion layer
+    (MMR already spans brute/IVF/PQ; this gives RRF the same three):
+    the vector side is sim_pq_topk's ADC-shortlist + exact-refine
+    top-5, the byte-bounded tier a memory-constrained deployment
+    ships. Fusion logic, depths, and the keyword side are shared
+    verbatim with the brute and IVF variants; diffing the three
+    registered rows is fusion-level telemetry across the whole
+    index-tier menu (raw-ADC recall bites exactly where the PQ row's
+    fused set departs from the brute row's)."""
+    from pyspark.sql.window import Window
+
+    from projetbigdata_spark.operators.tfidf import text_search_bm25
+
+    tune(spark)
+    bm = text_search_bm25(spark, sf_dir)
+    tr = (
+        bm.withColumn(
+            "r_text",
+            F.row_number().over(
+                Window.orderBy(F.col("score_m").desc(), "doc_id")
+            ),
+        )
+        .where(F.col("r_text") <= RRF_DEPTH)
+        .select("doc_id", "r_text")
+    )
+    vr = (
+        sim_pq_topk(spark, sf_dir)
+        .where(F.col("query_id") == HYBRID_QUERY_VEC)
+        .select(
+            F.col("neighbor_id").alias("v_doc"),
+            F.col("rnk").cast("int").alias("r_vec"),
+        )
+    )
+    fused = tr.join(vr, tr.doc_id == vr.v_doc, "full").select(
+        F.coalesce("doc_id", "v_doc").alias("doc_id"),
+        "r_text",
+        "r_vec",
+        (
+            F.coalesce(
+                F.expr(f"CAST(1000000 div ({RRF_K} + r_text) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+            + F.coalesce(
+                F.expr(f"CAST(1000000 div ({RRF_K} + r_vec) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("rrf_micros"),
+    )
+    return fused.orderBy(F.col("rrf_micros").desc(), "doc_id").limit(
+        HYBRID_TOP_N
+    )
+
+
+def _hybrid_rrf_pq_sql() -> str:
+    from projetbigdata_spark.operators.tfidf import BM25_SQL
+
+    return f"""
+WITH bm AS ({BM25_SQL}),
+tr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_m DESC, doc_id)
+                AS INT) AS r_text
+    FROM bm
+    QUALIFY r_text <= {RRF_DEPTH}
+),
+pq AS ({PQ_SQL}),
+vr AS (
+    SELECT neighbor_id AS v_doc, CAST(rnk AS INT) AS r_vec
+    FROM pq WHERE query_id = {HYBRID_QUERY_VEC}
+)
+SELECT coalesce(t.doc_id, u.v_doc) AS doc_id,
+       t.r_text, u.r_vec,
+       CAST(coalesce(1000000 // ({RRF_K} + t.r_text), 0)
+            + coalesce(1000000 // ({RRF_K} + u.r_vec), 0)
+           AS BIGINT) AS rrf_micros
+FROM tr t FULL JOIN vr u ON t.doc_id = u.v_doc
+ORDER BY rrf_micros DESC, doc_id
+LIMIT {HYBRID_TOP_N}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_mmr_rerank": sim_mmr_rerank,
@@ -2499,6 +2582,7 @@ QUERIES = {
     "sim_mmr_rerank_pq": sim_mmr_rerank_pq,
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_hybrid_rrf_ivf": search_hybrid_rrf_ivf,
+    "search_hybrid_rrf_pq": search_hybrid_rrf_pq,
     "dedup_semantic": _dedup_semantic_registered,
     "corpus_cluster_balance_sample": corpus_cluster_balance_sample,
     "sim_ivf_incremental": sim_ivf_incremental,
@@ -2521,6 +2605,7 @@ ORACLE_SQL = {
     "sim_mmr_rerank_pq": MMR_PQ_SQL,
     "search_hybrid_rrf": _hybrid_rrf_sql(),
     "search_hybrid_rrf_ivf": _hybrid_rrf_ivf_sql(),
+    "search_hybrid_rrf_pq": _hybrid_rrf_pq_sql(),
     "dedup_semantic": SEMDEDUP_SQL,
     "corpus_cluster_balance_sample": CLUSTER_BALANCE_SQL,
     "sim_ivf_incremental": IVF_INCREMENTAL_SQL,

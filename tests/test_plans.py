@@ -55,6 +55,7 @@ CARTESIAN_OK = {
     # sim_topk_bruteforce shape) + BM25's inherited totals folds
     "search_hybrid_rrf",
     "search_hybrid_rrf_ivf",
+    "search_hybrid_rrf_pq",
     # r7: skew report crossJoins each table's broadcast 1-row totals
     "join_key_skew_report",
     # r7: the ingest twin folds the totals twice (ratio table + the
@@ -347,6 +348,9 @@ EXCHANGE_BUDGET = {
     # r8: cluster balance — post-barrier: the k-row size rollup, its
     # 1-row total, and the verdict projection's probe-back join
     "corpus_cluster_balance_sample": 5,
+    # r8: the PQ-tier RRF swap — BM25's 9 + the PQ tier's ADC/refine
+    # stages + the 20-row fusion gather
+    "search_hybrid_rrf_pq": 21,
 }
 
 

@@ -609,3 +609,46 @@ def test_mmr_ivf_variant_contract(spark):
         # rank 1 = relevance argmax with id tiebreak
         best = min(shortlist, key=lambda n: (-shortlist[n], n))
         assert picks[1][0] == best, qid
+
+
+def test_hybrid_rrf_pq_swaps_vector_tier(spark):
+    """search_hybrid_rrf_pq == RRF with the vector side handed to
+    sim_pq_topk (completing the brute/IVF/PQ swap family for the
+    fusion layer): vector ranks are exactly the PQ tier's rnk for the
+    query vector, keyword ranks match the brute variant's, fused
+    score is exactly Σ 1e6 // (60 + rank) over the sides present."""
+    from projetbigdata_spark.operators.similarity import (
+        HYBRID_QUERY_VEC,
+        HYBRID_TOP_N,
+        RRF_K,
+        search_hybrid_rrf,
+        search_hybrid_rrf_pq,
+        sim_pq_topk,
+    )
+
+    got = [
+        (r.doc_id, r.r_text, r.r_vec, r.rrf_micros)
+        for r in search_hybrid_rrf_pq(spark, SF_CHECK).collect()
+    ]
+    assert 0 < len(got) <= HYBRID_TOP_N
+
+    pq_rank = {
+        r.neighbor_id: r.rnk
+        for r in sim_pq_topk(spark, SF_CHECK).collect()
+        if r.query_id == HYBRID_QUERY_VEC
+    }
+    brute_text = {
+        r.doc_id: r.r_text
+        for r in search_hybrid_rrf(spark, SF_CHECK).collect()
+        if r.r_text is not None
+    }
+    for d, rt, rv, s in got:
+        assert rv == pq_rank.get(d), d
+        if d in brute_text and rt is not None:
+            assert rt == brute_text[d], d
+        expect = (1_000_000 // (RRF_K + rt) if rt is not None else 0) + (
+            1_000_000 // (RRF_K + rv) if rv is not None else 0
+        )
+        assert s == expect, d
+    # the vector side actually contributes (PQ hits present)
+    assert any(rv is not None for _, _, rv, _ in got)

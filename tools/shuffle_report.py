@@ -115,6 +115,7 @@ QUERIES = [
     "corpus_quality_classifier_report",
     "dedup_keep_best_quality",
     "corpus_cluster_balance_sample",
+    "search_hybrid_rrf_pq",
 ]
 
 
