@@ -100,6 +100,22 @@ def main() -> None:
     )
     print(f"int8 worst reconstruction error: {worst}")
 
+    # diversity audit: cluster-balanced sampling over the same space
+    # (r8) — how much mass the balanced corpus would keep per cluster
+    from projetbigdata_spark.operators.similarity import (
+        corpus_cluster_balance_sample,
+    )
+
+    bal = corpus_cluster_balance_sample(spark, sf_dir)
+    b = bal.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("selected").cast("int")).alias("sel"),
+        F.countDistinct("cid").alias("k"),
+    ).first()
+    print(
+        f"cluster balance: {b.sel}/{b.n} vectors kept across {b.k} clusters"
+    )
+
     verdicts = ingest(spark, sf_dir)
     verdicts.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)

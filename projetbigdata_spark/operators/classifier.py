@@ -45,12 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projetbigdata_spark.operators.features import (
-    FEATURE_HASHING_SQL,
-    text_feature_hashing,
-)
+from projetbigdata_spark.operators.features import FEATURE_HASHING_SQL
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import (
+    load_documents_parallel,
+    load_table,
+)
 
 # Frozen output of `python tools/fit_quality_classifier.py` on
 # /root/testdata/sf0.01 (500 docs, 146 predicted target-like).
@@ -85,16 +85,15 @@ QC_COEF_MICROS = {
 }
 
 
-def corpus_quality_classifier_scores(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Score every document with the frozen quality classifier:
-    (doc_id, lang, logit_micros, keep) — the keep/weight verdict
-    frame a curation pipeline thresholds or resamples on. One corpus
-    pass + a broadcast join against the ≤HASH_BUCKETS-row coefficient
-    table; full-corpus anchor (no-token docs score the intercept)."""
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+def quality_scores_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Frame-level scoring core — any (doc_id, lang, text) frame in,
+    the verdict frame out — shared by the registered corpus query and
+    the streaming ingest twin (quality_scores_stream), so batch and
+    per-micro-batch verdicts can never drift. The model is stateless
+    (a frozen 64-row coefficient table), which is why the streaming
+    twin needs no state store: scoring a batch IS the batch query."""
+    from projetbigdata_spark.operators.features import hashed_features_of
+
     coef = F.broadcast(
         spark.createDataFrame(
             sorted(QC_COEF_MICROS.items()),
@@ -102,7 +101,7 @@ def corpus_quality_classifier_scores(
         )
     )
     dot = (
-        text_feature_hashing(spark, sf_dir)
+        hashed_features_of(docs)
         .join(coef, "bucket")
         .groupBy("doc_id")
         .agg(
@@ -113,7 +112,7 @@ def corpus_quality_classifier_scores(
             ).alias("dot")
         )
     )
-    return docs.join(dot, "doc_id", "left").select(
+    return docs.select("doc_id", "lang").join(dot, "doc_id", "left").select(
         "doc_id",
         "lang",
         (
@@ -127,6 +126,20 @@ def corpus_quality_classifier_scores(
             + F.coalesce(F.col("dot"), F.lit(0).cast("decimal(38,0)"))
             >= 0
         ).alias("keep"),
+    )
+
+
+def corpus_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Score every document with the frozen quality classifier:
+    (doc_id, lang, logit_micros, keep) — the keep/weight verdict
+    frame a curation pipeline thresholds or resamples on. One corpus
+    pass + a broadcast join against the ≤HASH_BUCKETS-row coefficient
+    table; full-corpus anchor (no-token docs score the intercept)."""
+    tune(spark)
+    return quality_scores_of(
+        spark, load_documents_parallel(spark, sf_dir)
     )
 
 

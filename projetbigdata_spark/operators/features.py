@@ -320,9 +320,16 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually train on. Shuffle = |docs × distinct buckets| ≤
     |docs|·HASH_BUCKETS rows of three ints."""
     tune(spark)
-    tok = load_documents_parallel(spark, sf_dir).select(
-        "doc_id", F.explode(tokenize("text")).alias("token")
-    )
+    return hashed_features_of(load_documents_parallel(spark, sf_dir))
+
+
+def hashed_features_of(docs: DataFrame) -> DataFrame:
+    """Frame-level core of text_feature_hashing — (doc_id, text) in,
+    long-form (doc_id, bucket, n, signed_sum) out — so the registered
+    query, the classifier scorer, and the streaming ingest twin all
+    hash through the same expressions (the span_profile_of factoring
+    convention)."""
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     # hash ONCE into an intermediate column (ADVICE r6): bucket and
     # sign both derive from hv without relying on codegen CSE to
     # dedupe two inlined md5 calls

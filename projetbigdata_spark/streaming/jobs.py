@@ -312,6 +312,30 @@ def ann_ingest_stream(
     )
 
 
+def quality_scores_stream(docs_stream, out_dir: str):
+    """Streaming quality-filter scoring: each micro-batch of incoming
+    documents (doc_id, lang, text) is scored by the FROZEN classifier
+    via foreachBatch — 'gate today's crawl on the learned quality
+    filter as it arrives', extending the ingest-twin family
+    (dedup / ANN / span / selection) to the classifier tier. The model
+    is a stateless 64-row coefficient table, so there is no state
+    store and no ordering sensitivity: scoring a micro-batch IS the
+    batch query on that slice (the shared
+    operators/classifier.quality_scores_of core — batch == streaming
+    verdicts is the tested property, tests/test_streaming.py)."""
+    from projetbigdata_spark.operators.classifier import quality_scores_of
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = quality_scores_of(batch_df.sparkSession, batch_df)
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
 def anomaly_state_path(state_dir: str) -> str:
     """The VERSIONED partials root under a state_dir (ADVICE r6). The
     r6 idempotence fix changed the state layout from flat appended

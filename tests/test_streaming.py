@@ -781,3 +781,44 @@ def test_anomaly_stream_equals_batch(spark, tmp_path):
         )
         == before
     )
+
+
+def test_quality_scores_stream_equals_batch(spark, tmp_path):
+    """Streaming classifier scoring == the batch scorer on the same
+    docs: the corpus arrives as two parquet micro-batches; per-batch
+    frozen-coefficient verdicts must together reproduce
+    corpus_quality_classifier_scores exactly (the stateless-model
+    ingest twin — no state store, no ordering sensitivity)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.classifier import (
+        corpus_quality_classifier_scores,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import quality_scores_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    other = docs.subtract(half)
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = quality_scores_stream(stream, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = corpus_quality_classifier_scores(spark, SF_SMOKE)
+    assert streamed.count() == batch.count()
+    cols = ["doc_id", "lang", "logit_micros", "keep"]
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
