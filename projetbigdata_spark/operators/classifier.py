@@ -47,10 +47,7 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.operators.features import FEATURE_HASHING_SQL
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import (
-    load_documents_parallel,
-    load_table,
-)
+from projetbigdata_spark.sources.catalog import load_table
 
 # Frozen output of `python tools/fit_quality_classifier.py` on
 # /root/testdata/sf0.01 (500 docs, 146 predicted target-like).
@@ -91,7 +88,12 @@ def quality_scores_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
     the streaming ingest twin (quality_scores_stream), so batch and
     per-micro-batch verdicts can never drift. The model is stateless
     (a frozen 64-row coefficient table), which is why the streaming
-    twin needs no state store: scoring a batch IS the batch query."""
+    twin needs no state store: scoring a batch IS the batch query.
+
+    The width repartition rides ONLY the tokenize/hash branch (the
+    compute-heavy explode, load_documents_parallel's rationale); the
+    anchor branch reads the frame as-is — a round-robin exchange buys
+    the skinny (doc_id, lang) projection nothing."""
     from projetbigdata_spark.operators.features import hashed_features_of
 
     coef = F.broadcast(
@@ -101,7 +103,9 @@ def quality_scores_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
     )
     dot = (
-        hashed_features_of(docs)
+        hashed_features_of(
+            docs.repartition(spark.sparkContext.defaultParallelism)
+        )
         .join(coef, "bucket")
         .groupBy("doc_id")
         .agg(
@@ -138,9 +142,7 @@ def corpus_quality_classifier_scores(
     pass + a broadcast join against the ≤HASH_BUCKETS-row coefficient
     table; full-corpus anchor (no-token docs score the intercept)."""
     tune(spark)
-    return quality_scores_of(
-        spark, load_documents_parallel(spark, sf_dir)
-    )
+    return quality_scores_of(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _coef_values_sql() -> str:

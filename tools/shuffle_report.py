@@ -169,6 +169,14 @@ BYTE_BUDGET_MB = {
     "corpus_dsir_weights_hashed_incremental": 5.7,
     "dedup_span_decontaminate": 2.7,
     "search_hybrid_rrf": 3.9,
+    # r8 >1 MB shufflers: the classifier rows' volume is the hashed-
+    # feature stream; softdedup / keep-best inherit their component +
+    # span subtrees; the PQ fusion inherits BM25 + the code frames
+    "corpus_quality_classifier_scores": 4.0,
+    "corpus_quality_classifier_report": 4.0,
+    "corpus_softdedup_weights": 15.4,
+    "dedup_keep_best_quality": 9.9,
+    "search_hybrid_rrf_pq": 6.3,
 }
 
 
