@@ -224,6 +224,103 @@ GROUP BY lang
 """
 
 
+QS_RATE_PPM = 250_000  # keep the top ~25% of the corpus by quality
+QS_BIN = 65_536  # logit-histogram bin width in micros (~0.066 logits)
+QS_BIAS = 1 << 40  # shift logits non-negative so div == floor-div on
+# BOTH engines (Spark `div` truncates toward zero on negatives while
+# DuckDB `//` floors — the bias sidesteps the divergence entirely)
+
+
+def corpus_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the TOP ~QS_RATE_PPM of the corpus by learned quality —
+    the GPT-3-style "train on the best-scoring slice" selection made
+    executable: every doc's frozen-classifier logit falls into a
+    QS_BIN-micro histogram bin, and the corpus keeps all docs at or
+    above the LARGEST bin where the top-down cumulative count first
+    reaches budget = ceil(rate·n). Overshoot is bounded by one bin's
+    population and auditable from the output (the threshold bin is a
+    column); re-runs and engine changes never flip a verdict because
+    the rule is pure arithmetic on the logit.
+
+    This is top-ρ selection WITHOUT a corpus-wide sort (the naive
+    recipe — rank all docs by score, cut at ρ·n — is a corpus-sized
+    skewed sort at 100 TB): the cumulative scan runs over the logit
+    HISTOGRAM, ≤ |bins| rows at any corpus size, so beyond the scorer
+    the added cost is one |bins|-row window and a broadcast 1-row
+    threshold. The same histogram-threshold trick
+    corpus_token_budget_sample uses for budget fill and
+    corpus_quality_quantiles uses for percentiles, pointed at
+    quality selection. Output: (doc_id, lang, logit_micros, bin,
+    threshold_bin, selected) — the verdict frame that composes with
+    corpus_curate / corpus_sample_assign like every keep frame."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    scores = quality_scores_of(
+        spark, load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)  # consumed by the histogram AND
+    # the verdict projection — one scoring pass, not two
+    binned = scores.select(
+        "doc_id",
+        "lang",
+        "logit_micros",
+        F.expr(f"(logit_micros + {QS_BIAS}) div {QS_BIN}").alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    thresh = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("cum")
+            >= F.expr(f"(n * {QS_RATE_PPM} + 999999) div 1000000")
+        )
+        .agg(F.max("bin").alias("t_bin"))
+    )
+    return binned.crossJoin(F.broadcast(thresh)).select(
+        "doc_id",
+        "lang",
+        "logit_micros",
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("t_bin").cast("bigint").alias("threshold_bin"),
+        F.coalesce(F.col("bin") >= F.col("t_bin"), F.lit(False)).alias(
+            "selected"
+        ),
+    )
+
+
+QUALITY_SELECT_SQL = f"""
+WITH s AS ({QUALITY_CLASSIFIER_SQL}),
+b AS (
+    SELECT doc_id, lang, logit_micros,
+           (logit_micros + {QS_BIAS}) // {QS_BIN} AS bin
+    FROM s
+),
+hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+cum AS (
+    SELECT bin,
+           sum(c) OVER (ORDER BY bin DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+    FROM hist
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+th AS (
+    SELECT max(bin) AS t_bin
+    FROM cum, tot
+    WHERE cum >= (n * {QS_RATE_PPM} + 999999) // 1000000
+)
+SELECT b.doc_id, b.lang, b.logit_micros,
+       CAST(b.bin AS BIGINT) AS bin,
+       CAST(th.t_bin AS BIGINT) AS threshold_bin,
+       coalesce(b.bin >= th.t_bin, FALSE) AS selected
+FROM b, th
+"""
+
+
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-AWARE canonical selection — dedup_keep_canonical with
     the classifier in the loop: instead of keeping the min-id member
@@ -320,11 +417,13 @@ LEFT JOIN s s2 ON d.doc_id = s2.doc_id
 QUERIES = {
     "corpus_quality_classifier_scores": corpus_quality_classifier_scores,
     "corpus_quality_classifier_report": corpus_quality_classifier_report,
+    "corpus_quality_select": corpus_quality_select,
     "dedup_keep_best_quality": dedup_keep_best_quality,
 }
 
 ORACLE_SQL = {
     "corpus_quality_classifier_scores": QUALITY_CLASSIFIER_SQL,
     "corpus_quality_classifier_report": _classifier_report_sql(),
+    "corpus_quality_select": QUALITY_SELECT_SQL,
     "dedup_keep_best_quality": _keep_best_quality_sql(),
 }

@@ -18,7 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
 # round (r8). Slot 1: q22_sales_opportunity — the one row the r7
 # rotation missed (it sat at slot 51; its latest green row is r3, four
-# rounds old — VERDICT r7 item 1 says lead with it). Tier A (10): the
+# rounds old — VERDICT r7 item 1 says lead with it). Tier A (11): the
 # r8 additions — corpus_quality_classifier_scores (NEW — frozen-
 # coefficient quality-classifier scoring, full oracle),
 # corpus_softdedup_weights / corpus_softdedup_sample (NEW —
@@ -31,19 +31,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # corpus_cluster_balance_sample (NEW — topic-diversity cluster-
 # balanced sampling over the shared integer-Lloyd tier), and
 # search_hybrid_rrf_pq (NEW — the PQ-tier fusion swap, completing the
-# brute/IVF/PQ family for RRF as MMR already has). Compositions
+# brute/IVF/PQ family for RRF as MMR already has), and
+# corpus_quality_select (NEW — top-ρ-by-quality selection via the
+# logit-histogram threshold, no corpus-wide sort). Compositions
 # (3, rule c — latest green r5, three rounds old): corpus_curate,
 # corpus_curate_calibrated, sim_ivf_incremental (~24s of sf0.01 wall
-# together, within the ~25% composition cap). Tier C (36): the r4-era
+# together, within the ~25% composition cap). Tier C (35): the r4-era
 # tail, led by the six slot-51+ next-in-line rows VERDICT r7 named,
-# then every other query whose latest green row is r4 EXCEPT the eight
+# then every other query whose latest green row is r4 EXCEPT the nine
 # lowest-risk surfaces (vocab_topk — re-proven every round as the
 # entry() flagship and the bench headline; label_index; embed_l2norm;
-# agg_cube; agg_percentiles; agg_stats_exact; agg_rollup; set_ops — zero-join
+# agg_cube; agg_percentiles; agg_stats_exact; agg_rollup; set_ops; join_left_outer — zero-or-one-join
 # projection / single-table-agg / static-set shapes), which sit past
 # slot 50 as next-in-line if the driver budget stretches.
-# 1 + 10 + 3 + 36 = 50; after this block every registered query's
-# latest green row is r5+ except those eight. collect() raises if a
+# 1 + 11 + 3 + 35 = 50; after this block every registered query's
+# latest green row is r5+ except those nine. collect() raises if a
 # priority name is not registered.
 _PRIORITY = (
     # --- slot 1: the missed r3-era straggler ---
@@ -59,6 +61,7 @@ _PRIORITY = (
     "dedup_keep_best_quality",
     "corpus_cluster_balance_sample",
     "search_hybrid_rrf_pq",
+    "corpus_quality_select",
     # --- compositions re-entering under rule c (latest green r5) ---
     "corpus_curate",
     "corpus_curate_calibrated",
@@ -79,7 +82,6 @@ _PRIORITY = (
     "join_bucketed_priority_counts",
     "join_full_outer",
     "join_interval_binned",
-    "join_left_outer",
     "join_range_late",
     "pos_trigrams",
     "q10_returned_items",
@@ -101,6 +103,7 @@ _PRIORITY = (
     "text_unigram_freq_score",
     "unpivot_nation_metrics",
     # --- next-in-line past slot 50: lowest-risk r4-era rows ---
+    "join_left_outer",
     "agg_cube",
     "agg_percentiles",
     "agg_stats_exact",

@@ -96,6 +96,7 @@ REPRESENTATIVES = [
     "corpus_softdedup_sample",           # verdict frame over 0 docs
     "dedup_keep_best_quality",           # argmax over 0 clusters
     "corpus_cluster_balance_sample",     # k-means over 0 vectors
+    "corpus_quality_select",             # histogram over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input

@@ -347,3 +347,55 @@ def test_keep_best_quality_python_model(spark):
     for d, c in comp.items():
         min_id[c] = min(min_id.get(c, d), d)
     assert any(best[c] != min_id[c] for c in best)
+
+
+def test_quality_select_python_model(spark):
+    """corpus_quality_select == the Python histogram-threshold model:
+    bins from biased floor-div, T = largest bin whose top-down
+    cumulative count reaches ceil(rate*n), selected iff bin >= T; the
+    realized keep count lands in [budget, budget + |T bin| - 1]; and
+    selection is monotone in quality (every kept doc's logit >= every
+    dropped doc's bin floor)."""
+    from collections import Counter
+
+    from projetbigdata_spark.operators.classifier import (
+        QS_BIAS,
+        QS_BIN,
+        QS_RATE_PPM,
+        corpus_quality_classifier_scores,
+        corpus_quality_select,
+    )
+    from tests.conftest import SF_CHECK
+
+    logits = {
+        r.doc_id: r.logit_micros
+        for r in corpus_quality_classifier_scores(spark, SF_CHECK).collect()
+    }
+    n = len(logits)
+    bins = {d: (lm + QS_BIAS) // QS_BIN for d, lm in logits.items()}
+    hist = Counter(bins.values())
+    budget = (n * QS_RATE_PPM + 999_999) // 1_000_000
+    cum = 0
+    t_bin = None
+    for b in sorted(hist, reverse=True):
+        cum += hist[b]
+        if cum >= budget:
+            t_bin = b
+            break
+    assert t_bin is not None
+
+    got = {r.doc_id: r for r in corpus_quality_select(spark, SF_CHECK).collect()}
+    assert len(got) == n
+    n_sel = 0
+    for d, r in got.items():
+        assert r.logit_micros == logits[d], d
+        assert r.bin == bins[d], d
+        assert r.threshold_bin == t_bin, d
+        assert r.selected == (bins[d] >= t_bin), d
+        n_sel += int(r.selected)
+    assert budget <= n_sel <= budget + hist[t_bin] - 1
+    # monotone in quality: min kept logit >= max dropped logit's bin
+    kept_min = min(r.logit_micros for r in got.values() if r.selected)
+    drop_max = max(r.logit_micros for r in got.values() if not r.selected)
+    assert kept_min > drop_max - QS_BIN
+    assert 0 < n_sel < n  # fixture exercises both verdicts

@@ -80,6 +80,9 @@ PER_DOC_KEEPERS = [
     # exact-clone cluster -> size>1 -> down-weighted, never dropped)
     "corpus_softdedup_weights",
     "corpus_softdedup_sample",  # r8: same anchor, verdict projection
+    # r8: top-rho selection anchors the full doc set (null text ->
+    # intercept logit, binned and verdict-ed like any other doc)
+    "corpus_quality_select",
     # r8: quality-aware canonical selection anchors the full doc set
     # (null-text docs score the intercept and keep their cluster row)
     "dedup_keep_best_quality",

@@ -76,6 +76,9 @@ CARTESIAN_OK = {
     # r8: cluster balance crossJoins the broadcast 1-row (n_total,
     # n_clusters) aggregate — the declared-broadcast totals class
     "corpus_cluster_balance_sample",
+    # r8: quality select crossJoins TWO broadcast 1-row constants
+    # (the corpus total feeding the budget; the threshold bin)
+    "corpus_quality_select",
 }
 
 
@@ -351,6 +354,9 @@ EXCHANGE_BUDGET = {
     # r8: the PQ-tier RRF swap — BM25's 9 + the PQ tier's ADC/refine
     # stages + the 20-row fusion gather
     "search_hybrid_rrf_pq": 21,
+    # r8: top-rho quality selection — post-barrier: the bin hash-agg,
+    # its 1-row total, the |bins|-row window, the verdict projection
+    "corpus_quality_select": 6,
 }
 
 

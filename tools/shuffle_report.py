@@ -116,6 +116,7 @@ QUERIES = [
     "dedup_keep_best_quality",
     "corpus_cluster_balance_sample",
     "search_hybrid_rrf_pq",
+    "corpus_quality_select",
 ]
 
 
@@ -177,6 +178,7 @@ BYTE_BUDGET_MB = {
     "corpus_softdedup_weights": 15.4,
     "dedup_keep_best_quality": 9.9,
     "search_hybrid_rrf_pq": 6.3,
+    "corpus_quality_select": 4.0,
 }
 
 
