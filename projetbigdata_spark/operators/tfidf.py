@@ -594,6 +594,93 @@ def text_search_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_search_phrase_kslop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-TERM proximity phrase search — the two r8 generalizations
+    COMPOSED (the full Lucene sloppy-PhraseQuery shape): count END
+    positions where PHRASE3_TERMS all matched in order with at most
+    PHRASE_SLOP tokens between consecutive terms. The fold tracks
+    "a valid prefix of terms[0..j] ENDS here" as a boolean array:
+    b_0[i] = (w[i] = t0); b_j[i] = (w[i] = t_j) AND OR over gaps
+    g = 1..slop+1 of b_{j-1}[i-g] — each step is slop+1 RIGHT-shifts
+    of the previous array (prepend g falses) OR-folded positionally,
+    then one equality AND. Still one corpus scan, zero joins,
+    O(k·slop·tokens) in-row compute, TakeOrderedAndProject — chain
+    ends beyond the array compare against zip_with's NULL padding and
+    fold to NULL, which the counting filter drops. Slop 0 degenerates
+    to text_search_phrase3 exactly (pinned in tests); the count
+    convention is distinct end positions (one per chain end, however
+    many gap configurations reach it) — the doc-hit convention the
+    2-term slop query uses, spelled at k terms."""
+    tune(spark)
+    docs = load_documents_parallel(spark, sf_dir)
+    w = tokenize(F.coalesce(F.col("text"), F.lit("")))
+
+    def shift_right(arr, g):
+        return F.concat(
+            F.array_repeat(F.lit(False), g),
+            F.slice(arr, 1, F.greatest(F.size(arr) - g, F.lit(0))),
+        )
+
+    def or_zip(a, b):
+        return F.zip_with(
+            a,
+            b,
+            lambda p, q: F.coalesce(p, F.lit(False))
+            | F.coalesce(q, F.lit(False)),
+        )
+
+    b = F.transform(w, lambda x: x == F.lit(PHRASE3_TERMS[0]))
+    for t in PHRASE3_TERMS[1:]:
+        reach = shift_right(b, 1)
+        for g in range(2, PHRASE_SLOP + 2):
+            reach = or_zip(reach, shift_right(b, g))
+        b = F.zip_with(
+            F.transform(w, lambda x: x == F.lit(t)),
+            reach,
+            lambda here, prev: here & prev,
+        )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(b, lambda p: p)).cast("bigint").alias(
+                "n_matches"
+            ),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(PHRASE_TOP_N)
+    )
+
+
+PHRASE_KSLOP_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               t -> t <> '') AS w
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len([e FOR e IN generate_series(1, len(w))
+                IF w[e] = '{PHRASE3_TERMS[2]}'
+                AND len([p FOR p IN generate_series(
+                             greatest(1, e - {PHRASE_SLOP + 1}), e - 1)
+                         IF w[p] = '{PHRASE3_TERMS[1]}'
+                         AND list_contains(
+                                 w[greatest(1, p - {PHRASE_SLOP + 1})
+                                   : p - 1],
+                                 '{PHRASE3_TERMS[0]}')]) > 0]) AS n_matches
+    FROM toks
+)
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+FROM m
+WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id
+LIMIT {PHRASE_TOP_N}
+"""
+
+
 PHRASE3_SQL = f"""
 WITH toks AS (
     SELECT doc_id,
@@ -646,6 +733,7 @@ QUERIES = {
     "text_search_phrase": text_search_phrase,
     "text_search_phrase3": text_search_phrase3,
     "text_search_phrase_slop": text_search_phrase_slop,
+    "text_search_phrase_kslop": text_search_phrase_kslop,
     "text_tf": text_tf,
     "text_idf": text_idf,
     "text_tfidf_top": text_tfidf_top,
@@ -658,6 +746,7 @@ ORACLE_SQL = {
     "text_search_phrase": PHRASE_SQL,
     "text_search_phrase3": PHRASE3_SQL,
     "text_search_phrase_slop": PHRASE_SLOP_SQL,
+    "text_search_phrase_kslop": PHRASE_KSLOP_SQL,
     "text_tf": TF_SQL,
     "text_idf": IDF_SQL,
     "text_tfidf_top": TFIDF_SQL,

@@ -18,7 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
 # round (r8). Slot 1: q22_sales_opportunity — the one row the r7
 # rotation missed (it sat at slot 51; its latest green row is r3, four
-# rounds old — VERDICT r7 item 1 says lead with it). Tier A (11): the
+# rounds old — VERDICT r7 item 1 says lead with it). Tier A (12): the
 # r8 additions — corpus_quality_classifier_scores (NEW — frozen-
 # coefficient quality-classifier scoring, full oracle),
 # corpus_softdedup_weights / corpus_softdedup_sample (NEW —
@@ -33,19 +33,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # search_hybrid_rrf_pq (NEW — the PQ-tier fusion swap, completing the
 # brute/IVF/PQ family for RRF as MMR already has), and
 # corpus_quality_select (NEW — top-ρ-by-quality selection via the
-# logit-histogram threshold, no corpus-wide sort). Compositions
+# logit-histogram threshold, no corpus-wide sort), and
+# text_search_phrase_kslop (NEW — the k-term + slop composition,
+# closing the phrase family). Compositions
 # (3, rule c — latest green r5, three rounds old): corpus_curate,
 # corpus_curate_calibrated, sim_ivf_incremental (~24s of sf0.01 wall
-# together, within the ~25% composition cap). Tier C (35): the r4-era
+# together, within the ~25% composition cap). Tier C (34): the r4-era
 # tail, led by the six slot-51+ next-in-line rows VERDICT r7 named,
-# then every other query whose latest green row is r4 EXCEPT the nine
+# then every other query whose latest green row is r4 EXCEPT the ten
 # lowest-risk surfaces (vocab_topk — re-proven every round as the
 # entry() flagship and the bench headline; label_index; embed_l2norm;
-# agg_cube; agg_percentiles; agg_stats_exact; agg_rollup; set_ops; join_left_outer — zero-or-one-join
+# agg_cube; agg_percentiles; agg_stats_exact; agg_rollup; set_ops; join_left_outer; join_full_outer — zero-or-one-join
 # projection / single-table-agg / static-set shapes), which sit past
 # slot 50 as next-in-line if the driver budget stretches.
-# 1 + 11 + 3 + 35 = 50; after this block every registered query's
-# latest green row is r5+ except those nine. collect() raises if a
+# 1 + 12 + 3 + 34 = 50; after this block every registered query's
+# latest green row is r5+ except those ten. collect() raises if a
 # priority name is not registered.
 _PRIORITY = (
     # --- slot 1: the missed r3-era straggler ---
@@ -62,6 +64,7 @@ _PRIORITY = (
     "corpus_cluster_balance_sample",
     "search_hybrid_rrf_pq",
     "corpus_quality_select",
+    "text_search_phrase_kslop",
     # --- compositions re-entering under rule c (latest green r5) ---
     "corpus_curate",
     "corpus_curate_calibrated",
@@ -80,7 +83,6 @@ _PRIORITY = (
     "dedup_component_sizes",
     "join_asof_purchase_click",
     "join_bucketed_priority_counts",
-    "join_full_outer",
     "join_interval_binned",
     "join_range_late",
     "pos_trigrams",
@@ -103,6 +105,7 @@ _PRIORITY = (
     "text_unigram_freq_score",
     "unpivot_nation_metrics",
     # --- next-in-line past slot 50: lowest-risk r4-era rows ---
+    "join_full_outer",
     "join_left_outer",
     "agg_cube",
     "agg_percentiles",

@@ -92,6 +92,7 @@ REPRESENTATIVES = [
     "corpus_quality_classifier_scores",  # frozen-coef dot over 0 docs
     "text_search_phrase3",               # k-term fold over 0 docs
     "text_search_phrase_slop",           # gap-OR fold over 0 docs
+    "text_search_phrase_kslop",          # composed fold over 0 docs
     "corpus_softdedup_weights",          # anchor over 0 docs
     "corpus_softdedup_sample",           # verdict frame over 0 docs
     "dedup_keep_best_quality",           # argmax over 0 clusters

@@ -125,6 +125,7 @@ MISC_R5 = [
     "text_search_phrase",        # r7: null text holds no bigrams
     "text_search_phrase3",       # r8: k-term fold, same null posture
     "text_search_phrase_slop",   # r8: gap-OR fold, same null posture
+    "text_search_phrase_kslop",  # r8: composed fold, same null posture
     "dedup_containment_pairs",   # null-text docs emit no shingles
     "corpus_bpe_fertility",      # null-text docs count 0 words per lang
     "corpus_source_divergence",  # null-text docs add no token mass

@@ -357,6 +357,8 @@ EXCHANGE_BUDGET = {
     # r8: top-rho quality selection — post-barrier: the bin hash-agg,
     # its 1-row total, the |bins|-row window, the verdict projection
     "corpus_quality_select": 6,
+    # r8: k-term proximity — same one-scan fold class, top-k gather
+    "text_search_phrase_kslop": 1,
 }
 
 

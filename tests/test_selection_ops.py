@@ -888,3 +888,57 @@ def test_cluster_balance_sample_laws(spark):
         mu, sd = csize[c] * p, (csize[c] * p * (1 - p)) ** 0.5
         assert abs(kept_by_cid[c] - mu) <= 5 * sd + 3, (c, kept_by_cid[c], mu)
     assert thinned_somewhere
+
+
+def test_phrase_kslop_matches_python_model(spark, docs):
+    """text_search_phrase_kslop == a naive Python chain matcher
+    (distinct END positions of an in-order chain with gaps <=
+    PHRASE_SLOP between consecutive terms), with the family laws:
+    per-doc kslop count >= the exact 3-term adjacency count (every
+    adjacent chain is a slop chain), and the fixture must exercise a
+    genuine gap somewhere."""
+    from projetbigdata_spark.operators.tfidf import (
+        PHRASE3_TERMS,
+        PHRASE_SLOP,
+        PHRASE_TOP_N,
+        text_search_phrase3,
+        text_search_phrase_kslop,
+    )
+
+    def ends(w):
+        t0, t1, t2 = PHRASE3_TERMS
+        out = set()
+        for e in range(len(w)):
+            if w[e] != t2:
+                continue
+            for p in range(max(0, e - PHRASE_SLOP - 1), e):
+                if w[p] != t1:
+                    continue
+                lo = max(0, p - PHRASE_SLOP - 1)
+                if t0 in w[lo:p]:
+                    out.add(e)
+                    break
+        return len(out)
+
+    counts = {}
+    for d, t in docs.items():
+        n = ends(_tokens(t))
+        if n > 0:
+            counts[d] = n
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :PHRASE_TOP_N
+    ]
+    got = [
+        (r.doc_id, r.n_matches)
+        for r in text_search_phrase_kslop(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    assert got  # fixture exercises the matcher
+    adj = {
+        r.doc_id: r.n_matches
+        for r in text_search_phrase3(spark, SF_SMOKE).collect()
+    }
+    for d, n in adj.items():
+        assert counts.get(d, 0) >= n, d
+    # the slop window must add chains beyond exact adjacency
+    assert sum(counts.values()) > sum(adj.values())

@@ -117,6 +117,7 @@ QUERIES = [
     "corpus_cluster_balance_sample",
     "search_hybrid_rrf_pq",
     "corpus_quality_select",
+    "text_search_phrase_kslop",
 ]
 
 
