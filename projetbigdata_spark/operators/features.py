@@ -323,12 +323,17 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features_of(load_documents_parallel(spark, sf_dir))
 
 
-def hashed_features_of(docs: DataFrame) -> DataFrame:
+def hashed_features_of(
+    docs: DataFrame, n_buckets: int = HASH_BUCKETS
+) -> DataFrame:
     """Frame-level core of text_feature_hashing — (doc_id, text) in,
     long-form (doc_id, bucket, n, signed_sum) out — so the registered
     query, the classifier scorer, and the streaming ingest twin all
     hash through the same expressions (the span_profile_of factoring
-    convention)."""
+    convention). n_buckets is the deployment dial (2^18..2^20 at
+    corpus scale; the registered surface pins the 64-bucket fixture
+    dial so collisions are exercised — tools/qc_dial_study.py
+    measures what the dial buys)."""
     tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     # hash ONCE into an intermediate column (ADVICE r6): bucket and
     # sign both derive from hv without relying on codegen CSE to
@@ -337,9 +342,9 @@ def hashed_features_of(docs: DataFrame) -> DataFrame:
         tok.select("doc_id", F.expr(_HASH60_SPARK).alias("hv"))
         .select(
             "doc_id",
-            F.expr(f"CAST(hv % {HASH_BUCKETS} AS INT)").alias("bucket"),
+            F.expr(f"CAST(hv % {n_buckets} AS INT)").alias("bucket"),
             F.expr(
-                f"CASE WHEN (hv div {HASH_BUCKETS}) % 2 = 0"
+                f"CASE WHEN (hv div {n_buckets}) % 2 = 0"
                 " THEN 1 ELSE -1 END"
             ).alias("sign"),
         )
