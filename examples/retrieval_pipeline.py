@@ -92,6 +92,25 @@ def main() -> None:
             f"text_rank={r.r_text} vec_rank={r.r_vec} "
             f"phrase_hits={r.n_phrase_matches} mmr={r.mmr_pick}"
         )
+
+    # r8: the index-tier menu at fusion level — diffing the brute
+    # fused set against the PQ-tier swap is ANN-recall telemetry
+    # expressed as ranks (search_hybrid_rrf_ivf is the third column)
+    from projetbigdata_spark.operators.similarity import (
+        search_hybrid_rrf_pq,
+    )
+    from projetbigdata_spark.operators.tfidf import (
+        text_search_phrase_kslop,
+    )
+
+    brute_ids = {r.doc_id for r in report.collect()}
+    pq_ids = {r.doc_id for r in search_hybrid_rrf_pq(spark, sf_dir).collect()}
+    print(
+        f"fusion-tier agreement: |brute ∩ pq| = "
+        f"{len(brute_ids & pq_ids)}/{len(brute_ids)}"
+    )
+    ks = text_search_phrase_kslop(spark, sf_dir).count()
+    print(f"k-term proximity tier: {ks} docs match the sloppy phrase")
     spark.stop()
 
 
