@@ -105,8 +105,10 @@ def main() -> None:
             timings[name] = min(runs)
         return timings, first
 
+    load_before = os.getloadavg()
     timings, first_call = run_group(HEADLINE)
     extended, extended_first = run_group(EXTENDED)
+    load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -122,6 +124,15 @@ def main() -> None:
                 "extended_total": round(sum(extended.values()), 3),
                 "extended_first_call": extended_first,
                 "iters": n_iters,
+                # load evidence (VERDICT r8 item 6): three rounds of
+                # driver-shot jitter (r4 +24%, r7 phantom ×4, r8 +19%)
+                # were machine load, not code — loadavg_before above
+                # ~a few on this 32-thread box means the shot ran
+                # contended and the totals should be read against the
+                # same-round n=7 steady-state reference in SCALE.md.
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "cpu_count": len(os.sched_getaffinity(0)),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

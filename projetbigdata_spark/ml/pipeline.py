@@ -259,8 +259,11 @@ def quality_classifier_fit(
         docs.join(fm, "doc_id", "left")
         .select(
             "doc_id",
-            (F.col("lang") == DSIR_TARGET_LANG)
-            .cast("double")
+            # NULL lang = raw/non-target (the scorer's convention);
+            # a bare `==` comparison yields NULL labels, which
+            # LogisticRegression.fit rejects (ADVICE r8).
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1.0)
+            .otherwise(0.0)
             .alias("label"),
             array_to_vector(dense).alias("features"),
         )

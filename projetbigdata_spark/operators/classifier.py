@@ -226,9 +226,16 @@ GROUP BY lang
 
 QS_RATE_PPM = 250_000  # keep the top ~25% of the corpus by quality
 QS_BIN = 65_536  # logit-histogram bin width in micros (~0.066 logits)
-QS_BIAS = 1 << 40  # shift logits non-negative so div == floor-div on
+QS_BIAS = 1 << 60  # shift logits non-negative so div == floor-div on
 # BOTH engines (Spark `div` truncates toward zero on negatives while
-# DuckDB `//` floors — the bias sidesteps the divergence entirely)
+# DuckDB `//` floors — the bias sidesteps the divergence entirely).
+# Bound: |logit_micros| ≤ |doc_tokens| · max|coef_micros| ≈ 1e6·|doc_tokens|
+# for the frozen table's ≤1.0-logit coefficients, so 2^60 (~1.15e18)
+# keeps the operand non-negative up to ~1.15e12 tokens per doc — far
+# beyond any real document (a 2^40 bias flipped sign at ~1.1M tokens,
+# reachable at 100 TB; ADVICE r8). The shifted operand still fits the
+# scorer's DECIMAL(38,0) / DuckDB HUGEINT widening with ~19 digits of
+# headroom, and int64 bins stay ~2^44.
 
 
 def corpus_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:

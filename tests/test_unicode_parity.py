@@ -1,4 +1,4 @@
-"""Unicode oracle-parity map (r3): the engine guarantees value-exact
+r"""Unicode oracle-parity map (r3): the engine guarantees value-exact
 DuckDB parity on ASCII corpora; this pins exactly where the JVM and
 DuckDB/RE2 text semantics agree and where they diverge, so the parity
 domain is a tested contract instead of folklore.
@@ -62,7 +62,7 @@ def test_tokenizer_parity_on_agreeing_classes(spark, duck, text):
 
 
 def test_documented_divergences_still_hold(spark, duck):
-    """If either engine changes its \s or case-folding semantics, this
+    r"""If either engine changes its \s or case-folding semantics, this
     fails and the COVERAGE.md §2.9-T2 note must be re-audited."""
     s_vtab = _spark_toks(spark, "a\x0bb")
     d_vtab = duck.execute(DUCK_TOKS, ["a\x0bb"]).fetchone()[0]

@@ -58,7 +58,10 @@ def fit_at(spark, sf_dir: str, n_buckets: int):
     )
     train = docs.join(fm, "doc_id", "left").select(
         "doc_id",
-        (F.col("lang") == DSIR_TARGET_LANG).cast("double").alias("label"),
+        # NULL lang = raw/non-target, matching the scorer (ADVICE r8)
+        F.when(F.col("lang") == DSIR_TARGET_LANG, 1.0)
+        .otherwise(0.0)
+        .alias("label"),
         array_to_vector(dense).alias("features"),
     )
     lr = LogisticRegression(
