@@ -686,7 +686,11 @@ FROM sig
 """
 
 
-def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_estimate(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | str | None = None,
+) -> DataFrame:
     """The MinHash decision step: for candidate pairs sharing an LSH
     bucket, estimate Jaccard as the fraction of agreeing signature
     slots. This is the full minhash dedup flow end-to-end — signatures
@@ -694,16 +698,33 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement — with NO exact re-verification pass, which is precisely
     how you dedup when re-tokenizing candidates is too expensive at
     scale. Estimate resolution is 1/16 (16 seeds).
-    """
+
+    bucket_cap is the pair-emission dial (VERDICT r8 item 2, default
+    off = registered/oracle semantics): a bucket of size m emits
+    m(m-1)/2 candidate pairs, so one degenerate hot bucket — replica
+    floods, boilerplate-dominated crawls — is a quadratic wall all by
+    itself (the sf10 soak's ~quadratic tail decade). With a cap, each
+    (band, bucket) keeps only its `cap` smallest doc_ids before the
+    self-join, bounding emission at cap(cap-1)/2 per bucket. Like
+    df_cap this BOUNDS RECALL: a pair collides only via buckets where
+    both docs survive the cap (other bands still catch it — replicas
+    agree in EVERY band, so a true clique needs just one surviving
+    window). Pass "auto" for suggest_bucket_cap's tail-quantile
+    ceiling; dedup_bucket_cap_report prices the drop before you opt
+    in."""
     tune(spark)
+    if bucket_cap == "auto":
+        bucket_cap = suggest_bucket_cap(spark, sf_dir)
     # one shingle scan for the whole query: the signature aggregate is
     # checkpointed and reused by the candidate side (via bands) and
     # both agreement sides
     sigs = _signatures(spark, sf_dir).localCheckpoint()
-    return _estimate_edges(sigs)
+    return _estimate_edges(sigs, bucket_cap=bucket_cap)
 
 
-def _estimate_edges(sigs: DataFrame) -> DataFrame:
+def _estimate_edges(
+    sigs: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
     """Banded-LSH candidate join + signature agreement over an already
     materialized signature frame -> (doc_a, doc_b, jaccard_est). The
     core of dedup_minhash_estimate, reusable on a signature SUBSET
@@ -712,11 +733,20 @@ def _estimate_edges(sigs: DataFrame) -> DataFrame:
     # band-exploded buckets pre-partitioned on the join key so the
     # self-join reads both sides from one materialization (no per-side
     # exchange — ReuseExchange can't dedupe the aliased branches)
-    buckets = (
-        _band_explode(sigs)
-        .repartition("band", "bucket")
-        .localCheckpoint(eager=False)
-    )
+    banded = _band_explode(sigs).repartition("band", "bucket")
+    if bucket_cap is not None:
+        # keep-smallest-doc_ids is deterministic and engine-portable
+        # (row_number over a total order); the window rides the
+        # repartition above — a sort per partition, no extra exchange.
+        # Applied BEFORE the checkpoint so the capped frame is what
+        # materializes once for both self-join sides.
+        w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+        banded = (
+            banded.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= int(bucket_cap))
+            .drop("rn")
+        )
+    buckets = banded.localCheckpoint(eager=False)
     cand = (
         buckets.alias("x")
         .join(
@@ -772,6 +802,127 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN sigs a ON a.doc_id = doc_a
 JOIN sigs b ON b.doc_id = doc_b
+"""
+
+
+def suggest_bucket_cap(
+    spark: SparkSession, sf_dir: str, coverage_ppm: int = 999_000
+) -> int:
+    """Adaptive per-(band,bucket) candidate cap (VERDICT r8 item 2),
+    the suggest_df_cap pattern pointed at LSH bucket sizes: the
+    smallest power-of-2 ceiling that leaves at least `coverage_ppm` of
+    buckets untouched — so only the pathological tail (the hot buckets
+    whose m(m-1)/2 emission is the ~quadratic wall) gets truncated,
+    and the cap tracks the corpus's own size distribution instead of a
+    fixture constant. Driver-side: consumes a count-of-counts
+    histogram (<= |distinct sizes| rows, never |buckets|), returns an
+    int for the bucket_cap dials. Floor at 2 — cap 1 emits zero pairs
+    from every capped bucket."""
+    sizes = (
+        _band_explode(_signatures(spark, sf_dir))
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"))
+    )
+    hist = sorted(
+        sizes.groupBy("sz").agg(F.count("*").alias("n")).collect(),
+        key=lambda r: r.sz,
+    )
+    total = sum(r.n for r in hist)
+    if total == 0:
+        return 2  # empty corpus: any floor works, nothing to cap
+    cum, knee = 0, 2
+    for r in hist:
+        cum += r.n
+        if cum * 1_000_000 >= coverage_ppm * total:
+            knee = max(2, int(r.sz))
+            break
+    cap = 2
+    while cap < knee:
+        cap <<= 1
+    return cap
+
+
+# Registered report dial: 2 is the smallest pair-emitting cap, and the
+# only value the sf0.01 driver fixture (max bucket size 4) can trip —
+# any larger registered default leaves the capped CASE branch dead in
+# every driver check (measured: cap=8 first trips at sf0.1). The
+# registered value exists to keep BOTH arithmetic branches
+# oracle-exercised; deployments price their real cap via
+# suggest_bucket_cap / bucket_cap="auto" (power-of-2 tail-quantile
+# ceiling), never this constant.
+BUCKET_CAP_DEFAULT = 2
+
+
+def dedup_bucket_cap_report(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | str = BUCKET_CAP_DEFAULT,
+) -> DataFrame:
+    """Drop-impact telemetry for the bucket_cap dial — per band: how
+    many LSH buckets exist, the largest, how many the cap would
+    truncate, how many doc-slots truncation removes, and the exact
+    candidate-pair emission before/after (sum of m(m-1)/2 vs capped).
+    This is the pre-flight a deployment runs BEFORE opting into
+    bucket_cap on dedup_minhash_estimate / dedup_components_minhash:
+    pairs_uncapped - pairs_capped is precisely the self-join work the
+    dial saves, and n_doc_slots_dropped bounds the recall exposure.
+    Pure count-of-counts arithmetic on the bucket-size frame — |bands|
+    output rows at any corpus size, no pair materialization."""
+    tune(spark)
+    if bucket_cap == "auto":
+        bucket_cap = suggest_bucket_cap(spark, sf_dir)
+    cap = int(bucket_cap)
+    sizes = (
+        _band_explode(_signatures(spark, sf_dir))
+        .groupBy("band", "bucket")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+    )
+    return sizes.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buckets_capped"),
+        F.sum(F.when(F.col("sz") > cap, F.col("sz") - cap).otherwise(0))
+        .cast("bigint")
+        .alias("n_doc_slots_dropped"),
+        F.sum(F.expr("sz * (sz - 1) div 2"))
+        .cast("bigint")
+        .alias("pairs_uncapped"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN sz > {cap} THEN {cap * (cap - 1) // 2} "
+                "ELSE sz * (sz - 1) div 2 END"
+            )
+        )
+        .cast("bigint")
+        .alias("pairs_capped"),
+    )
+
+
+BUCKET_CAP_SQL = f"""
+WITH {_minhash_base_ctes},
+buckets AS (
+    {_minhash_band_rows}
+),
+bs AS (
+    SELECT band, bucket, CAST(count(*) AS BIGINT) AS sz
+    FROM buckets GROUP BY band, bucket
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN sz > {BUCKET_CAP_DEFAULT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_buckets_capped,
+       CAST(sum(CASE WHEN sz > {BUCKET_CAP_DEFAULT}
+                     THEN sz - {BUCKET_CAP_DEFAULT} ELSE 0 END)
+            AS BIGINT) AS n_doc_slots_dropped,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pairs_uncapped,
+       CAST(sum(CASE WHEN sz > {BUCKET_CAP_DEFAULT}
+                     THEN {BUCKET_CAP_DEFAULT * (BUCKET_CAP_DEFAULT - 1) // 2}
+                     ELSE sz * (sz - 1) // 2 END)
+            AS BIGINT) AS pairs_capped
+FROM bs GROUP BY band
 """
 
 
@@ -1117,7 +1268,11 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
 EST_COMPONENT_THRESHOLD = 0.5
 
 
-def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | str | None = None,
+) -> DataFrame:
     """Dedup groups straight from the MinHash ESTIMATE edges
     (jaccard_est >= 0.5) — the 100 TB composition: signature agreement
     already computed by the banded flow feeds component grouping
@@ -1126,10 +1281,21 @@ def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same min-label propagation as dedup_components; only the edge
     source differs. Oracle: recursive-CTE transitive closure over the
-    identically-filtered estimate edges."""
+    identically-filtered estimate edges.
+
+    bucket_cap (default off) passes through to the estimate tier: the
+    pair-emission bound for the ~quadratic hot-bucket tail this plain
+    tier shows on replica-heavy corpora (sf10 soak, SCALE.md). Capped
+    components REFINE the uncapped partition (fewer edges can only
+    split components, never merge them — the monotone-in-cap contract
+    test pins this); replica cliques still collapse because exact
+    copies agree in every band and the cap keeps a clique window per
+    bucket. Prefer dedup_components_prefiltered when replicas dominate
+    — the cap is for corpora where NEAR-duplicate (not byte-identical)
+    boilerplate floods single buckets."""
     tune(spark)
     edges = (
-        dedup_minhash_estimate(spark, sf_dir)
+        dedup_minhash_estimate(spark, sf_dir, bucket_cap=bucket_cap)
         .where(F.col("jaccard_est") >= EST_COMPONENT_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -1652,6 +1818,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_levenshtein_candidates": dedup_levenshtein_candidates,
     "dedup_minhash_estimate": dedup_minhash_estimate,
+    "dedup_bucket_cap_report": dedup_bucket_cap_report,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_jaccard_verified": dedup_jaccard_verified,
@@ -1672,6 +1839,7 @@ ORACLE_SQL = {
     "dedup_embedding_cosine": EMBED_COSINE_SQL,
     "dedup_levenshtein_candidates": LEVENSHTEIN_SQL,
     "dedup_minhash_estimate": MINHASH_EST_SQL,
+    "dedup_bucket_cap_report": BUCKET_CAP_SQL,
     "dedup_jaccard_pairs": JACCARD_SQL,
     "dedup_containment_pairs": CONTAINMENT_SQL,
     "dedup_jaccard_verified": JACCARD_VERIFIED_SQL,

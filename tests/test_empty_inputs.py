@@ -94,6 +94,8 @@ REPRESENTATIVES = [
     "text_search_phrase_slop",           # gap-OR fold over 0 docs
     "text_search_phrase_kslop",          # composed fold over 0 docs
     "corpus_softdedup_weights",          # anchor over 0 docs
+    # r9 additions
+    "dedup_bucket_cap_report",           # cap telemetry over 0 buckets
     "corpus_softdedup_sample",           # verdict frame over 0 docs
     "dedup_keep_best_quality",           # argmax over 0 clusters
     "corpus_cluster_balance_sample",     # k-means over 0 vectors

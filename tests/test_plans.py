@@ -359,6 +359,9 @@ EXCHANGE_BUDGET = {
     "corpus_quality_select": 6,
     # r8: k-term proximity — same one-scan fold class, top-k gather
     "text_search_phrase_kslop": 1,
+    # r9: bucket-cap telemetry — signature hash-agg (partial/final),
+    # the (band,bucket)-size agg, and the |bands|-row rollup
+    "dedup_bucket_cap_report": 4,
 }
 
 

@@ -118,6 +118,8 @@ QUERIES = [
     "search_hybrid_rrf_pq",
     "corpus_quality_select",
     "text_search_phrase_kslop",
+    # r9 additions
+    "dedup_bucket_cap_report",
 ]
 
 
