@@ -42,6 +42,7 @@ from projetbigdata_spark.operators.classifier import (  # noqa: E402
 from projetbigdata_spark.operators.curation import (  # noqa: E402
     CURATE_MAX_DUP_WORD_FRAC,
     corpus_softdedup_sample,
+    corpus_source_cap,
     CURATE_MAX_EVAL_OVERLAP_PPM,
     CURATE_MAX_STOPWORD_RATIO,
     CURATE_MAX_TOP_BIGRAM_SHARE,
@@ -252,6 +253,18 @@ def main() -> None:
     print(
         f"softdedup: {s.sel}/{s.n} docs sampled "
         f"(expected mass {s.mass / 1_000_000:.1f} docs)"
+    )
+    caps = corpus_source_cap(spark, sf_dir)
+    cp = caps.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("selected").cast("int")).alias("sel"),
+        F.countDistinct(
+            F.when(F.col("accept_ppm") < 1_000_000, F.col("source"))
+        ).alias("n_capped_sources"),
+    ).first()
+    print(
+        f"source cap: {cp.sel}/{cp.n} docs pass "
+        f"({cp.n_capped_sources} sources thinned toward the share cap)"
     )
     qc = corpus_quality_classifier_scores(spark, sf_dir)
     k = qc.agg(

@@ -1678,6 +1678,124 @@ FROM j
 """
 
 
+SOURCE_CAP_PPM = 40_000  # registered dial: the fixtures' 20 sources
+# sit at a uniform 50_000 ppm share, so 40_000 trips the thinning
+# branch on every source (a cap above 50_000 would leave the dial's
+# arithmetic driver-unexercised); deployments pass their policy value.
+LANG_CAP_PPM = 200_000  # the lang-keyed twin exercises BOTH branches:
+# en holds ~43% of the fixture corpus (thinned), the other four langs
+# ~14-15% each (kept whole).
+
+
+def _key_cap_frame(
+    docs: DataFrame, key: str, cap_ppm: int, salt: str
+) -> DataFrame:
+    """Shared core of corpus_source_cap / corpus_lang_cap: cap any
+    single value of `key` at ~cap_ppm of the corpus. Per key value:
+    ceiling = ceil(cap_ppm · n_total / 1e6) docs (rounds UP to a whole
+    document — the cluster-balance convention, so a nonzero cap never
+    zeroes a group); accept_ppm = min(1e6, 1e6·ceiling div key_n);
+    verdict realized per doc by the salted-bucket idiom (md5(salt ||
+    doc_id) % 1e6 < accept_ppm) — deterministic, append-stable,
+    decorrelated from the softdedup/DSIR/mixture/clbal samplers by the
+    salt. The ceiling is relative to the INPUT corpus size (one pass,
+    no fixpoint renormalization against the post-drop total — the same
+    declared one-pass posture as corpus_softdedup_weights).
+
+    Scale: one |keys|-row hash-agg, a broadcast 1-row total, an
+    eqNullSafe probe-back join against the ≤|keys|-row size frame
+    (NULL keys group and join as their own bucket — the r8
+    overlap-audit convention), and a per-row verdict projection. No
+    corpus-wide sort at any size."""
+    sizes = docs.groupBy(key).agg(
+        F.count("*").cast("bigint").alias("key_n")
+    )
+    tot = sizes.agg(F.sum("key_n").cast("bigint").alias("n_total"))
+    s = sizes.withColumnRenamed(key, "_k")
+    return (
+        docs.select("doc_id", key)
+        .join(F.broadcast(s), F.col(key).eqNullSafe(F.col("_k")))
+        .drop("_k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            key,
+            F.col("key_n").alias(f"{key}_n"),
+            F.expr(
+                "LEAST(CAST(1000000 AS BIGINT),"
+                f" (1000000 * (({cap_ppm} * n_total + 999999)"
+                " div 1000000)) div key_n)"
+            ).alias("accept_ppm"),
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{salt}',"
+                " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+                " AS BIGINT) % 1000000"
+            ).alias("bucket"),
+        )
+        .withColumn("selected", F.col("bucket") < F.col("accept_ppm"))
+    )
+
+
+def corpus_source_cap(
+    spark: SparkSession, sf_dir: str, cap_ppm: int = SOURCE_CAP_PPM
+) -> DataFrame:
+    """Per-SOURCE share cap — the RefinedWeb-style "no domain exceeds
+    X% of the corpus" verdict (VERDICT r8 item 3): corpus_domain_stats
+    MEASURES source skew; this enforces it, thinning every
+    over-represented source to ~cap_ppm of the corpus by deterministic
+    salted-bucket acceptance. The domain-keyed sibling of
+    corpus_cluster_balance_sample (which flattens embedding clusters)
+    — same accept_ppm arithmetic, re-keyed to documents.source with a
+    policy cap instead of the balanced share. Output: (doc_id, source,
+    source_n, accept_ppm, bucket, selected) — composes with
+    corpus_curate / the samplers like every verdict frame."""
+    tune(spark)
+    return _key_cap_frame(
+        load_table(spark, sf_dir, "documents"), "source", cap_ppm, "srccap"
+    )
+
+
+def corpus_lang_cap(
+    spark: SparkSession, sf_dir: str, cap_ppm: int = LANG_CAP_PPM
+) -> DataFrame:
+    """corpus_source_cap re-keyed to LANGUAGE — the "cap English
+    dominance" rebalancing move of multilingual corpus curation. On
+    the fixtures this is the twin that exercises both verdict
+    branches: en (~43% share) is thinned toward 20%, the other
+    languages keep accept_ppm = 1e6."""
+    tune(spark)
+    return _key_cap_frame(
+        load_table(spark, sf_dir, "documents"), "lang", cap_ppm, "langcap"
+    )
+
+
+def _key_cap_sql(key: str, cap_ppm: int, salt: str) -> str:
+    return f"""
+WITH sizes AS (
+    SELECT {key} AS k, CAST(count(*) AS BIGINT) AS key_n
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(key_n) AS BIGINT) AS n_total FROM sizes)
+SELECT d.doc_id, d.{key} AS {key}, s.key_n AS {key}_n,
+       CAST(LEAST(1000000,
+                  (1000000 * (({cap_ppm} * tot.n_total + 999999)
+                              // 1000000)) // s.key_n)
+            AS BIGINT) AS accept_ppm,
+       CAST(CAST('0x' || substr(md5('{salt}'
+                                    || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000000 AS BIGINT) AS bucket,
+       CAST(CAST('0x' || substr(md5('{salt}'
+                                    || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000000
+            < LEAST(1000000,
+                    (1000000 * (({cap_ppm} * tot.n_total + 999999)
+                                // 1000000)) // s.key_n)
+            AS BOOLEAN) AS selected
+FROM documents d
+JOIN sizes s ON d.{key} IS NOT DISTINCT FROM s.k, tot
+"""
+
+
 def corpus_softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus_softdedup_weights made EXECUTABLE — the same
     deterministic salted-bucket acceptance corpus_dsir_sample uses:
@@ -1730,6 +1848,8 @@ QUERIES = {
     "corpus_softdedup_sample": corpus_softdedup_sample,
     "corpus_curate_calibrated": corpus_curate_calibrated,
     "corpus_domain_stats": corpus_domain_stats,
+    "corpus_source_cap": corpus_source_cap,
+    "corpus_lang_cap": corpus_lang_cap,
     "corpus_source_divergence": corpus_source_divergence,
     "corpus_quality_quantiles": corpus_quality_quantiles,
     "dedup_component_sizes": dedup_component_sizes,
@@ -1749,6 +1869,8 @@ ORACLE_SQL = {
     "corpus_softdedup_sample": _softdedup_sample_sql(),
     "corpus_curate_calibrated": _corpus_curate_sql("calibrated"),
     "corpus_domain_stats": _domain_stats_sql(),
+    "corpus_source_cap": _key_cap_sql("source", SOURCE_CAP_PPM, "srccap"),
+    "corpus_lang_cap": _key_cap_sql("lang", LANG_CAP_PPM, "langcap"),
     "corpus_source_divergence": SOURCE_DIVERGENCE_SQL,
     "corpus_quality_quantiles": _quality_quantiles_sql(),
     "dedup_component_sizes": _component_sizes_sql(),

@@ -349,3 +349,112 @@ def test_span_decontaminate_matches_python_model(spark):
         w = txt.split()
         for i in range(len(w) - SPAN_K + 1):
             assert tuple(w[i : i + SPAN_K]) not in eval_windows, d
+
+
+def test_source_cap_python_model_and_contract(spark):
+    """corpus_source_cap / corpus_lang_cap vs a pure-Python model of
+    the cap math (ceil share ceiling, min with 1e6, salted buckets),
+    plus the dial contracts: accept_ppm monotone in cap_ppm (so the
+    kept set grows with the cap), cap >= max share == keep-everything,
+    and realized keep counts land near expectation per thinned key."""
+    import hashlib
+    import math
+
+    from projetbigdata_spark.operators.curation import (
+        LANG_CAP_PPM,
+        SOURCE_CAP_PPM,
+        corpus_lang_cap,
+        corpus_source_cap,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = [
+        (r.doc_id, r.source, r.lang)
+        for r in load_table(spark, SF_CHECK, "documents")
+        .select("doc_id", "source", "lang")
+        .collect()
+    ]
+    n_total = len(docs)
+
+    def model(key_of, cap_ppm, salt):
+        from collections import Counter
+
+        sizes = Counter(key_of(d) for d in docs)
+        ceiling = (cap_ppm * n_total + 999_999) // 1_000_000
+        out = {}
+        for doc_id, *_ in docs:
+            k = key_of(next(d for d in docs if d[0] == doc_id))
+            acc = min(1_000_000, (1_000_000 * ceiling) // sizes[k])
+            b = (
+                int(
+                    hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 1_000_000
+            )
+            out[doc_id] = (k, sizes[k], acc, b, b < acc)
+        return out
+
+    for fn, key_i, cap, salt in (
+        (corpus_source_cap, 1, SOURCE_CAP_PPM, "srccap"),
+        (corpus_lang_cap, 2, LANG_CAP_PPM, "langcap"),
+    ):
+        got = {
+            r.doc_id: (r[1], r[2], r.accept_ppm, r.bucket, r.selected)
+            for r in fn(spark, SF_CHECK).collect()
+        }
+        assert got == model(lambda d: d[key_i], cap, salt), fn.__name__
+
+    # lang twin exercises BOTH branches on the fixture
+    lang_rows = corpus_lang_cap(spark, SF_CHECK).collect()
+    accs = {r.lang: r.accept_ppm for r in lang_rows}
+    assert any(a == 1_000_000 for a in accs.values())  # kept whole
+    assert any(a < 1_000_000 for a in accs.values())  # thinned
+
+    # monotone in the cap; cap >= max share keeps everything
+    kept_tight = {
+        r.doc_id
+        for r in corpus_source_cap(spark, SF_CHECK, cap_ppm=20_000).collect()
+        if r.selected
+    }
+    kept_loose = {
+        r.doc_id
+        for r in corpus_source_cap(spark, SF_CHECK, cap_ppm=45_000).collect()
+        if r.selected
+    }
+    assert kept_tight <= kept_loose
+    all_kept = corpus_source_cap(spark, SF_CHECK, cap_ppm=60_000)
+    assert all(r.selected for r in all_kept.collect())
+
+    # realized thinning tracks expectation: every thinned key keeps
+    # roughly accept_ppm of its docs (salted buckets are uniform)
+    from collections import defaultdict
+
+    per_key = defaultdict(lambda: [0, 0, 0])
+    for r in lang_rows:
+        per_key[r.lang][0] += 1
+        per_key[r.lang][1] += int(r.selected)
+        per_key[r.lang][2] = r.accept_ppm
+    for lang, (n, kept, acc) in per_key.items():
+        expect = n * acc / 1_000_000
+        assert abs(kept - expect) <= 3 * math.sqrt(max(expect, 1)) + 1, lang
+
+
+def test_key_cap_null_keys_survive(spark):
+    """NULL key values must group as their own bucket and SURVIVE the
+    probe-back join (eqNullSafe / IS NOT DISTINCT FROM — the r8
+    overlap-audit convention), never vanish through a NULL-key
+    equi-join."""
+    from projetbigdata_spark.operators.curation import _key_cap_frame
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id bigint, source string",
+    )
+    out = {r.doc_id: r for r in _key_cap_frame(
+        docs, "source", 400_000, "srccap"
+    ).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]  # every doc gets a verdict
+    assert out[3].source is None and out[3].source_n == 2
+    # ceiling = ceil(0.4*5) = 2 -> NULL group of 2 keeps accept 1e6
+    assert out[3].accept_ppm == 1_000_000

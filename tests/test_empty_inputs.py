@@ -96,6 +96,8 @@ REPRESENTATIVES = [
     "corpus_softdedup_weights",          # anchor over 0 docs
     # r9 additions
     "dedup_bucket_cap_report",           # cap telemetry over 0 buckets
+    "corpus_source_cap",                 # share cap over 0 docs
+    "corpus_lang_cap",                   # lang-keyed twin
     "corpus_softdedup_sample",           # verdict frame over 0 docs
     "dedup_keep_best_quality",           # argmax over 0 clusters
     "corpus_cluster_balance_sample",     # k-means over 0 vectors

@@ -86,6 +86,11 @@ PER_DOC_KEEPERS = [
     # r8: quality-aware canonical selection anchors the full doc set
     # (null-text docs score the intercept and keep their cluster row)
     "dedup_keep_best_quality",
+    # r9: share caps read only metadata keys — null text is irrelevant
+    # and every doc gets a verdict (NULL keys pinned separately in
+    # test_curation_ops.py via eqNullSafe constructed rows)
+    "corpus_source_cap",
+    "corpus_lang_cap",
 ]
 
 EXPLODE_DROPPERS = [

@@ -79,6 +79,10 @@ CARTESIAN_OK = {
     # r8: quality select crossJoins TWO broadcast 1-row constants
     # (the corpus total feeding the budget; the threshold bin)
     "corpus_quality_select",
+    # r9: share caps crossJoin the broadcast 1-row corpus total —
+    # the declared-broadcast totals class (cluster balance's shape)
+    "corpus_source_cap",
+    "corpus_lang_cap",
 }
 
 
@@ -362,6 +366,10 @@ EXCHANGE_BUDGET = {
     # r9: bucket-cap telemetry — signature hash-agg (partial/final),
     # the (band,bucket)-size agg, and the |bands|-row rollup
     "dedup_bucket_cap_report": 4,
+    # r9: share caps — the |keys|-row size agg (partial/final), its
+    # broadcast, the broadcast 1-row total; verdict is a projection
+    "corpus_source_cap": 5,
+    "corpus_lang_cap": 5,
 }
 
 

@@ -120,6 +120,8 @@ QUERIES = [
     "text_search_phrase_kslop",
     # r9 additions
     "dedup_bucket_cap_report",
+    "corpus_source_cap",
+    "corpus_lang_cap",
 ]
 
 
