@@ -425,6 +425,126 @@ FROM kept
 """
 
 
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level dedup (VERDICT r8 item 4) — the CCNet / RefinedWeb
+    move where the unit of deduplication is the newline-delimited
+    LINE, not the doc (dedup_exact) or the k-token window
+    (dedup_span_removal): boilerplate lines (nav bars, cookie
+    banners, footers) repeat across a crawl verbatim, so every line
+    whose content already appears in an EARLIER document is dropped
+    and the doc is REWRITTEN from its surviving lines. Keep-first at
+    doc granularity, exactly the span rule: repeats *within* the
+    first document are kept, every occurrence in a later doc is cut.
+    Empty lines carry no content and are never deduped — they always
+    survive, so paragraph structure is preserved.
+
+    Output: (doc_id, n_lines, n_lines_cut, text_deduped), full-corpus
+    anchored — a pipeline chains this exactly like the span pass
+    (profile → cut → re-profile), and n_lines_cut is the per-doc
+    audit column.
+
+    Plan (the dedup_span_removal idiom with newline units): one
+    line-split pass (plan-barriered — consumed by the unit explode
+    AND the reassembly join); lines hashed in-array to 60-bit keys so
+    only (doc_id, pos, key) 8-byte-key rows reach the shuffle — wide
+    line text never transits the join; one groupBy(key) for
+    first_doc; cut positions fold back to ONE int-array row per
+    affected doc; the rewrite is an in-row indexed filter + join with
+    chr(10). At 100 TB the text moves only through the final
+    projection.
+
+    Null/empty text: coalesced to '' (split -> [''] = one empty line,
+    kept) — n_lines = 1, n_lines_cut = 0, text_deduped = '' — the
+    tokenize-keeps-the-row contract. The synthetic fixtures are
+    single-line corpora, so the unit degenerates to exact-doc
+    keep-first there: the sf0.01 driver row value-checks the anchored
+    identity rebuild (that corpus has zero exact dups), sf0.1's 8
+    replica texts exercise the cut end-to-end, and the ×100-replica
+    soaks exercise it at scale; multi-line rebuilding, within-doc
+    repeats, and empty-line preservation are pinned by the
+    constructed-frame parity test in tests/test_curation_ops.py."""
+    tune(spark)
+    return line_dedup_frame(
+        _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    )
+
+
+def line_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of dedup_lines over any (doc_id, text) frame —
+    factored so the constructed-frame tests and the registered query
+    share one implementation (the hashed_features_of convention)."""
+    lines = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n").alias("ls"),
+    ).localCheckpoint(eager=False)
+    units = lines.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.col("ls"),
+                lambda l: F.when(l != "", _gram_key(l)),
+            )
+        ).alias("i0", "k"),
+    ).where(F.col("k").isNotNull())
+    stats = units.groupBy("k").agg(F.min("doc_id").alias("first_doc"))
+    cuts = (
+        units.join(stats, "k")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.col("i0") + 1).alias("cut_pos"))
+    )
+    base = lines.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "ls",
+        F.coalesce("cut_pos", F.array().cast("array<int>")).alias(
+            "cut_pos"
+        ),
+    )
+    kept = F.filter(
+        F.col("ls"),
+        lambda l, i: ~F.array_contains(F.col("cut_pos"), i + 1),
+    )
+    return base.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.size("cut_pos").cast("bigint").alias("n_lines_cut"),
+        F.array_join(kept, "\n").alias("text_deduped"),
+    )
+
+
+DEDUP_LINES_SQL = """
+WITH ls AS (
+    SELECT doc_id,
+           string_split(coalesce(text, ''), chr(10)) AS ls
+    FROM documents
+),
+units AS (
+    SELECT doc_id, i,
+           CAST('0x' || substr(md5(ls[i]), 1, 15) AS BIGINT) AS k
+    FROM ls, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+    WHERE ls[i] <> ''
+),
+stats AS (SELECT k, min(doc_id) AS first_doc FROM units GROUP BY k),
+cuts AS (
+    SELECT u.doc_id, list(u.i) AS cut_pos
+    FROM units u JOIN stats s USING (k)
+    WHERE u.doc_id > s.first_doc
+    GROUP BY u.doc_id
+),
+base AS (
+    SELECT l.doc_id, l.ls, coalesce(c.cut_pos, []) AS cut_pos
+    FROM ls l LEFT JOIN cuts c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(cut_pos) AS BIGINT) AS n_lines_cut,
+       coalesce(array_to_string(
+           list_filter(ls, (x, i) -> NOT list_contains(cut_pos, i)),
+           chr(10)), '') AS text_deduped
+FROM base
+"""
+
+
 def dedup_span_removal_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1857,6 +1977,7 @@ QUERIES = {
     "text_unigram_freq_score": text_unigram_freq_score,
     "dedup_span_profile": dedup_span_profile,
     "dedup_span_removal": dedup_span_removal,
+    "dedup_lines": dedup_lines,
     "dedup_span_removal_incremental": dedup_span_removal_incremental,
     "dedup_span_decontaminate": dedup_span_decontaminate,
     "dedup_keep_canonical": dedup_keep_canonical,
@@ -1878,6 +1999,7 @@ ORACLE_SQL = {
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,
     "dedup_span_profile": SPAN_PROFILE_SQL,
     "dedup_span_removal": SPAN_REMOVAL_SQL,
+    "dedup_lines": DEDUP_LINES_SQL,
     "dedup_span_removal_incremental": SPAN_REMOVAL_INCR_SQL,
     "dedup_span_decontaminate": SPAN_DECONTAMINATE_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),

@@ -458,3 +458,97 @@ def test_key_cap_null_keys_survive(spark):
     assert out[3].source is None and out[3].source_n == 2
     # ceiling = ceil(0.4*5) = 2 -> NULL group of 2 keeps accept 1e6
     assert out[3].accept_ppm == 1_000_000
+
+
+def test_dedup_lines_python_model_multiline(spark):
+    """dedup_lines semantics on a CONSTRUCTED multi-line corpus (the
+    fixtures are single-line, so this is where line-unit behavior is
+    pinned): keep-first at doc granularity, within-first-doc repeats
+    kept, later-doc occurrences cut wherever they sit, empty lines
+    never deduped, NULL text -> one empty kept line, rebuild joins
+    surviving lines with newlines in order."""
+    from projetbigdata_spark.operators.curation import line_dedup_frame
+
+    docs = [
+        (1, "cookie banner\nunique alpha\n\ncookie banner"),
+        (2, "unique beta\ncookie banner\nunique gamma"),
+        (3, "cookie banner\nunique alpha"),
+        (4, ""),
+        (5, None),
+        (6, "\n\nunique delta"),
+    ]
+    frame = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    # pure-Python model
+    first_doc: dict[str, int] = {}
+    for d, t in docs:
+        for ln in (t or "").split("\n"):
+            if ln != "":
+                first_doc.setdefault(ln, d)
+    expected = {}
+    for d, t in docs:
+        ls = (t or "").split("\n")
+        kept = [
+            ln
+            for ln in ls
+            if ln == "" or first_doc[ln] == d
+        ]
+        expected[d] = (len(ls), len(ls) - len(kept), "\n".join(kept))
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_cut, r.text_deduped)
+        for r in line_dedup_frame(frame).collect()
+    }
+    assert got == expected
+    # spot-pin the interesting rows so the model can't mask a bug:
+    # doc 1 is first for 'cookie banner' -> BOTH its copies survive
+    assert got[1] == (4, 0, "cookie banner\nunique alpha\n\ncookie banner")
+    # doc 2 loses only the banner line, uniques survive around the cut
+    assert got[2] == (3, 1, "unique beta\nunique gamma")
+    # doc 3 loses both lines ('unique alpha' first appeared in doc 1)
+    assert got[3] == (2, 2, "")
+    # empty / NULL text = one kept empty line
+    assert got[4] == (1, 0, "") and got[5] == (1, 0, "")
+    # doc 6's empty lines survive untouched (paragraph structure)
+    assert got[6] == (3, 0, "\n\nunique delta")
+
+
+def test_dedup_lines_matches_oracle_on_multiline_corpus(spark, tmp_path):
+    """Value-exact Spark↔DuckDB parity on a corpus that actually
+    EXERCISES the multi-line cut path (the parquet fixtures cannot —
+    they are single-line): both engines run the registered artifacts
+    over the same written table."""
+    import duckdb
+
+    from projetbigdata_spark.operators.curation import (
+        DEDUP_LINES_SQL,
+        dedup_lines,
+    )
+
+    rows = [
+        (i, "\n".join(f"line {j % 7} of group {i % 3}" for j in range(5)))
+        for i in range(30)
+    ] + [(100, None), (101, "solo\n\nsolo")]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_cut, r.text_deduped)
+        for r in dedup_lines(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(DEDUP_LINES_SQL).fetchall()
+    }
+    assert got == want
+    assert sum(c for _, c, _ in got.values()) > 0  # cut path exercised

@@ -65,6 +65,7 @@ PER_DOC_KEEPERS = [
     "corpus_dsir_sample",
     "corpus_dsir_weights_smoothed",  # r6: add-one keeps every doc
     "dedup_span_removal",  # r6: null text coalesced to '' (0 tokens)
+    "dedup_lines",  # r9: null text -> one kept empty line, 0 cut
     "text_bigram_prob_score",
     # r7: hashed-bucket DSIR anchors the full doc set (null/short text
     # -> n_bigrams=0, NULL weight)

@@ -370,6 +370,9 @@ EXCHANGE_BUDGET = {
     # broadcast, the broadcast 1-row total; verdict is a projection
     "corpus_source_cap": 5,
     "corpus_lang_cap": 5,
+    # r9: line dedup — post-barrier: first_doc groupBy on the 60-bit
+    # key, the per-doc cut-position fold, and the reassembly join
+    "dedup_lines": 4,
 }
 
 

@@ -122,6 +122,7 @@ QUERIES = [
     "dedup_bucket_cap_report",
     "corpus_source_cap",
     "corpus_lang_cap",
+    "dedup_lines",
 ]
 
 
