@@ -16,105 +16,93 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r8). Slot 1: q22_sales_opportunity — the one row the r7
-# rotation missed (it sat at slot 51; its latest green row is r3, four
-# rounds old — VERDICT r7 item 1 says lead with it). Tier A (12): the
-# r8 additions — corpus_quality_classifier_scores (NEW — frozen-
-# coefficient quality-classifier scoring, full oracle),
-# corpus_softdedup_weights / corpus_softdedup_sample (NEW —
-# duplication-aware sampling weights + the executable verdict),
-# text_search_phrase3 / text_search_phrase_slop (NEW — k-term and
-# proximity phrase search), ml_quality_classifier_fit (NEW — rows-only
-# like every mllib fit), corpus_quality_classifier_report (NEW — the
-# per-lang classifier audit), dedup_keep_best_quality (NEW —
-# quality-aware canonical selection), and
-# corpus_cluster_balance_sample (NEW — topic-diversity cluster-
-# balanced sampling over the shared integer-Lloyd tier), and
-# search_hybrid_rrf_pq (NEW — the PQ-tier fusion swap, completing the
-# brute/IVF/PQ family for RRF as MMR already has), and
-# corpus_quality_select (NEW — top-ρ-by-quality selection via the
-# logit-histogram threshold, no corpus-wide sort), and
-# text_search_phrase_kslop (NEW — the k-term + slop composition,
-# closing the phrase family). Compositions
-# (3, rule c — latest green r5, three rounds old): corpus_curate,
-# corpus_curate_calibrated, sim_ivf_incremental (~24s of sf0.01 wall
-# together, within the ~25% composition cap). Tier C (34): the r4-era
-# tail, led by the six slot-51+ next-in-line rows VERDICT r7 named,
-# then every other query whose latest green row is r4 EXCEPT the ten
-# lowest-risk surfaces (vocab_topk — re-proven every round as the
-# entry() flagship and the bench headline; label_index; embed_l2norm;
-# agg_cube; agg_percentiles; agg_stats_exact; agg_rollup; set_ops; join_left_outer; join_full_outer — zero-or-one-join
-# projection / single-table-agg / static-set shapes), which sit past
-# slot 50 as next-in-line if the driver budget stretches.
-# 1 + 12 + 3 + 34 = 50; after this block every registered query's
-# latest green row is r5+ except those ten. collect() raises if a
-# priority name is not registered.
+# round (r9, VERDICT r8 item 1). Tier B (10, leading): the r4-latest
+# rows — oldest in the ledger (parked past slot 50 since r5 as the
+# declared lowest-risk set; VERDICT r8 says rotate onto them now).
+# Tier A (6): the r9 additions — dedup_lines (NEW — line-granularity
+# dedup), corpus_source_cap / corpus_lang_cap (NEW — RefinedWeb-style
+# share caps), dedup_bucket_cap_report (NEW — pair-emission cap
+# telemetry) — plus the two r9-MODIFIED surfaces: corpus_quality_select
+# (QS_BIAS 2^40 -> 2^60 changes bin/threshold_bin values) and
+# ml_quality_classifier_fit (NULL-safe labels; rows-only). Tier C
+# (34): the r5-era tail per the slot policy — all of it except the six
+# lowest-risk single-table shapes (scalar/datetime/array_functions,
+# agg_maxby, agg_histogram_bins, topk_customers), which park past
+# slot 50 as next-in-line for r10. No compositions this round (rule
+# c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
+# went green in r8, so they re-enter at r11, not before).
+# 10 + 6 + 34 = 50; after this block every registered query's latest
+# green row is r6+ except those six parked r5 rows. collect() raises
+# if a priority name is not registered.
 _PRIORITY = (
-    # --- slot 1: the missed r3-era straggler ---
-    "q22_sales_opportunity",
-    # --- tier A: new in r8 ---
-    "corpus_quality_classifier_scores",
-    "corpus_softdedup_weights",
-    "text_search_phrase3",
-    "text_search_phrase_slop",
-    "ml_quality_classifier_fit",
-    "corpus_softdedup_sample",
-    "corpus_quality_classifier_report",
-    "dedup_keep_best_quality",
-    "corpus_cluster_balance_sample",
-    "search_hybrid_rrf_pq",
-    "corpus_quality_select",
-    "text_search_phrase_kslop",
-    # --- compositions re-entering under rule c (latest green r5) ---
-    "corpus_curate",
-    "corpus_curate_calibrated",
-    "sim_ivf_incremental",
-    # --- tier C: the r4-era tail, slot-51+ six first ---
-    "dedup_components_verified_prefiltered",
-    "dedup_keep_canonical",
-    "dedup_embedding_cosine",
-    "text_search_topk",
-    "corpus_bpe_pair_counts",
-    "corpus_quality_quantiles",
-    "agg_grouping_sets",
-    "agg_salted_user_totals",
-    "bow_vectorize",
-    "chunk_documents_udtf",
-    "dedup_component_sizes",
-    "join_asof_purchase_click",
-    "join_bucketed_priority_counts",
-    "join_interval_binned",
-    "join_range_late",
-    "pos_trigrams",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q16_supplier_breadth",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "sql_frontend_yearly_revenue",
-    "subquery_above_nation_avg",
-    "text_unigram_freq_score",
-    "unpivot_nation_metrics",
-    # --- next-in-line past slot 50: lowest-risk r4-era rows ---
-    "join_full_outer",
-    "join_left_outer",
-    "agg_cube",
-    "agg_percentiles",
-    "agg_stats_exact",
-    "agg_rollup",
-    "set_ops",
+    # --- tier B (10): the r4-latest rows, oldest in the ledger —
+    # VERDICT r8 item 1 says lead with them (parked past slot 50
+    # since r5 as the declared lowest-risk set) ---
     "vocab_topk",
     "label_index",
     "embed_l2norm",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats_exact",
+    "set_ops",
+    "join_left_outer",
+    "join_full_outer",
+    # --- tier A (6): new or behaviorally modified in r9 ---
+    "dedup_lines",  # NEW: CCNet line-granularity dedup
+    "corpus_source_cap",  # NEW: per-source share cap
+    "corpus_lang_cap",  # NEW: the lang-keyed twin (both branches)
+    "dedup_bucket_cap_report",  # NEW: pair-emission cap telemetry
+    "corpus_quality_select",  # MODIFIED: QS_BIAS 2^40 -> 2^60
+    # (bin/threshold_bin column values change — ADVICE r8)
+    "ml_quality_classifier_fit",  # MODIFIED: NULL-safe labels
+    # --- tier C (34 of the 40 r5-latest rows; the 6 lowest-risk
+    # single-table shapes — scalar/datetime/array_functions,
+    # agg_maxby, agg_histogram_bins, topk_customers — park past
+    # slot 50 as next-in-line). Compositions stay shielded under
+    # rule c: corpus_curate / corpus_curate_calibrated /
+    # sim_ivf_incremental went green in r8 and re-enter at r11. ---
+    "dedup_components_minhash",
+    "dedup_components_prefiltered",
+    "dedup_minhash_estimate",
+    "dedup_containment_pairs",
+    "dedup_contamination",
+    "dedup_incremental",
+    "dedup_jaccard_verified",
+    "dedup_levenshtein_candidates",
+    "dedup_simhash",
+    "dedup_span_profile",
+    "corpus_bpe_encode",
+    "corpus_bpe_fertility",
+    "corpus_bpe_merges",
+    "corpus_bpe_merges_batched",
+    "corpus_bpe_vocab",
+    "corpus_domain_stats",
+    "corpus_ngram_diversity",
+    "corpus_shingle_stats",
+    "sim_ann_lsh_topk",
+    "sim_ivf_sampled_topk",
+    "sim_ivfpq_topk",
+    "sim_neardup_pairs",
+    "sim_pq_topk",
+    "text_bigram_prob_score",
+    "text_lang_guess",
+    "text_quality_scores",
+    "text_redact_pii",
+    "events_anomaly_mad",
+    "events_funnel_conversion",
+    "join_anti_no_urgent",
+    "join_semi_urgent",
+    "q6_forecast_revenue",
+    "chunk_documents_expr",
+    "contamination_ngram_overlap",
+    # --- next-in-line past slot 50: the parked r5-era rows ---
+    "scalar_functions",
+    "datetime_functions",
+    "array_functions",
+    "agg_maxby",
+    "agg_histogram_bins",
+    "topk_customers",
 )
 
 # Ordered so the driver's correctness budget reaches every family:
