@@ -545,6 +545,110 @@ FROM base
 """
 
 
+def dedup_lines_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_lines' INGEST twin (the dedup_incremental /
+    dedup_span_removal_incremental contract): drop every line of an
+    INCOMING batch (source = 'src0') whose content appears anywhere in
+    the STANDING corpus, and never re-pair the standing corpus against
+    itself. new×new line repeats are deliberately NOT cut (the fold-in
+    pass's job) — the probe side is |new-batch lines| against a frozen
+    distinct-key line index, the per-batch shape a daily crawl ingest
+    runs. Empty lines are never deduped (they carry no content).
+
+    Output: (doc_id, n_lines, n_lines_cut, text_deduped) for every
+    NEW doc, anchored on the batch slice of the document table. Same
+    null/'' contract as the batch pass."""
+    tune(spark)
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+
+    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n").alias("ls"),
+    ).localCheckpoint(eager=False)
+    units = lines.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.col("ls"),
+                lambda l: F.when(l != "", _gram_key(l)),
+            )
+        ).alias("i0", "k"),
+    ).where(F.col("k").isNotNull())
+    old_keys = (
+        units.where(F.col("source") != INCR_NEW_SOURCE)
+        .select("k")
+        .distinct()
+    )
+    cuts = (
+        units.where(F.col("source") == INCR_NEW_SOURCE)
+        .join(old_keys, "k", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.col("i0") + 1).alias("cut_pos"))
+    )
+    base = (
+        lines.where(F.col("source") == INCR_NEW_SOURCE)
+        .join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ls",
+            F.coalesce("cut_pos", F.array().cast("array<int>")).alias(
+                "cut_pos"
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("ls"),
+        lambda l, i: ~F.array_contains(F.col("cut_pos"), i + 1),
+    )
+    return base.select(
+        "doc_id",
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.size("cut_pos").cast("bigint").alias("n_lines_cut"),
+        F.array_join(kept, "\n").alias("text_deduped"),
+    )
+
+
+DEDUP_LINES_INCR_SQL = """
+WITH ls AS (
+    SELECT doc_id, source,
+           string_split(coalesce(text, ''), chr(10)) AS ls
+    FROM documents
+),
+units AS (
+    SELECT doc_id, source, i,
+           CAST('0x' || substr(md5(ls[i]), 1, 15) AS BIGINT) AS k
+    FROM ls, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+    WHERE ls[i] <> ''
+),
+old_keys AS (
+    SELECT DISTINCT k FROM units WHERE source <> 'src0'
+),
+cuts AS (
+    SELECT u.doc_id, list(u.i) AS cut_pos
+    FROM units u JOIN old_keys o USING (k)
+    WHERE u.source = 'src0'
+    GROUP BY u.doc_id
+),
+base AS (
+    SELECT l.doc_id, l.ls, coalesce(c.cut_pos, []) AS cut_pos
+    FROM ls l LEFT JOIN cuts c USING (doc_id)
+    WHERE l.source = 'src0'
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(cut_pos) AS BIGINT) AS n_lines_cut,
+       coalesce(array_to_string(
+           list_filter(ls, (x, i) -> NOT list_contains(cut_pos, i)),
+           chr(10)), '') AS text_deduped
+FROM base
+"""
+
+
 def dedup_span_removal_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1978,6 +2082,7 @@ QUERIES = {
     "dedup_span_profile": dedup_span_profile,
     "dedup_span_removal": dedup_span_removal,
     "dedup_lines": dedup_lines,
+    "dedup_lines_incremental": dedup_lines_incremental,
     "dedup_span_removal_incremental": dedup_span_removal_incremental,
     "dedup_span_decontaminate": dedup_span_decontaminate,
     "dedup_keep_canonical": dedup_keep_canonical,
@@ -2000,6 +2105,7 @@ ORACLE_SQL = {
     "dedup_span_profile": SPAN_PROFILE_SQL,
     "dedup_span_removal": SPAN_REMOVAL_SQL,
     "dedup_lines": DEDUP_LINES_SQL,
+    "dedup_lines_incremental": DEDUP_LINES_INCR_SQL,
     "dedup_span_removal_incremental": SPAN_REMOVAL_INCR_SQL,
     "dedup_span_decontaminate": SPAN_DECONTAMINATE_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),

@@ -19,21 +19,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round (r9, VERDICT r8 item 1). Tier B (10, leading): the r4-latest
 # rows — oldest in the ledger (parked past slot 50 since r5 as the
 # declared lowest-risk set; VERDICT r8 says rotate onto them now).
-# Tier A (6): the r9 additions — dedup_lines (NEW — line-granularity
-# dedup), corpus_source_cap / corpus_lang_cap (NEW — RefinedWeb-style
-# share caps), dedup_bucket_cap_report (NEW — pair-emission cap
-# telemetry) — plus the two r9-MODIFIED surfaces: corpus_quality_select
-# (QS_BIAS 2^40 -> 2^60 changes bin/threshold_bin values) and
-# ml_quality_classifier_fit (NULL-safe labels; rows-only). Tier C
-# (34): the r5-era tail per the slot policy — all of it except the six
-# lowest-risk single-table shapes (scalar/datetime/array_functions,
-# agg_maxby, agg_histogram_bins, topk_customers), which park past
-# slot 50 as next-in-line for r10. No compositions this round (rule
+# Tier A (7): the r9 additions — dedup_lines +
+# dedup_lines_incremental (NEW — line-granularity dedup and its
+# ingest twin), corpus_source_cap / corpus_lang_cap (NEW —
+# RefinedWeb-style share caps), dedup_bucket_cap_report (NEW —
+# pair-emission cap telemetry) — plus the two r9-MODIFIED surfaces:
+# corpus_quality_select (QS_BIAS 2^40 -> 2^60 changes
+# bin/threshold_bin values) and ml_quality_classifier_fit (NULL-safe
+# labels; rows-only). Tier C (33): the r5-era tail per the slot
+# policy — all of it except the seven parked past slot 50 as
+# next-in-line for r10 (scalar/datetime/array_functions, agg_maxby,
+# agg_histogram_bins, topk_customers — the lowest-risk single-table
+# shapes — plus chunk_documents_expr, whose udtf sibling over the
+# same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 6 + 34 = 50; after this block every registered query's latest
-# green row is r6+ except those six parked r5 rows. collect() raises
-# if a priority name is not registered.
+# 10 + 7 + 33 = 50; after this block every registered query's latest
+# green row is r6+ except those seven parked r5 rows. collect()
+# raises if a priority name is not registered.
 _PRIORITY = (
     # --- tier B (10): the r4-latest rows, oldest in the ledger —
     # VERDICT r8 item 1 says lead with them (parked past slot 50
@@ -56,6 +59,7 @@ _PRIORITY = (
     "corpus_quality_select",  # MODIFIED: QS_BIAS 2^40 -> 2^60
     # (bin/threshold_bin column values change — ADVICE r8)
     "ml_quality_classifier_fit",  # MODIFIED: NULL-safe labels
+    "dedup_lines_incremental",  # NEW: the line-dedup ingest twin
     # --- tier C (34 of the 40 r5-latest rows; the 6 lowest-risk
     # single-table shapes — scalar/datetime/array_functions,
     # agg_maxby, agg_histogram_bins, topk_customers — park past
@@ -94,9 +98,11 @@ _PRIORITY = (
     "join_anti_no_urgent",
     "join_semi_urgent",
     "q6_forecast_revenue",
-    "chunk_documents_expr",
     "contamination_ngram_overlap",
-    # --- next-in-line past slot 50: the parked r5-era rows ---
+    # --- next-in-line past slot 50: the parked r5-era rows (chunk_
+    # documents_expr yielded its slot to the line-dedup ingest twin —
+    # its udtf sibling over the same kernel went green in r8) ---
+    "chunk_documents_expr",
     "scalar_functions",
     "datetime_functions",
     "array_functions",

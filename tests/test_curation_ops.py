@@ -552,3 +552,39 @@ def test_dedup_lines_matches_oracle_on_multiline_corpus(spark, tmp_path):
     }
     assert got == want
     assert sum(c for _, c, _ in got.values()) > 0  # cut path exercised
+
+
+def test_dedup_lines_incremental_no_self_influence(spark, tmp_path):
+    """The ingest twin cuts new-batch lines ONLY against the standing
+    corpus: new×new repeats survive (the fold-in pass's job — the
+    dedup_incremental contract), old docs never appear in the output,
+    and a new line matching an old line is cut wherever it sits."""
+    from projetbigdata_spark.operators.curation import (
+        dedup_lines_incremental,
+    )
+
+    rows = [
+        # standing corpus (src1)
+        (1, "old banner\nold unique", "src1"),
+        # incoming batch (src0)
+        (10, "old banner\nfresh alpha", "src0"),  # banner cut
+        (11, "fresh beta\nfresh beta", "src0"),  # new×new repeat KEPT
+        (12, "fresh alpha", "src0"),  # matches doc 10 (new) -> KEPT
+        (13, None, "src0"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_cut, r.text_deduped)
+        for r in dedup_lines_incremental(spark, d).collect()
+    }
+    assert sorted(got) == [10, 11, 12, 13]  # batch slice only
+    assert got[10] == (2, 1, "fresh alpha")
+    assert got[11] == (2, 0, "fresh beta\nfresh beta")
+    assert got[12] == (1, 0, "fresh alpha")
+    assert got[13] == (1, 0, "")

@@ -99,6 +99,7 @@ REPRESENTATIVES = [
     "corpus_source_cap",                 # share cap over 0 docs
     "corpus_lang_cap",                   # lang-keyed twin
     "dedup_lines",                       # line units over 0 docs
+    "dedup_lines_incremental",           # ingest twin over 0 docs
     "corpus_softdedup_sample",           # verdict frame over 0 docs
     "dedup_keep_best_quality",           # argmax over 0 clusters
     "corpus_cluster_balance_sample",     # k-means over 0 vectors

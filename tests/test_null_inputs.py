@@ -137,6 +137,8 @@ MISC_R5 = [
     "corpus_source_divergence",  # null-text docs add no token mass
     # r6: anchors on the src0 slice only (null src0 text -> 0 tokens)
     "dedup_span_removal_incremental",
+    # r9: anchors on the src0 slice only (null text -> one empty line)
+    "dedup_lines_incremental",
     # r7: anchors on the train slice only (null train text -> 0 tokens)
     "dedup_span_decontaminate",
     # r7: anchors on the src0 slice only (null text -> 0 bigrams)

@@ -373,6 +373,9 @@ EXCHANGE_BUDGET = {
     # r9: line dedup — post-barrier: first_doc groupBy on the 60-bit
     # key, the per-doc cut-position fold, and the reassembly join
     "dedup_lines": 4,
+    # r9: the ingest twin — distinct old-key index, semi-join probe,
+    # cut-position fold, reassembly join
+    "dedup_lines_incremental": 4,
 }
 
 

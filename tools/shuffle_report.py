@@ -123,6 +123,7 @@ QUERIES = [
     "corpus_source_cap",
     "corpus_lang_cap",
     "dedup_lines",
+    "dedup_lines_incremental",
 ]
 
 
