@@ -65,6 +65,9 @@ EXTENDED = [
     # bench-tracked because it is the one-pass scoring plan a 100 TB
     # curation run pays per corpus sweep
     "corpus_quality_classifier_scores",
+    # r9: line-granularity dedup — same rationale: the per-sweep
+    # rewrite pass a CCNet-style curation run pays per corpus
+    "dedup_lines",
 ]
 
 

@@ -43,6 +43,7 @@ from projetbigdata_spark.operators.curation import (  # noqa: E402
     CURATE_MAX_DUP_WORD_FRAC,
     corpus_softdedup_sample,
     corpus_source_cap,
+    dedup_lines,
     CURATE_MAX_EVAL_OVERLAP_PPM,
     CURATE_MAX_STOPWORD_RATIO,
     CURATE_MAX_TOP_BIGRAM_SHARE,
@@ -104,6 +105,26 @@ def span_clean(
         rewritten.select("doc_id", F.col("text_deduped").alias("text"))
     )
     return before, rewritten, after
+
+
+def line_clean(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The line-granularity cut → re-cut loop (r9, the CCNet unit):
+    REWRITE every doc by dropping lines already seen in an earlier
+    document (dedup_lines), then run the SAME pass over the rewritten
+    corpus — the second pass cuts nothing (line dedup is idempotent:
+    removal can only delete whole lines, never mint new ones, unlike
+    span reassembly which can make distant tokens adjacent). Returns
+    (rewritten, recheck); idempotence is pinned in
+    tests/test_curation_pipeline.py."""
+    from projetbigdata_spark.operators.curation import line_dedup_frame
+
+    rewritten = dedup_lines(spark, sf_dir).localCheckpoint(eager=False)
+    recheck = line_dedup_frame(
+        rewritten.select("doc_id", F.col("text_deduped").alias("text"))
+    )
+    return rewritten, recheck
 
 
 def softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,6 +265,10 @@ def main() -> None:
         f"span clean: {b} duplicated spans profiled -> {c} tokens cut"
         f" -> {a} duplicated spans remain"
     )
+    lc, lc_re = line_clean(spark, sf_dir)
+    lc1 = lc.agg(F.sum("n_lines_cut").alias("c")).first().c
+    lc2 = lc_re.agg(F.sum("n_lines_cut").alias("c")).first().c
+    print(f"line clean: {lc1} duplicated lines cut -> recheck cuts {lc2}")
     soft = softdedup_sample(spark, sf_dir)
     s = soft.agg(
         F.count("*").alias("n"),

@@ -278,3 +278,39 @@ def test_softdedup_weights_compose_and_sample(spark):
     # expected mass: realized count within 10% of sum(weight)/1e6
     mass = sum(r.softdedup_weight_ppm for r in sampled.values()) / 1e6
     assert abs(n_sel - mass) <= 0.1 * total
+
+
+def test_line_clean_idempotent(spark, tmp_path):
+    """examples/corpus_curation.line_clean: the second line-dedup pass
+    over the rewritten corpus cuts NOTHING (removal deletes whole
+    lines and can never mint new ones — unlike span reassembly), and
+    line accounting balances: surviving lines = n_lines - n_lines_cut
+    everywhere. Run on a constructed multi-line corpus because the
+    parquet fixtures are single-line."""
+    from pyspark.sql import functions as F
+
+    from examples.corpus_curation import line_clean
+
+    rows = [
+        (i, "\n".join(f"line {j % 6} of group {i % 4}" for j in range(5)))
+        for i in range(24)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+
+    rewritten, recheck = line_clean(spark, d)
+    rw = rewritten.collect()
+    assert sum(r.n_lines_cut for r in rw) > 0  # first pass cuts
+    for r in rw:  # accounting: kept lines == n_lines - cut
+        kept = len(r.text_deduped.split("\n")) if r.text_deduped else 0
+        # a fully-cut doc rebuilds to '' (one empty line on re-split
+        # only when the doc had surviving empties — here none)
+        expect = r.n_lines - r.n_lines_cut
+        assert kept == expect or (expect == 0 and r.text_deduped == "")
+    assert recheck.agg(F.sum("n_lines_cut")).first()[0] == 0  # idempotent
