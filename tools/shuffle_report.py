@@ -186,6 +186,9 @@ BYTE_BUDGET_MB = {
     "dedup_keep_best_quality": 9.9,
     "search_hybrid_rrf_pq": 6.3,
     "corpus_quality_select": 4.0,
+    # r9 >1 MB shuffler: the signature hash-agg's per-shingle stream
+    # (measured 1.46 MB at sf0.1; ceiling ~1.5x)
+    "dedup_bucket_cap_report": 2.2,
 }
 
 
