@@ -87,6 +87,32 @@ def selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet cut crossed with the selection verdicts: per (lang,
+    ppl_bucket), how many docs the head/middle/tail terciles hold and
+    how many of them the DSIR+fluency composition would ALSO keep — the
+    two-filter agreement audit a data team reads before choosing which
+    gate (or intersection) feeds training. Both inputs anchor the full
+    doc set, so the join is 1:1 and the report partitions the corpus."""
+    from projetbigdata_spark.operators.selection import (
+        corpus_perplexity_buckets,
+    )
+
+    buckets = corpus_perplexity_buckets(spark, sf_dir)
+    return (
+        buckets.join(
+            select_corpus(spark, sf_dir).select("doc_id", "selected"),
+            "doc_id",
+        )
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("selected").cast("int")).alias("n_also_selected"),
+        )
+        .orderBy("lang", "ppl_bucket")
+    )
+
+
 def main() -> int:
     from projetbigdata_spark.operators.packing import corpus_temperature_mix
     from projetbigdata_spark.session import get_spark
@@ -100,6 +126,7 @@ def main() -> int:
 
     report = selection_report(spark, sf_dir)
     report.show(truncate=False)
+    ccnet_report(spark, sf_dir).show(truncate=False)
     mix = corpus_temperature_mix(spark, sf_dir)
     mix.show(truncate=False)
 

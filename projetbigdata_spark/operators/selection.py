@@ -773,3 +773,356 @@ QUERIES["corpus_dsir_weights_hashed_incremental"] = (
     corpus_dsir_weights_hashed_incremental
 )
 ORACLE_SQL["corpus_dsir_weights_hashed_incremental"] = DSIR_HASHED_INCR_SQL
+
+
+# --- Stupid-Backoff trigram LM + CCNet-style perplexity buckets (r9) ---
+
+SB_ALPHA_PPM = 400_000   # the backoff factor 0.4 lands EXACTLY on the
+SB_ALPHA2_PPM = 160_000  # ppm grid (0.4*1e6, 0.4^2*1e6) — no float
+
+
+def _sb_score_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc Stupid-Backoff trigram-LM scores (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the LM smoothing
+    DESIGNED for MapReduce-scale corpora: no discount renormalization,
+    just count ratios with a fixed backoff multiplier, which is why it
+    expresses as plain relational algebra here). The model trains on
+    the TARGET slice (lang = DSIR_TARGET_LANG) and scores the WHOLE
+    corpus — the CCNet posture (a reference-trained LM thresholding a
+    raw crawl), and the same target-vs-raw convention the DSIR family
+    uses. That split is what makes the backoff branches REAL: a doc
+    outside the target hits trigrams the model never saw and falls
+    through to the bigram / unigram levels (at sf0.01, 63% of non-en
+    trigram instances back off at least one level).
+
+    Per trigram position (w1 w2 w3), on the exact integer ppm grid:
+
+        S_ppm = (c3(w1w2w3) * 1e6)    div ctx3(w1w2)   if c3 > 0
+              = (c2(w2w3)   * 400000) div ctx2(w2)     elif c2 > 0
+              = (c1(w3)     * 160000) div b_total      elif c1 > 0
+              = 0                                      otherwise
+
+    where ctx3 sums trigram counts over the leading bigram and
+    ctx2/c1 derive from the bigram table (a word's unigram count is
+    its occurrences as bigram-LEFT; b_total is the target's bigram
+    total) — the vocabulary-not-corpus derivation trick the bigram
+    scorer documents (counts come from rollups of already-aggregated
+    tables, never a second corpus pass). The doc score is the
+    k-weighted mean of S_ppm over its trigram positions; n_backoff
+    counts positions that missed the trigram level (the OOV-pressure
+    telemetry a curation pipeline plots per source).
+
+    Scale posture: model training is two explodes over the TARGET
+    slice only (the small side at deployment); scoring is ONE corpus
+    trigram explode pre-aggregated per (doc, trigram), then five left
+    joins against model tables that are trigram-VOCABULARY-sized — at
+    deployment the frozen model is pruned to fit (the KenLM move), so
+    the probe side stays bounded while only the corpus side scales.
+    The b_total denominator arrives as a broadcast 1-row crossJoin.
+    Arithmetic widens through DECIMAL(38,0) (c2*400000 passes 1e18 at
+    ~1e13 target bigrams); quotients land back in bigint."""
+    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    # bigram model tables: counts, left-word contexts, corpus total.
+    # cnt2 feeds three rollups/joins -> plan barrier keeps the target
+    # explode single; same for cnt3 (two consumers).
+    cnt2 = (
+        target.select(F.explode(ngrams(tokenize("text"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    ctx2 = cnt2.groupBy(F.split("bg", " ").getItem(0).alias("w")).agg(
+        F.sum("c2").alias("cw")
+    )
+    tot2 = cnt2.agg(F.sum("c2").alias("b_total"))
+    cnt3 = (
+        target.select(F.explode(ngrams(tokenize("text"), 3)).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count("*").alias("c3"))
+        .localCheckpoint(eager=False)
+    )
+    ctx3 = cnt3.groupBy(
+        F.concat_ws(
+            " ", F.split("tg", " ").getItem(0), F.split("tg", " ").getItem(1)
+        ).alias("bg12")
+    ).agg(F.sum("c3").alias("cbg12"))
+
+    # scoring: one corpus explode, pre-aggregated per (doc, trigram)
+    doc_grams = (
+        docs.select(
+            "doc_id", F.explode(ngrams(tokenize("text"), 3)).alias("tg")
+        )
+        .groupBy("doc_id", "tg")
+        .agg(F.count("*").alias("k"))
+    )
+    p = F.split("tg", " ")
+    g = doc_grams.select(
+        "doc_id",
+        "k",
+        "tg",
+        F.concat_ws(" ", p.getItem(0), p.getItem(1)).alias("bg12"),
+        F.concat_ws(" ", p.getItem(1), p.getItem(2)).alias("bg23"),
+        p.getItem(1).alias("w2"),
+        p.getItem(2).alias("w3"),
+    )
+    j = (
+        g.join(cnt3, "tg", "left")
+        .join(ctx3, "bg12", "left")
+        .join(cnt2.withColumnRenamed("bg", "bg23"), "bg23", "left")
+        .join(
+            ctx2.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cw2"),
+            "w2",
+            "left",
+        )
+        .join(
+            ctx2.withColumnRenamed("w", "w3").withColumnRenamed("cw", "c1"),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot2))
+    )
+    # each CASE branch's denominator is >= 1 whenever the branch's
+    # count is non-NULL (same-table derivations), so ANSI mode never
+    # sees a divide-by-zero on the taken branch
+    s = j.select(
+        "doc_id",
+        "k",
+        F.expr(
+            "CASE"
+            " WHEN c3 IS NOT NULL THEN"
+            "  CAST((CAST(c3 AS DECIMAL(38,0)) * 1000000) div cbg12"
+            "       AS BIGINT)"
+            f" WHEN c2 IS NOT NULL THEN"
+            f"  CAST((CAST(c2 AS DECIMAL(38,0)) * {SB_ALPHA_PPM}) div cw2"
+            "       AS BIGINT)"
+            f" WHEN c1 IS NOT NULL THEN"
+            f"  CAST((CAST(c1 AS DECIMAL(38,0)) * {SB_ALPHA2_PPM})"
+            "       div b_total AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("s_ppm"),
+        F.expr("CASE WHEN c3 IS NULL THEN k ELSE 0 END").alias("bo"),
+    )
+    scored = s.groupBy("doc_id").agg(
+        F.sum("k").alias("n_trigrams"),
+        F.sum("bo").alias("n_backoff"),
+        F.expr(
+            "sum(k * CAST(s_ppm AS DECIMAL(38,0))) div sum(k)"
+        ).alias("sb_score_ppm"),
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+        F.coalesce("n_backoff", F.lit(0)).cast("bigint").alias("n_backoff"),
+        F.col("sb_score_ppm").cast("bigint").alias("sb_score_ppm"),
+    )
+
+
+def text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered Stupid-Backoff scorer row — full-corpus anchored
+    (docs with < 3 tokens keep a row with n_trigrams = 0 and a NULL
+    score). See _sb_score_frame for the model and the scale posture."""
+    tune(spark)
+    return _sb_score_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _sb_sql_core() -> str:
+    """The Stupid-Backoff score frame as DuckDB CTE text ending in a
+    `sb` relation (doc_id, n_trigrams, n_backoff, sb_score_ppm), shared
+    verbatim by the scorer oracle and the bucket oracle."""
+    return f"""
+WITH tw AS (
+    SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents WHERE lang = '{DSIR_TARGET_LANG}'
+),
+tbg AS (
+    SELECT w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+    FROM tw, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+cnt2 AS (SELECT bg, min(w1) AS w1, count(*) AS c2 FROM tbg GROUP BY bg),
+ctx2 AS (SELECT w1 AS w, sum(c2) AS cw FROM cnt2 GROUP BY w1),
+tot2 AS (SELECT sum(c2) AS b_total FROM cnt2),
+ttg AS (
+    SELECT w[i] || ' ' || w[i + 1] AS bg12,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg
+    FROM tw, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+),
+cnt3 AS (SELECT tg, min(bg12) AS bg12, count(*) AS c3 FROM ttg GROUP BY tg),
+ctx3 AS (SELECT bg12, sum(c3) AS cbg12 FROM cnt3 GROUP BY bg12),
+aw AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+),
+dg AS (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg,
+           count(*) AS k
+    FROM aw, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+    GROUP BY 1, 2
+),
+g AS (
+    SELECT doc_id, k, tg,
+           sp[1] || ' ' || sp[2] AS bg12,
+           sp[2] || ' ' || sp[3] AS bg23,
+           sp[2] AS w2, sp[3] AS w3
+    FROM (SELECT doc_id, k, tg, string_split(tg, ' ') AS sp FROM dg)
+),
+j AS (
+    SELECT g.doc_id, g.k, c3.c3, x3.cbg12, c2.c2, xw2.cw AS cw2,
+           xw3.cw AS c1, tot2.b_total
+    FROM g
+    LEFT JOIN cnt3 c3 USING (tg)
+    LEFT JOIN ctx3 x3 ON g.bg12 = x3.bg12
+    LEFT JOIN cnt2 c2 ON g.bg23 = c2.bg
+    LEFT JOIN ctx2 xw2 ON g.w2 = xw2.w
+    LEFT JOIN ctx2 xw3 ON g.w3 = xw3.w
+    CROSS JOIN tot2
+),
+sppm AS (
+    SELECT doc_id, k,
+           CASE
+             WHEN c3 IS NOT NULL THEN
+               CAST((c3::HUGEINT * 1000000) // cbg12 AS BIGINT)
+             WHEN c2 IS NOT NULL THEN
+               CAST((c2::HUGEINT * {SB_ALPHA_PPM}) // cw2 AS BIGINT)
+             WHEN c1 IS NOT NULL THEN
+               CAST((c1::HUGEINT * {SB_ALPHA2_PPM}) // b_total AS BIGINT)
+             ELSE CAST(0 AS BIGINT)
+           END AS s_ppm,
+           CASE WHEN c3 IS NULL THEN k ELSE 0 END AS bo
+    FROM j
+),
+sbs AS (
+    SELECT doc_id, sum(k) AS n_trigrams, sum(bo) AS n_backoff,
+           sum(k * s_ppm::HUGEINT) // sum(k) AS sb_score_ppm
+    FROM sppm GROUP BY doc_id
+),
+sb AS (
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(coalesce(s.n_backoff, 0) AS BIGINT) AS n_backoff,
+           CAST(s.sb_score_ppm AS BIGINT) AS sb_score_ppm
+    FROM documents d LEFT JOIN sbs s ON d.doc_id = s.doc_id
+)"""
+
+
+SB_TRIGRAM_SQL = _sb_sql_core() + """
+SELECT doc_id, n_trigrams, n_backoff, sb_score_ppm FROM sb
+"""
+
+
+QUERIES["text_trigram_backoff_score"] = text_trigram_backoff_score
+ORACLE_SQL["text_trigram_backoff_score"] = SB_TRIGRAM_SQL
+
+
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail assignment (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): bucket every document by where its LM score falls
+    among the PER-LANGUAGE terciles — CCNet keeps the 'head' (most
+    target-like) third per language rather than applying one absolute
+    threshold across languages with different score geometries. The
+    LM is the Stupid-Backoff trigram scorer (_sb_score_frame: trained
+    on the target slice, scored corpus-wide); high mean probability =
+    most fluent = 'head'.
+
+    Tercile semantics mirror corpus_quality_quantiles' discrete-rank
+    idiom: within each lang, rank scored docs by (sb_score_ppm DESC,
+    doc_id), read the VALUES at ranks ceil(n/3) and ceil(2n/3) via
+    pure-integer ceilings ((n+2) div 3, (2n+2) div 3 — no float rank
+    math), then assign by comparing each doc's score to those
+    thresholds — so ties at a boundary land in the SAME bucket in
+    both engines regardless of tiebreak. Docs the LM cannot score
+    (< 3 tokens, NULL text) anchor through as 'unscored' instead of
+    vanishing. Threshold probe-back is NULL-SAFE on lang (eqNullSafe
+    / IS NOT DISTINCT FROM) so a NULL-lang population buckets too.
+
+    Scale posture: the scorer's posture plus two lang-keyed window
+    shuffles of skinny (lang, score, doc_id) rows for the tercile
+    ranks and a broadcast |langs|-row threshold join — the same
+    calibrator spelling (and the same approx_percentile relief valve
+    at extreme per-lang cardinality) as corpus_quality_quantiles."""
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # two consumers read the scored frame (the tercile ranking and the
+    # final bucket projection) and they diverge BEFORE any shared
+    # shuffle -> plan barrier, or the whole scorer subtree (5 model
+    # joins, 13 exchanges on its own) executes twice (30 exchanges
+    # observed unbarriered)
+    base = docs.select("doc_id", "lang").join(
+        _sb_score_frame(docs).select("doc_id", "sb_score_ppm"),
+        "doc_id",
+        "left",
+    ).localCheckpoint(eager=False)
+    ranked = base.where(F.col("sb_score_ppm").isNotNull()).select(
+        "lang",
+        "sb_score_ppm",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("sb_score_ppm"), "doc_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    th = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("sb_score_ppm"))
+        ).alias("t_head"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("sb_score_ppm")
+            )
+        ).alias("t_mid"),
+    )
+    return (
+        base.join(
+            F.broadcast(th.withColumnRenamed("lang", "th_lang")),
+            base["lang"].eqNullSafe(F.col("th_lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "sb_score_ppm",
+            F.when(F.col("sb_score_ppm").isNull(), F.lit("unscored"))
+            .when(F.col("sb_score_ppm") >= F.col("t_head"), F.lit("head"))
+            .when(F.col("sb_score_ppm") >= F.col("t_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+PPL_BUCKETS_SQL = _sb_sql_core() + """,
+base AS (
+    SELECT d.doc_id, d.lang, s.sb_score_ppm
+    FROM documents d LEFT JOIN sb s ON d.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT lang, sb_score_ppm,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY sb_score_ppm DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM base WHERE sb_score_ppm IS NOT NULL
+),
+th AS (
+    SELECT lang,
+           max(CASE WHEN rn = (n + 2) // 3 THEN sb_score_ppm END) AS t_head,
+           max(CASE WHEN rn = (2 * n + 2) // 3 THEN sb_score_ppm END) AS t_mid
+    FROM ranked GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.sb_score_ppm,
+       CASE WHEN b.sb_score_ppm IS NULL THEN 'unscored'
+            WHEN b.sb_score_ppm >= t.t_head THEN 'head'
+            WHEN b.sb_score_ppm >= t.t_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM base b LEFT JOIN th t ON b.lang IS NOT DISTINCT FROM t.lang
+"""
+
+
+QUERIES["corpus_perplexity_buckets"] = corpus_perplexity_buckets
+ORACLE_SQL["corpus_perplexity_buckets"] = PPL_BUCKETS_SQL

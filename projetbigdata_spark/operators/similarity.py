@@ -2620,3 +2620,167 @@ ORACLE_SQL = {
     "ann_recall_report": ANN_RECALL_SQL,
     "ann_recall_report_ivfpq": ANN_RECALL_IVFPQ_SQL,
 }
+
+
+# --- c-TF-IDF cluster labeling (r9): what IS each embedding cluster ---
+
+TOP_TERMS = 10   # terms reported per cluster
+TERM_MIN_TF = 3  # support floor: a term must appear >= this many
+# times inside the cluster to be reported (kills one-off noise the
+# way BERTopic's min_df does)
+
+
+def corpus_cluster_top_terms(
+    spark: SparkSession, sf_dir: str, k: int | str = K_CENTROIDS
+) -> DataFrame:
+    """Cluster LABELING — the audit that turns an opaque embedding
+    clustering into something a curator can read (the c-TF-IDF move of
+    BERTopic / the topic-inspection step of MiniPile-style pipelines):
+    k-means the vectors with the shared integer-Lloyd tier, join the
+    assignments onto the documents' tokens (the doc_id = vec_id
+    convention, as dedup_embedding_cosine), and report each cluster's
+    TOP_TERMS most DISTINCTIVE terms.
+
+    Distinctiveness is exact integer LIFT instead of c-TF-IDF's
+    log-scaled variant: lift_ppm = P(cluster | term) / P(cluster) on
+    the ppm grid,
+
+        lift_ppm = (tf_tc * n_total * 1e6) div (tf_t * n_c)
+
+    with tf_tc the term's count inside the cluster, tf_t its corpus
+    count, n_c / n_total the cluster / corpus token totals. The log in
+    c-TF-IDF only compresses the axis for display — per cluster it is
+    a monotone transform of the SAME per-term ratio family, and the
+    rational form keeps the query on the hash-checked integer grid
+    (ln() is the documented libm residual this repo keeps out of
+    oracle-checked queries). Ranking: lift DESC, tf_tc DESC, term ASC
+    — fully deterministic; TERM_MIN_TF floors out one-off tokens.
+
+    Plan: the Lloyd tier is the shared sim_ivf_topk code (broadcast
+    k-row centroid crossJoin, 2 unrolled iterations); ONE corpus
+    token explode joins assignments on doc_id and hash-aggs to
+    (cid, term) — everything downstream is vocabulary-sized or
+    smaller: term totals are a rollup of that table, cluster totals
+    are k rows (broadcast), the corpus total is a broadcast 1-row
+    crossJoin, and the top-k window runs per-cid over <= |vocab| * k
+    rows. The (cid, term) table feeds two consumers (term rollup +
+    final projection) -> plan barrier keeps the corpus pass single.
+
+    The k dial follows dedup_semantic's rule (registered row pins
+    k=K_CENTROIDS so the static oracle's seed range stays exact;
+    library callers pass k="auto" at deployment)."""
+    from projetbigdata_spark.functions.text import tokenize
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    if k == "auto":
+        k = _auto_k(load_table(spark, sf_dir, "embeddings").count())
+    cents = _seed_centroids(vec, k)
+    for _ in range(2):
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    assign = _argmin_cid(_dists_to_centroids(vec, cents))
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.explode(tokenize("text")).alias("term"),
+    )
+    tf_tc = (
+        toks.join(assign, "vec_id")
+        .groupBy("cid", "term")
+        .agg(F.count("*").alias("tf_tc"))
+        .localCheckpoint(eager=False)
+    )
+    tf_t = tf_tc.groupBy("term").agg(F.sum("tf_tc").alias("tf_t"))
+    n_c = tf_tc.groupBy("cid").agg(F.sum("tf_tc").alias("n_c"))
+    tot = n_c.agg(F.sum("n_c").alias("n_total"))
+    scored = (
+        tf_tc.join(tf_t, "term")
+        .join(F.broadcast(n_c), "cid")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("tf_tc") >= TERM_MIN_TF)
+        .select(
+            "cid",
+            "term",
+            "tf_tc",
+            F.expr(
+                "CAST((CAST(tf_tc AS DECIMAL(38,0)) * n_total * 1000000)"
+                " div (CAST(tf_t AS DECIMAL(38,0)) * n_c) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.desc("lift_ppm"), F.desc("tf_tc"), "term"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_TERMS)
+        .select("cid", "rnk", "term", "tf_tc", "lift_ppm")
+    )
+
+
+CLUSTER_TOP_TERMS_SQL = f"""
+WITH v AS (
+    SELECT vec_id, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim)
+),
+c0 AS (
+    SELECT CAST(vec_id - {SEED_LO} AS INT) AS cid, dim, xs AS ms
+    FROM v WHERE vec_id >= {SEED_LO} AND vec_id < {SEED_HI}
+),
+{_ivf_assign_cte("1", "c0")},
+c1 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("2", "c1")},
+c2 AS (
+    SELECT cid, dim,
+           CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
+    FROM v JOIN a2 USING (vec_id) GROUP BY 1, 2
+),
+{_ivf_assign_cte("3", "c2")},
+toks AS (
+    SELECT doc_id AS vec_id, t AS term
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+         LATERAL unnest(w) AS u(t)
+),
+tf_tc AS (
+    SELECT cid, term, count(*) AS tf_tc
+    FROM toks JOIN a3 USING (vec_id)
+    GROUP BY 1, 2
+),
+tf_t AS (SELECT term, sum(tf_tc) AS tf_t FROM tf_tc GROUP BY term),
+n_c AS (SELECT cid, sum(tf_tc) AS n_c FROM tf_tc GROUP BY cid),
+tot AS (SELECT sum(n_c) AS n_total FROM n_c),
+scored AS (
+    SELECT f.cid, f.term, f.tf_tc,
+           CAST((f.tf_tc::HUGEINT * tot.n_total * 1000000)
+                // (t.tf_t::HUGEINT * c.n_c) AS BIGINT) AS lift_ppm
+    FROM tf_tc f
+    JOIN tf_t t USING (term)
+    JOIN n_c c USING (cid)
+    CROSS JOIN tot
+    WHERE f.tf_tc >= {TERM_MIN_TF}
+)
+SELECT cid, CAST(rnk AS INT) AS rnk, term, tf_tc, lift_ppm
+FROM (SELECT *, row_number() OVER (PARTITION BY cid
+                                   ORDER BY lift_ppm DESC, tf_tc DESC,
+                                            term) AS rnk
+      FROM scored)
+WHERE rnk <= {TOP_TERMS}
+"""
+
+
+QUERIES["corpus_cluster_top_terms"] = corpus_cluster_top_terms
+ORACLE_SQL["corpus_cluster_top_terms"] = CLUSTER_TOP_TERMS_SQL

@@ -34,9 +34,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 33 = 50; after this block every registered query's latest
-# green row is r6+ except those seven parked r5 rows. collect()
-# raises if a priority name is not registered.
+# 10 + 7 + 3 (second-wave additions) + 30 = 50; after this block
+# every registered query's latest green row is r6+ except the ten
+# parked r5 rows (seven from the first wave + the three that yielded
+# to the second wave). collect() raises if a priority name is not
+# registered.
 _PRIORITY = (
     # --- tier B (10): the r4-latest rows, oldest in the ledger —
     # VERDICT r8 item 1 says lead with them (parked past slot 50
@@ -60,6 +62,11 @@ _PRIORITY = (
     # (bin/threshold_bin column values change — ADVICE r8)
     "ml_quality_classifier_fit",  # MODIFIED: NULL-safe labels
     "dedup_lines_incremental",  # NEW: the line-dedup ingest twin
+    # --- tier A, second r9 wave (3): rule a forces every new query
+    # into the block; three tier-C rows yield (see below) ---
+    "text_trigram_backoff_score",  # NEW: Stupid-Backoff trigram LM
+    "corpus_perplexity_buckets",  # NEW: CCNet head/middle/tail
+    "corpus_cluster_top_terms",  # NEW: c-TF-IDF cluster labeling
     # --- tier C (34 of the 40 r5-latest rows; the 6 lowest-risk
     # single-table shapes — scalar/datetime/array_functions,
     # agg_maxby, agg_histogram_bins, topk_customers — park past
@@ -95,13 +102,17 @@ _PRIORITY = (
     "text_redact_pii",
     "events_anomaly_mad",
     "events_funnel_conversion",
+    "contamination_ngram_overlap",
+    # --- next-in-line past slot 50: the parked r5-era rows. The
+    # second r9 wave's three new queries displaced three more
+    # low-risk shapes (q6_forecast_revenue — single-scan fully-pushed
+    # agg, its pushdown CI-gated in test_plans; the semi/anti join
+    # pair — two-table single-exchange shapes); chunk_documents_expr
+    # yielded its slot to the line-dedup ingest twin in the first
+    # wave (its udtf sibling over the same kernel went green r8) ---
+    "q6_forecast_revenue",
     "join_anti_no_urgent",
     "join_semi_urgent",
-    "q6_forecast_revenue",
-    "contamination_ngram_overlap",
-    # --- next-in-line past slot 50: the parked r5-era rows (chunk_
-    # documents_expr yielded its slot to the line-dedup ingest twin —
-    # its udtf sibling over the same kernel went green in r8) ---
     "chunk_documents_expr",
     "scalar_functions",
     "datetime_functions",

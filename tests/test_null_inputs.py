@@ -92,6 +92,10 @@ PER_DOC_KEEPERS = [
     # test_curation_ops.py via eqNullSafe constructed rows)
     "corpus_source_cap",
     "corpus_lang_cap",
+    # r9 second wave: both anchor the full doc set (null/short text ->
+    # n_trigrams=0 with a NULL score / the 'unscored' bucket)
+    "text_trigram_backoff_score",
+    "corpus_perplexity_buckets",
 ]
 
 EXPLODE_DROPPERS = [
@@ -146,6 +150,9 @@ MISC_R5 = [
     # r7: next-fit packing anchors every doc (null text -> 0 tokens,
     # still packed)
     "docs_pack_nextfit",
+    # r9 second wave: cluster-labeling report — null-text docs simply
+    # contribute no tokens to their cluster; just must not crash
+    "corpus_cluster_top_terms",
 ]
 
 

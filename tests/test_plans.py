@@ -83,6 +83,12 @@ CARTESIAN_OK = {
     # the declared-broadcast totals class (cluster balance's shape)
     "corpus_source_cap",
     "corpus_lang_cap",
+    # r9 second wave: the Stupid-Backoff scorer crossJoins the
+    # broadcast 1-row target bigram total (b_total); the cluster
+    # labeler crossJoins the broadcast 1-row corpus token total —
+    # both the declared-broadcast totals class
+    "text_trigram_backoff_score",
+    "corpus_cluster_top_terms",
 }
 
 
@@ -384,6 +390,15 @@ EXCHANGE_BUDGET = {
     # r9: the ingest twin — distinct old-key index, semi-join probe,
     # cut-position fold, reassembly join
     "dedup_lines_incremental": 4,
+    # r9 second wave: the Stupid-Backoff scorer is 5 vocab-sized model
+    # joins + the scoring/anchor aggs (13); the bucket composition
+    # counts its post-barrier plan (the scored frame is checkpointed
+    # for its two consumers — a new exchange still trips)
+    "text_trigram_backoff_score": 13,
+    "corpus_perplexity_buckets": 2,
+    # one corpus token explode + vocab-sized rollups + the top-k
+    # window (counts the post-barrier plan of the (cid, term) table)
+    "corpus_cluster_top_terms": 8,
 }
 
 

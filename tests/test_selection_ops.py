@@ -942,3 +942,177 @@ def test_phrase_kslop_matches_python_model(spark, docs):
         assert counts.get(d, 0) >= n, d
     # the slop window must add chains beyond exact adjacency
     assert sum(counts.values()) > sum(adj.values())
+
+
+def _sb_python(docs, docs_lang):
+    """Pure-Python Stupid-Backoff model (en-trained, corpus-scored) —
+    the integer formulas from selection._sb_score_frame verbatim."""
+    tok = {d: _tokens(t) for d, t in docs.items()}
+    c2: Counter = Counter()
+    c3: Counter = Counter()
+    for d, w in tok.items():
+        if docs_lang[d] != "en":
+            continue
+        c2.update((w[i], w[i + 1]) for i in range(len(w) - 1))
+        c3.update((w[i], w[i + 1], w[i + 2]) for i in range(len(w) - 2))
+    ctx2: Counter = Counter()
+    for (a, _b), c in c2.items():
+        ctx2[a] += c
+    ctx3: Counter = Counter()
+    for (a, b, _c), c in c3.items():
+        ctx3[(a, b)] += c
+    b_total = sum(c2.values())
+    expected = {}
+    branches: Counter = Counter()
+    for d, w in tok.items():
+        tgs = [(w[i], w[i + 1], w[i + 2]) for i in range(len(w) - 2)]
+        if not tgs:
+            expected[d] = (0, 0, None)
+            continue
+        s = 0
+        bo = 0
+        for t in tgs:
+            if t in c3:
+                s += c3[t] * 1_000_000 // ctx3[(t[0], t[1])]
+                branches["tri"] += 1
+            else:
+                bo += 1
+                bg = (t[1], t[2])
+                if bg in c2:
+                    s += c2[bg] * 400_000 // ctx2[t[1]]
+                    branches["bi"] += 1
+                elif ctx2[t[2]] > 0:
+                    s += ctx2[t[2]] * 160_000 // b_total
+                    branches["uni"] += 1
+                else:
+                    branches["zero"] += 1
+        expected[d] = (len(tgs), bo, s // len(tgs))
+    return expected, branches
+
+
+def test_trigram_backoff_matches_python_model(spark, docs, docs_lang):
+    """text_trigram_backoff_score == the Python Stupid-Backoff model
+    (Brants et al. 2007 count ratios with exact 400000/160000 ppm
+    backoff factors, en-trained). Laws: target-slice docs never back
+    off (the model contains their own trigrams); non-target docs DO at
+    this fixture (the branch the target-vs-raw split exists to
+    exercise); scores bounded by 1e6."""
+    from projetbigdata_spark.operators.selection import (
+        text_trigram_backoff_score,
+    )
+
+    expected, branches = _sb_python(docs, docs_lang)
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_backoff, r.sb_score_ppm)
+        for r in text_trigram_backoff_score(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # the trigram AND bigram backoff levels both fire at this fixture
+    assert branches["tri"] > 0 and branches["bi"] > 0
+    for d, (n, bo, s) in got.items():
+        if docs_lang[d] == "en" and n:
+            assert bo == 0, f"en doc {d} backed off"
+        if n:
+            assert 0 <= s <= 1_000_000
+    assert any(
+        bo > 0 for d, (n, bo, _s) in got.items() if docs_lang[d] != "en"
+    )
+
+
+def test_perplexity_buckets_match_python_model(spark, docs, docs_lang):
+    """corpus_perplexity_buckets == thresholds recomputed in Python
+    from the Stupid-Backoff model: per lang, the bucket boundaries are
+    the score VALUES at desc-ranks ceil(n/3) / ceil(2n/3); assignment
+    compares scores to those values (ties share a bucket). Laws: the
+    output anchors the full corpus exactly once; 'unscored' iff the
+    doc has no trigrams; within a lang every head score >= every
+    middle score >= every tail score; head holds >= ceil(n/3) docs."""
+    import math
+
+    from projetbigdata_spark.operators.selection import (
+        corpus_perplexity_buckets,
+    )
+
+    rows = corpus_perplexity_buckets(spark, SF_SMOKE).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(docs)
+    expected, _ = _sb_python(docs, docs_lang)
+    by_lang = defaultdict(list)
+    for d, (_n, _bo, s) in expected.items():
+        if s is not None:
+            by_lang[docs_lang[d]].append(s)
+    th = {}
+    for lang, scores in by_lang.items():
+        srt = sorted(scores, reverse=True)
+        n = len(srt)
+        th[lang] = (srt[(n + 2) // 3 - 1], srt[(2 * n + 2) // 3 - 1], n)
+    per_lang_buckets = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        assert r.sb_score_ppm == expected[r.doc_id][2]
+        if r.sb_score_ppm is None:
+            assert r.ppl_bucket == "unscored"
+            continue
+        t_head, t_mid, _n = th[r.lang]
+        want = (
+            "head"
+            if r.sb_score_ppm >= t_head
+            else ("middle" if r.sb_score_ppm >= t_mid else "tail")
+        )
+        assert r.ppl_bucket == want, (r.doc_id, r.lang)
+        per_lang_buckets[r.lang][r.ppl_bucket].append(r.sb_score_ppm)
+    for lang, buckets in per_lang_buckets.items():
+        heads = buckets.get("head", [])
+        mids = buckets.get("middle", [])
+        tails = buckets.get("tail", [])
+        assert len(heads) >= math.ceil(th[lang][2] / 3)
+        if heads and mids:
+            assert min(heads) >= max(mids)
+        if mids and tails:
+            assert min(mids) > max(tails)
+
+
+def test_cluster_top_terms_matches_python_model(spark, docs):
+    """corpus_cluster_top_terms == Python lift/top-k recomputed over
+    the SAME Lloyd assignment (the clustering tier itself is oracle-
+    checked by sim_ivf_topk and friends; this isolates the c-TF-IDF
+    lift, the TERM_MIN_TF floor, and the 3-key window ordering)."""
+    from projetbigdata_spark.operators import similarity as S
+
+    vec = S._cached_micro_arr(spark, SF_SMOKE)
+    cents = S._seed_centroids(vec)
+    for _ in range(2):
+        cents = S._lloyd_update(
+            vec, S._argmin_cid(S._dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    assign = {
+        r.vec_id: r.cid
+        for r in S._argmin_cid(
+            S._dists_to_centroids(vec, cents)
+        ).collect()
+    }
+    tf: Counter = Counter()
+    for d, t in docs.items():
+        if d in assign:
+            for w in _tokens(t):
+                tf[(assign[d], w)] += 1
+    tf_t: Counter = Counter()
+    n_c: Counter = Counter()
+    for (cid, term), c in tf.items():
+        tf_t[term] += c
+        n_c[cid] += c
+    n_total = sum(n_c.values())
+    ranked = defaultdict(list)
+    for (cid, term), c in tf.items():
+        if c < S.TERM_MIN_TF:
+            continue
+        lift = c * n_total * 1_000_000 // (tf_t[term] * n_c[cid])
+        ranked[cid].append((-lift, -c, term))
+    expected = {}
+    for cid, lst in ranked.items():
+        lst.sort()
+        for rnk, (nl, nc_, term) in enumerate(lst[: S.TOP_TERMS], 1):
+            expected[(cid, rnk)] = (term, -nc_, -nl)
+    got = {
+        (r.cid, r.rnk): (r.term, r.tf_tc, r.lift_ppm)
+        for r in S.corpus_cluster_top_terms(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

@@ -46,3 +46,22 @@ def test_selection_pipeline_accounting_and_consistency(spark):
     rep = selection_report(spark, SF_SMOKE).collect()
     assert sum(r.n_docs for r in rep) == total
     assert sum(r.n_selected for r in rep) == n_sel
+
+
+def test_ccnet_report_partitions_corpus_and_agrees(spark):
+    """The CCNet-cut audit: the (lang, ppl_bucket) report partitions
+    the full corpus; its agreement column matches the composed
+    verdicts; every lang with scored docs surfaces a head bucket."""
+    from examples.data_selection import ccnet_report, select_corpus
+    from projetbigdata_spark.sources.catalog import load_table
+
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    rep = ccnet_report(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rep) == total
+    n_sel = sum(
+        r.selected for r in select_corpus(spark, SF_SMOKE).collect()
+    )
+    assert sum(r.n_also_selected for r in rep) == n_sel
+    langs_with_buckets = {r.lang for r in rep if r.ppl_bucket == "head"}
+    all_langs = {r.lang for r in rep}
+    assert langs_with_buckets == all_langs  # every lang has a head

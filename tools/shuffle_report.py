@@ -124,6 +124,10 @@ QUERIES = [
     "corpus_lang_cap",
     "dedup_lines",
     "dedup_lines_incremental",
+    # r9 second wave
+    "text_trigram_backoff_score",
+    "corpus_perplexity_buckets",
+    "corpus_cluster_top_terms",
 ]
 
 
@@ -189,6 +193,12 @@ BYTE_BUDGET_MB = {
     # r9 >1 MB shuffler: the signature hash-agg's per-shingle stream
     # (measured 1.46 MB at sf0.1; ceiling ~1.5x)
     "dedup_bucket_cap_report": 2.2,
+    # r9 second wave: the trigram scorer's volume is the (doc,
+    # trigram) pre-agg stream (trigram strings ARE the join keys);
+    # the bucket composition adds only the skinny (lang, score) rows
+    # on top (both measured ~5.6 MB at sf0.1)
+    "text_trigram_backoff_score": 11.2,
+    "corpus_perplexity_buckets": 11.3,
 }
 
 
