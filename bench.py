@@ -68,6 +68,10 @@ EXTENDED = [
     # r9: line-granularity dedup — same rationale: the per-sweep
     # rewrite pass a CCNet-style curation run pays per corpus
     "dedup_lines",
+    # r9 second wave: the CCNet LM cut (trigram Stupid-Backoff scorer
+    # + per-lang terciles) — the heaviest new corpus-sweep plan
+    # (~7.5s at sf0.1), bench-tracked like the classifier scorer
+    "corpus_perplexity_buckets",
 ]
 
 

@@ -127,6 +127,32 @@ def line_clean(
     return rewritten, recheck
 
 
+def c4_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 rule pass as a pre-gate audit (r9 second wave): per-lang
+    doc and kept-line accounting of corpus_c4_clean — the report a
+    data team reads to decide whether the rule recipe even applies to
+    their corpus BEFORE wiring it in front of the shuffling stages (on
+    these synthetic punctuation-free fixtures it would drop everything,
+    which is exactly what this report makes visible — the operator's
+    fixture-honesty note made executable)."""
+    from projetbigdata_spark.operators.curation import corpus_c4_clean
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        corpus_c4_clean(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_kept_lines").alias("n_kept_lines"),
+        )
+        .orderBy("lang")
+    )
+
+
 def softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup→sampling loop closed (r8): corpus_softdedup_weights'
     per-doc ppm weights become acceptance probabilities through the
@@ -269,6 +295,7 @@ def main() -> None:
     lc1 = lc.agg(F.sum("n_lines_cut").alias("c")).first().c
     lc2 = lc_re.agg(F.sum("n_lines_cut").alias("c")).first().c
     print(f"line clean: {lc1} duplicated lines cut -> recheck cuts {lc2}")
+    c4_gate_report(spark, sf_dir).show(truncate=False)
     soft = softdedup_sample(spark, sf_dir)
     s = soft.agg(
         F.count("*").alias("n"),

@@ -2066,6 +2066,99 @@ FROM w
 """
 
 
+# --- C4 cleaning rules (r9 second wave) ---
+
+C4_MIN_LINE_WORDS = 5   # a kept line needs >= this many words
+C4_MIN_KEPT_LINES = 3   # a kept DOC needs >= this many surviving lines
+# The registered rule set is C4's core recipe (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning..." §2.2), ASCII reading:
+# line-level — ends in terminal punctuation ([.!?"]), >= 5 words, no
+# 'javascript'; doc-level — no 'lorem ipsum', no '{', >= 3 kept lines.
+# (The original also applies a word blocklist and langdetect; the
+# blocklist is a deployment asset and language-ID is text_lang_guess's
+# job — compose them, don't bake them in.)
+
+
+def corpus_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass — the most-reused line/doc rule recipe in
+    LLM corpus construction, as ONE in-row projection: split each doc
+    on newlines, keep lines that end in terminal punctuation, carry >=
+    C4_MIN_LINE_WORDS words, and don't mention 'javascript'; rebuild
+    the doc from survivors; the doc-level verdict additionally demands
+    no 'lorem ipsum', no '{', and >= C4_MIN_KEPT_LINES kept lines.
+    Output per doc (full-corpus anchored, NULL text degrades to one
+    empty line): (doc_id, n_lines, n_kept_lines, kept, text_clean).
+
+    Scale posture: ZERO joins, zero shuffles — every rule is a
+    higher-order in-row fold over the line array, so the operator is
+    scan-bound at any corpus size (the cheapest class in the repo,
+    same as text_redact_pii). That is the actual reason C4-style rule
+    filters run FIRST in real pipelines: they cut the corpus before
+    anything that shuffles.
+
+    Fixture honesty (the dedup_lines posture): the parquet fixtures
+    are single-line, punctuation-free synthetic text, so EVERY fixture
+    line fails the terminal-punctuation rule and the registered row is
+    an all-dropped frame — still value-hash-checked, but the rules'
+    live behavior is pinned on constructed multi-line corpora incl. a
+    written-table Spark<->DuckDB parity run
+    (tests/test_curation_ops.py)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+    keep_line = lambda l: (  # noqa: E731
+        l.rlike('[.!?"]$')
+        & (
+            F.size(F.filter(F.split(l, "\\s+"), lambda w: w != ""))
+            >= C4_MIN_LINE_WORDS
+        )
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        (
+            (F.size(kept) >= C4_MIN_KEPT_LINES)
+            & ~F.lower(F.coalesce(F.col("text"), F.lit(""))).contains(
+                "lorem ipsum"
+            )
+            & ~F.coalesce(F.col("text"), F.lit("")).contains("{")
+        ).alias("kept"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
+C4_CLEAN_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           coalesce(text, '') AS t,
+           string_split(coalesce(text, ''), chr(10)) AS lines
+    FROM documents
+),
+f AS (
+    SELECT doc_id, t, lines,
+           list_filter(lines, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\\s+'),
+                                   w -> w <> '')) >= {C4_MIN_LINE_WORDS}
+               AND NOT contains(lower(l), 'javascript')) AS kept_lines
+    FROM base
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+       (len(kept_lines) >= {C4_MIN_KEPT_LINES}
+        AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{{')) AS kept,
+       coalesce(array_to_string(kept_lines, chr(10)), '')
+           AS text_clean
+FROM f
+"""
+
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_softdedup_weights": corpus_softdedup_weights,
@@ -2087,6 +2180,7 @@ QUERIES = {
     "dedup_span_decontaminate": dedup_span_decontaminate,
     "dedup_keep_canonical": dedup_keep_canonical,
     "text_redact_pii": text_redact_pii,
+    "corpus_c4_clean": corpus_c4_clean,
 }
 
 ORACLE_SQL = {
@@ -2110,4 +2204,5 @@ ORACLE_SQL = {
     "dedup_span_decontaminate": SPAN_DECONTAMINATE_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),
     "text_redact_pii": REDACT_SQL,
+    "corpus_c4_clean": C4_CLEAN_SQL,
 }

@@ -1873,3 +1873,229 @@ ORACLE_SQL = {
     "dedup_incremental": INCREMENTAL_SQL,
     "dedup_contamination": CONTAMINATION_SQL,
 }
+
+
+# --- Bloom-filter ingest membership (r9 second wave) ---
+
+BLOOM_M = 1 << 20  # filter bits — FIXTURE dial. Deployment sizes
+# m ≈ -n·ln(p)/ln(2)² for n standing keys at FP rate p (1e10 keys at
+# 1% ≈ 12 GB of bits): too big to broadcast whole, which is why the
+# filter below is spelled as a DISTINCT (bit) ROW SET — i.e. already
+# SHARDED by bit (the partitioned-Bloom deployment form); the probe is
+# an equi-join against ≤ min(m, k·n) skinny rows. For small m the
+# classic broadcast-bitmap form (bit_or-folded words, in-row probe)
+# is a straightforward fold of the same frame.
+BLOOM_K = 2  # hash functions, md5 salts 'bf0:'/'bf1:'
+
+
+def _bloom_bit_exprs(md5_col: str = "content_md5", m: int = BLOOM_M) -> list:
+    """The K deterministic bit positions of a content key — exact
+    integer md5 arithmetic, mirrored verbatim in the oracles."""
+    return [
+        F.expr(
+            f"CAST(conv(substring(md5(concat('bf{i}:', {md5_col})),"
+            f" 1, 15), 16, 10) AS BIGINT) % {m}"
+        ).alias("bit")
+        for i in range(BLOOM_K)
+    ]
+
+
+def dedup_incremental_bloom(
+    spark: SparkSession, sf_dir: str, m: int | None = None
+) -> DataFrame:
+    """EXACT-membership ingest dedup through a Bloom filter (Bloom
+    1970; the Bloom/memory-bounded tier every large-scale ingest
+    pipeline puts in front of its exact store): flag each incoming
+    batch doc (source = 'src0') whose content hash is POSSIBLY already
+    in the standing corpus. The filter is the standing keys' K=2
+    md5-derived bit positions, deduplicated — a doc is flagged iff ALL
+    its K bits are set. One-sided by construction: NO false negatives
+    (every true duplicate is flagged — the contract a drop-verdict can
+    be built on), false positives at a rate priced by m and audited by
+    dedup_bloom_fp_report.
+
+    Why this beats the exact probe at 100 TB INGEST: dedup_incremental
+    and the exact-key join must reach the standing corpus's key set —
+    ~n rows shuffled or served per batch. The Bloom frame is ≤ min(m,
+    K·n) DISTINCT BIT rows, built once per epoch, independent of key
+    width, and cacheable forever (bits only turn ON, so yesterday's
+    filter is a valid — slightly conservative — prefilter for today);
+    the per-batch cost is one hash pass over the batch + an equi-join
+    against the bit set. The row-set spelling IS the partitioned-Bloom
+    deployment form (sharded by bit); see BLOOM_M for the
+    broadcast-bitmap small-m variant.
+
+    NULL text is unhashable: NULL-key batch docs anchor through with
+    possibly_dup = FALSE (the exact tier's NULL-grouping handles
+    them); NULL-key standing docs set no bits. Output: (doc_id,
+    possibly_dup) for every src0 doc.
+
+    `m` overrides BLOOM_M for collision studies (tests force FPs with
+    tiny filters); the registered row keeps the static dial so the
+    oracle is static."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.lower("text")).alias("content_md5")
+    )
+    bit_exprs = _bloom_bit_exprs(m=m if m is not None else BLOOM_M)
+    standing = docs.where(
+        (F.col("source") != INCR_NEW_SOURCE)
+        & F.col("content_md5").isNotNull()
+    )
+    bits = (
+        standing.select(F.explode(F.array(*bit_exprs)).alias("bit"))
+        .distinct()
+        .withColumn("set", F.lit(1))
+    )
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+    probe = batch.where(F.col("content_md5").isNotNull()).select(
+        "doc_id", F.explode(F.array(*bit_exprs)).alias("bit")
+    )
+    hits = (
+        probe.join(bits, "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("set", F.lit(0))).alias("nhit"))
+    )
+    anchor = batch.select("doc_id")
+    return anchor.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("nhit") == BLOOM_K, F.lit(False)).alias(
+            "possibly_dup"
+        ),
+    )
+
+
+def _bloom_sql_core(m: int = BLOOM_M) -> str:
+    """Filter + probe + verdict as DuckDB CTE text ending in a `bloom`
+    relation (doc_id, possibly_dup), shared by the verdict oracle and
+    the FP-report oracle."""
+    bit = (
+        "CAST(CAST('0x' || substr(md5('bf{i}:' || content_md5), 1, 15)"
+        f" AS BIGINT) % {m} AS BIGINT)"
+    )
+    bits_union = " UNION ALL ".join(
+        f"SELECT doc_id, source, {bit.format(i=i)} AS bit FROM k"
+        f" WHERE content_md5 IS NOT NULL"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH k AS (
+    SELECT doc_id, source, md5(lower(text)) AS content_md5
+    FROM documents
+),
+kb AS ({bits_union}),
+bits AS (
+    SELECT DISTINCT bit FROM kb WHERE source <> 'src0'
+),
+hits AS (
+    SELECT p.doc_id,
+           sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+    FROM (SELECT doc_id, bit FROM kb WHERE source = 'src0') p
+    LEFT JOIN bits b ON p.bit = b.bit
+    GROUP BY p.doc_id
+),
+bloom AS (
+    SELECT d.doc_id,
+           coalesce(h.nhit = {BLOOM_K}, FALSE) AS possibly_dup
+    FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+)"""
+
+
+BLOOM_SQL = _bloom_sql_core() + """
+SELECT doc_id, possibly_dup FROM bloom
+"""
+
+
+def dedup_bloom_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom tier's PRICE TAG — one audit row comparing the filter's
+    verdicts against exact membership on the same batch: n_batch,
+    n_flagged, n_exact_dup (batch keys present verbatim in the standing
+    key set; NULL keys never match, mirroring the filter's unhashable
+    stance), n_false_pos = flagged-but-not-exact, and fp_ppm — false
+    positives per million CLEAN batch docs, the dial a deployment
+    compares against its m-sizing target before trusting the filter as
+    a drop-verdict prefilter. The no-false-negative law (every exact
+    dup is flagged) is pinned in tests and holds by construction at
+    ANY m.
+
+    Cost: the bloom verdict frame + one distinct-key semi-join and a
+    1-row rollup — the report is strictly cheaper than the filter
+    build it audits."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.lower("text")).alias("content_md5")
+    )
+    standing_keys = (
+        docs.where(
+            (F.col("source") != INCR_NEW_SOURCE)
+            & F.col("content_md5").isNotNull()
+        )
+        .select("content_md5")
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+    exact = batch.join(standing_keys, "content_md5", "left").select(
+        "doc_id",
+        F.coalesce(F.col("present") == 1, F.lit(False)).alias("exact_dup"),
+    )
+    joined = dedup_incremental_bloom(spark, sf_dir).join(exact, "doc_id")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_batch"),
+        F.sum(F.col("possibly_dup").cast("int"))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum(F.col("exact_dup").cast("int"))
+        .cast("bigint")
+        .alias("n_exact_dup"),
+        F.sum(
+            (F.col("possibly_dup") & ~F.col("exact_dup")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.expr(
+            "CASE WHEN count(*) - sum(CAST(exact_dup AS INT)) = 0"
+            " THEN CAST(0 AS BIGINT) ELSE"
+            " CAST((sum(CAST(possibly_dup AND NOT exact_dup AS INT))"
+            " * CAST(1000000 AS BIGINT))"
+            " div (count(*) - sum(CAST(exact_dup AS INT))) AS BIGINT)"
+            " END"
+        ).alias("fp_ppm"),
+    )
+
+
+BLOOM_FP_SQL = _bloom_sql_core() + """,
+sk AS (
+    SELECT DISTINCT content_md5
+    FROM k WHERE source <> 'src0' AND content_md5 IS NOT NULL
+),
+ex AS (
+    SELECT d.doc_id,
+           coalesce(s.content_md5 IS NOT NULL, FALSE) AS exact_dup
+    FROM (SELECT doc_id, content_md5 FROM k WHERE source = 'src0') d
+    LEFT JOIN sk s ON d.content_md5 = s.content_md5
+),
+j AS (
+    SELECT b.doc_id, b.possibly_dup, e.exact_dup
+    FROM bloom b JOIN ex e ON b.doc_id = e.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(sum(CAST(possibly_dup AS INT)) AS BIGINT) AS n_flagged,
+       CAST(sum(CAST(exact_dup AS INT)) AS BIGINT) AS n_exact_dup,
+       CAST(sum(CAST(possibly_dup AND NOT exact_dup AS INT)) AS BIGINT)
+           AS n_false_pos,
+       CASE WHEN count(*) - sum(CAST(exact_dup AS INT)) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST((sum(CAST(possibly_dup AND NOT exact_dup AS INT))
+                       * CAST(1000000 AS BIGINT))
+                      // (count(*) - sum(CAST(exact_dup AS INT)))
+                      AS BIGINT) END AS fp_ppm
+FROM j
+"""
+
+
+QUERIES["dedup_incremental_bloom"] = dedup_incremental_bloom
+ORACLE_SQL["dedup_incremental_bloom"] = BLOOM_SQL
+QUERIES["dedup_bloom_fp_report"] = dedup_bloom_fp_report
+ORACLE_SQL["dedup_bloom_fp_report"] = BLOOM_FP_SQL

@@ -781,7 +781,9 @@ SB_ALPHA_PPM = 400_000   # the backoff factor 0.4 lands EXACTLY on the
 SB_ALPHA2_PPM = 160_000  # ppm grid (0.4*1e6, 0.4^2*1e6) — no float
 
 
-def _sb_score_frame(docs: DataFrame) -> DataFrame:
+def _sb_score_frame(
+    docs: DataFrame, model_docs: DataFrame | None = None
+) -> DataFrame:
     """Per-doc Stupid-Backoff trigram-LM scores (Brants et al. 2007,
     "Large Language Models in Machine Translation" — the LM smoothing
     DESIGNED for MapReduce-scale corpora: no discount renormalization,
@@ -820,8 +822,14 @@ def _sb_score_frame(docs: DataFrame) -> DataFrame:
     the probe side stays bounded while only the corpus side scales.
     The b_total denominator arrives as a broadcast 1-row crossJoin.
     Arithmetic widens through DECIMAL(38,0) (c2*400000 passes 1e18 at
-    ~1e13 target bigrams); quotients land back in bigint."""
-    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    ~1e13 target bigrams); quotients land back in bigint.
+
+    `model_docs` (default: `docs` itself) is the corpus the LM trains
+    on — the ingest twin passes the STANDING corpus here while scoring
+    only the new batch, freezing the model against self-influence."""
+    target = (model_docs if model_docs is not None else docs).where(
+        F.col("lang") == DSIR_TARGET_LANG
+    )
     # bigram model tables: counts, left-word contexts, corpus total.
     # cnt2 feeds three rollups/joins -> plan barrier keeps the target
     # explode single; same for cnt3 (two consumers).
@@ -925,15 +933,17 @@ def text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sb_score_frame(load_table(spark, sf_dir, "documents"))
 
 
-def _sb_sql_core() -> str:
+def _sb_sql_core(model_extra: str = "", scope_where: str = "TRUE") -> str:
     """The Stupid-Backoff score frame as DuckDB CTE text ending in a
     `sb` relation (doc_id, n_trigrams, n_backoff, sb_score_ppm), shared
-    verbatim by the scorer oracle and the bucket oracle."""
+    verbatim by the scorer, bucket, and ingest-twin oracles.
+    `model_extra` narrows the training slice beyond the target-lang
+    predicate; `scope_where` narrows which docs are scored/anchored."""
     return f"""
 WITH tw AS (
     SELECT list_filter(string_split_regex(lower(text), '\\s+'),
                        t -> t <> '') AS w
-    FROM documents WHERE lang = '{DSIR_TARGET_LANG}'
+    FROM documents WHERE lang = '{DSIR_TARGET_LANG}'{model_extra}
 ),
 tbg AS (
     SELECT w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
@@ -952,7 +962,7 @@ ctx3 AS (SELECT bg12, sum(c3) AS cbg12 FROM cnt3 GROUP BY bg12),
 aw AS (
     SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS w
-    FROM documents
+    FROM documents WHERE {scope_where}
 ),
 dg AS (
     SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg,
@@ -1003,6 +1013,7 @@ sb AS (
            CAST(coalesce(s.n_backoff, 0) AS BIGINT) AS n_backoff,
            CAST(s.sb_score_ppm AS BIGINT) AS sb_score_ppm
     FROM documents d LEFT JOIN sbs s ON d.doc_id = s.doc_id
+    WHERE {scope_where}
 )"""
 
 
@@ -1126,3 +1137,46 @@ FROM base b LEFT JOIN th t ON b.lang IS NOT DISTINCT FROM t.lang
 
 QUERIES["corpus_perplexity_buckets"] = corpus_perplexity_buckets
 ORACLE_SQL["corpus_perplexity_buckets"] = PPL_BUCKETS_SQL
+
+
+def text_trigram_backoff_score_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """text_trigram_backoff_score's INGEST twin (the dedup_incremental
+    / corpus_dsir_weights_hashed_incremental contract applied to LM
+    scoring): score an incoming batch (source = 'src0') against the
+    STANDING corpus's FROZEN trigram model — the count tables, context
+    rollups, and b_total come from old documents only (standing =
+    source <> 'src0', target-lang slice), so the batch contributes
+    nothing to the model it is scored by. This is exactly how a
+    CCNet-style deployment runs: the reference LM is trained once per
+    epoch (and at deployment pruned to fit — the KenLM move), each
+    crawl batch pays one trigram pass over ITS OWN rows plus the model
+    joins, never a corpus rescan; re-running a batch yields identical
+    scores (no self-influence — a batch doc's novel trigrams take the
+    backoff path even when the doc is target-lang, pinned by
+    constructed rows in test_selection_ops.py).
+
+    Output anchored on the new slice: (doc_id, n_trigrams, n_backoff,
+    sb_score_ppm) for every src0 doc; < 3-token docs surface with
+    n_trigrams = 0 and a NULL score."""
+    tune(spark)
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+    return _sb_score_frame(batch, model_docs=standing)
+
+
+SB_TRIGRAM_INCR_SQL = _sb_sql_core(
+    model_extra=" AND source <> 'src0'", scope_where="source = 'src0'"
+) + """
+SELECT doc_id, n_trigrams, n_backoff, sb_score_ppm FROM sb
+"""
+
+
+QUERIES["text_trigram_backoff_score_incremental"] = (
+    text_trigram_backoff_score_incremental
+)
+ORACLE_SQL["text_trigram_backoff_score_incremental"] = SB_TRIGRAM_INCR_SQL

@@ -588,3 +588,70 @@ def test_dedup_lines_incremental_no_self_influence(spark, tmp_path):
     assert got[11] == (2, 0, "fresh beta\nfresh beta")
     assert got[12] == (1, 0, "fresh alpha")
     assert got[13] == (1, 0, "")
+
+
+def test_c4_clean_rules_on_constructed_corpus(spark, tmp_path):
+    """corpus_c4_clean's rules on a corpus that actually exercises them
+    (the parquet fixtures are punctuation-free single-line text, so the
+    registered row is an all-dropped frame — documented): line rules
+    (terminal punctuation, >= 5 words, no 'javascript'), doc rules
+    ('lorem ipsum', '{', >= 3 kept lines), NULL-text degradation, and
+    value-exact Spark<->DuckDB parity over the same written table."""
+    import duckdb
+
+    from projetbigdata_spark.operators.curation import (
+        C4_CLEAN_SQL,
+        corpus_c4_clean,
+    )
+
+    good = "this line has enough words and punctuation."
+    rows = [
+        # 3 good lines -> kept doc; the unpunctuated and short lines cut
+        (1, f"{good}\n{good}!\nno terminal punct here\n{good}?"),
+        # only 2 kept lines -> doc dropped, survivors still rebuilt
+        (2, f"{good}\nshort line.\n{good}"),
+        # javascript line cut; doc then under the 3-line floor
+        (3, f"{good}\nplease enable javascript to view this."
+            f"\n{good}"),
+        # lorem ipsum kills the doc even with 3 clean lines
+        (4, f"{good}\n{good}\n{good}\nlorem ipsum dolor sit amet."),
+        # a brace kills the doc (C4's code-page heuristic)
+        (5, f"{good}\n{good}\n{good}\nfunction() {{ return 1; }}"),
+        (6, None),
+        (7, ""),
+        # end-quote counts as terminal punctuation
+        (8, 'he said "this is a full quoted sentence."\n' * 3),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.kept, r.text_clean)
+        for r in corpus_c4_clean(spark, d).collect()
+    }
+    assert got[1] == (4, 3, True, f"{good}\n{good}!\n{good}?")
+    assert got[2] == (3, 2, False, f"{good}\n{good}")
+    assert got[3][1:3] == (2, False)  # javascript line cut -> under floor
+    # lorem ipsum is a PAGE rule: the line itself passes the line
+    # rules (5 words, terminal '.') so all 4 lines survive, but the
+    # doc verdict is False
+    assert got[4][2] is False and got[4][1] == 4
+    assert got[5][2] is False  # brace doc rule
+    assert got[6] == (1, 0, False, "")  # NULL text degrades
+    assert got[7] == (1, 0, False, "")
+    assert got[8][2] is True  # end-quote is terminal
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(C4_CLEAN_SQL).fetchall()
+    }
+    assert got == want

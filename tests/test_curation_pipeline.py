@@ -314,3 +314,22 @@ def test_line_clean_idempotent(spark, tmp_path):
         expect = r.n_lines - r.n_lines_cut
         assert kept == expect or (expect == 0 and r.text_deduped == "")
     assert recheck.agg(F.sum("n_lines_cut")).first()[0] == 0  # idempotent
+
+
+def test_c4_gate_report_accounting(spark):
+    """examples/corpus_curation.c4_gate_report: the per-lang rollup
+    ties out against corpus_c4_clean (doc totals partition the corpus;
+    kept lines never exceed lines), and on THESE punctuation-free
+    fixtures the report shows the all-dropped verdict the operator's
+    fixture-honesty note documents."""
+    from tests.conftest import SF_SMOKE
+
+    from examples.corpus_curation import c4_gate_report
+    from projetbigdata_spark.sources.catalog import load_table
+
+    rep = c4_gate_report(spark, SF_SMOKE).collect()
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rep) == total
+    for r in rep:
+        assert 0 <= r.n_kept_lines <= r.n_lines
+        assert r.n_kept_docs == 0  # punctuation-free fixture: all drop

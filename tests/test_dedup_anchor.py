@@ -159,3 +159,97 @@ def test_tier_overlap_report_consistency(spark):
     assert union == len(exact | nd | sem)
     assert max(len(s) for s in sets.values()) <= union
     assert union <= sum(len(s) for s in sets.values())
+
+
+@pytest.fixture(scope="module")
+def bloom_docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bloom_docs")
+    rows = [
+        # standing corpus (srcA)
+        (100, "alpha beta gamma", "en", "srcA", 16),
+        (101, "delta epsilon zeta", "en", "srcA", 18),
+        (102, "eta theta iota", "en", "srcA", 14),
+        # batch (src0): one exact dup of 100, two clean, one NULL text
+        (1, "alpha beta gamma", "en", "src0", 16),
+        (2, "kappa lambda mu", "en", "src0", 15),
+        (3, "nu xi omicron", "en", "src0", 13),
+        (4, None, "en", "src0", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return str(d)
+
+
+def _bloom_python(rows, m):
+    """Pure-Python replica of the Bloom bit arithmetic."""
+    import hashlib
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def bits(text):
+        key = md5hex(text.lower())
+        return {
+            int(md5hex(f"bf{i}:{key}")[:15], 16) % m for i in range(2)
+        }
+
+    filt = set()
+    for doc_id, text, _l, source, _n in rows:
+        if source != "src0" and text is not None:
+            filt |= bits(text)
+    verdicts = {}
+    for doc_id, text, _l, source, _n in rows:
+        if source == "src0":
+            verdicts[doc_id] = (
+                text is not None and bits(text) <= filt
+            )
+    return verdicts
+
+
+def test_bloom_matches_python_model_and_laws(spark, bloom_docs_dir):
+    """dedup_incremental_bloom == the Python Bloom model at BOTH the
+    registered m and a collision-forcing tiny m. Laws: anchored on the
+    batch; NULL text never flagged; NO false negatives (the exact dup
+    is flagged at any m); tiny filters over-flag (the superset
+    direction), never under-flag; the FP report's accounting ties out
+    (n_flagged = n_exact_dup + n_false_pos)."""
+    from projetbigdata_spark.operators.dedup import (
+        BLOOM_M,
+        dedup_bloom_fp_report,
+        dedup_incremental_bloom,
+    )
+
+    rows = [
+        (100, "alpha beta gamma", "en", "srcA", 16),
+        (101, "delta epsilon zeta", "en", "srcA", 18),
+        (102, "eta theta iota", "en", "srcA", 14),
+        (1, "alpha beta gamma", "en", "src0", 16),
+        (2, "kappa lambda mu", "en", "src0", 15),
+        (3, "nu xi omicron", "en", "src0", 13),
+        (4, None, "en", "src0", 0),
+    ]
+    for m in (BLOOM_M, 4):
+        want = _bloom_python(rows, m)
+        got = {
+            r.doc_id: r.possibly_dup
+            for r in dedup_incremental_bloom(
+                spark, bloom_docs_dir, m=m
+            ).collect()
+        }
+        assert got == want, f"m={m}"
+        assert sorted(got) == [1, 2, 3, 4]  # anchored on the batch
+        assert got[1] is True  # the exact dup: flagged at ANY m
+        assert got[4] is False  # NULL text: unhashable, never flagged
+    # tiny m over-flags (3 standing keys x 2 bits in 4 slots saturate
+    # the filter) — the superset direction, never the reverse
+    tiny = _bloom_python(rows, 4)
+    assert sum(tiny.values()) > 1
+
+    rep = dedup_bloom_fp_report(spark, bloom_docs_dir).collect()[0]
+    assert rep.n_batch == 4
+    assert rep.n_exact_dup == 1
+    assert rep.n_flagged == rep.n_exact_dup + rep.n_false_pos

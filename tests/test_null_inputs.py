@@ -96,6 +96,9 @@ PER_DOC_KEEPERS = [
     # n_trigrams=0 with a NULL score / the 'unscored' bucket)
     "text_trigram_backoff_score",
     "corpus_perplexity_buckets",
+    # r9 second wave: zero-join per-doc projection — null text is one
+    # empty line, all rules fail, row kept with kept=FALSE
+    "corpus_c4_clean",
 ]
 
 EXPLODE_DROPPERS = [
@@ -153,6 +156,14 @@ MISC_R5 = [
     # r9 second wave: cluster-labeling report — null-text docs simply
     # contribute no tokens to their cluster; just must not crash
     "corpus_cluster_top_terms",
+    # r9 second wave: anchors on the src0 slice only (null batch text
+    # -> 0 trigrams, unscored)
+    "text_trigram_backoff_score_incremental",
+    # r9 second wave: Bloom verdicts anchor the src0 slice (NULL text
+    # is unhashable -> possibly_dup FALSE, the exact tier's NULL
+    # grouping owns those); the report is one accounting row
+    "dedup_incremental_bloom",
+    "dedup_bloom_fp_report",
 ]
 
 

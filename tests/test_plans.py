@@ -88,6 +88,7 @@ CARTESIAN_OK = {
     # labeler crossJoins the broadcast 1-row corpus token total —
     # both the declared-broadcast totals class
     "text_trigram_backoff_score",
+    "text_trigram_backoff_score_incremental",
     "corpus_cluster_top_terms",
 }
 
@@ -191,11 +192,16 @@ def test_soak_scale_still_broadcasts_dims(spark, name, floor):
 
 
 def test_mapside_ops_have_zero_exchanges(spark):
-    """embed_quantize_int8, text_wordpunct_tokens and sim_lsh_buckets
-    are pure per-row array/regex expression chains — any Exchange
-    appearing in their plans means a refactor accidentally introduced
-    a shuffle into a map-only operator."""
-    for name in ("embed_quantize_int8", "text_wordpunct_tokens", "sim_lsh_buckets"):
+    """embed_quantize_int8, text_wordpunct_tokens, sim_lsh_buckets and
+    corpus_c4_clean are pure per-row array/regex expression chains —
+    any Exchange appearing in their plans means a refactor accidentally
+    introduced a shuffle into a map-only operator."""
+    for name in (
+        "embed_quantize_int8",
+        "text_wordpunct_tokens",
+        "sim_lsh_buckets",
+        "corpus_c4_clean",
+    ):
         plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
         assert plan.count("Exchange") == 0, (name, plan)
 
@@ -395,10 +401,15 @@ EXCHANGE_BUDGET = {
     # counts its post-barrier plan (the scored frame is checkpointed
     # for its two consumers — a new exchange still trips)
     "text_trigram_backoff_score": 13,
+    "text_trigram_backoff_score_incremental": 13,
     "corpus_perplexity_buckets": 2,
     # one corpus token explode + vocab-sized rollups + the top-k
     # window (counts the post-barrier plan of the (cid, term) table)
     "corpus_cluster_top_terms": 8,
+    # Bloom ingest: one distinct over the standing bit rows + the
+    # probe join + the anchor; the FP report adds the exact semi-join
+    "dedup_incremental_bloom": 4,
+    "dedup_bloom_fp_report": 8,
 }
 
 

@@ -1116,3 +1116,70 @@ def test_cluster_top_terms_matches_python_model(spark, docs):
         for r in S.corpus_cluster_top_terms(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_trigram_incremental_frozen_model(spark, tmp_path):
+    """Constructed rows pin the LM ingest contract: (a) only the new
+    batch (source='src0') is emitted, anchored (< 3-token docs surface
+    with 0 trigrams); (b) the model is the STANDING target slice only
+    — a batch doc's novel trigram takes the BACKOFF path even though
+    the doc is lang='en' (self-influence would have put it in the
+    model and scored it at the trigram level); (c) adding another
+    batch doc changes NO existing verdict."""
+    from projetbigdata_spark.operators.selection import (
+        text_trigram_backoff_score_incremental,
+    )
+
+    standing = [
+        (100, "alpha beta gamma alpha beta gamma", "en", "srcA", 0),
+        (101, "delta epsilon zeta delta epsilon zeta", "fr", "srcA", 0),
+    ]
+    new1 = [
+        # trigram "alpha beta gamma" IS in the standing en model
+        (1, "alpha beta gamma", "en", "src0", 0),
+        # "beta gamma delta" is NOT (standing en never strings these) —
+        # an en batch doc that MUST back off under a frozen model
+        (2, "beta gamma delta", "en", "src0", 0),
+        (3, "tiny doc", "en", "src0", 0),  # < 3 tokens
+    ]
+
+    def write(rows, d):
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+
+    d1 = str(tmp_path / "one")
+    write(standing + new1, d1)
+    got1 = {
+        r.doc_id: (r.n_trigrams, r.n_backoff, r.sb_score_ppm)
+        for r in text_trigram_backoff_score_incremental(
+            spark, d1
+        ).collect()
+    }
+    assert sorted(got1) == [1, 2, 3]  # new slice only, anchored
+    assert got1[3] == (0, 0, None)  # 2 tokens -> 0 trigrams, unscored
+    # (b) doc 1 hits the standing model at the trigram level
+    assert got1[1] == (1, 0, 1_000_000)  # c3=2, ctx3("alpha beta")=2
+    # doc 2's trigram is novel to the model -> backoff fires; its
+    # bigram "gamma delta" is ALSO novel, and "delta" never appears as
+    # standing-en bigram-left -> the zero branch: score 0
+    assert got1[2] == (1, 1, 0)
+
+    # (c) no self-influence: a second batch doc (which CONTAINS
+    # doc 2's trigram, so under self-training it would stop backing
+    # off) changes nothing
+    d2 = str(tmp_path / "two")
+    write(
+        standing + new1 + [(4, "beta gamma delta beta", "en", "src0", 0)],
+        d2,
+    )
+    got2 = {
+        r.doc_id: (r.n_trigrams, r.n_backoff, r.sb_score_ppm)
+        for r in text_trigram_backoff_score_incremental(
+            spark, d2
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert got2[d] == got1[d], d

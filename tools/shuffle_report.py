@@ -126,8 +126,12 @@ QUERIES = [
     "dedup_lines_incremental",
     # r9 second wave
     "text_trigram_backoff_score",
+    "text_trigram_backoff_score_incremental",
     "corpus_perplexity_buckets",
     "corpus_cluster_top_terms",
+    "dedup_incremental_bloom",
+    "dedup_bloom_fp_report",
+    "corpus_c4_clean",
 ]
 
 
