@@ -238,6 +238,78 @@ QS_BIAS = 1 << 60  # shift logits non-negative so div == floor-div on
 # headroom, and int64 bins stay ~2^44.
 
 
+def corpus_quality_calibration_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The frozen classifier's CALIBRATION CURVE — the reliability
+    audit behind per-lang recall/FP (corpus_quality_classifier_report
+    tells you HOW MUCH the filter keeps; this tells you whether the
+    SCORE AXIS means anything): per logit-histogram bin (the
+    corpus_quality_select binning — QS_BIN-micro bins, QS_BIAS-shifted
+    so div == floor-div on both engines), how many docs land there and
+    what fraction carries the DSIR target label. A well-calibrated
+    quality score shows target_ppm rising with the bin; a flat curve
+    means the classifier is majority-class guessing (exactly what the
+    HASH_BUCKETS dial study documents at fixture scale — this report
+    is that finding as a standing, oracle-checked surface a deployment
+    re-reads after every re-fit).
+
+    Columns: (bin, bin_lo_micros, n_docs, n_target, target_ppm) —
+    bin_lo_micros = bin·QS_BIN − QS_BIAS is the bin's inclusive lower
+    logit edge, so the frame plots directly. Cost: the one-pass scorer
+    plan + a ≤|bins|-row rollup (bins are occupied-only)."""
+    tune(spark)
+    from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
+
+    scores = corpus_quality_classifier_scores(spark, sf_dir)
+    return (
+        scores.select(
+            F.expr(f"(logit_micros + {QS_BIAS}) div {QS_BIN}").alias("bin"),
+            (F.col("lang") == DSIR_TARGET_LANG)
+            .cast("int")
+            .alias("is_target"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_target").cast("bigint").alias("n_target"),
+        )
+        .select(
+            "bin",
+            F.expr(f"bin * {QS_BIN} - CAST({QS_BIAS} AS BIGINT)")
+            .cast("bigint")
+            .alias("bin_lo_micros"),
+            "n_docs",
+            "n_target",
+            F.expr("(1000000 * n_target) div n_docs")
+            .cast("bigint")
+            .alias("target_ppm"),
+        )
+    )
+
+
+def _calibration_report_sql() -> str:
+    from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
+
+    return f"""
+WITH s AS ({QUALITY_CLASSIFIER_SQL}),
+b AS (
+    SELECT (logit_micros + {QS_BIAS}) // {QS_BIN} AS bin,
+           CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END
+               AS is_target
+    FROM s
+)
+SELECT bin,
+       CAST(bin * {QS_BIN} - {QS_BIAS} AS BIGINT) AS bin_lo_micros,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_target) AS BIGINT) AS n_target,
+       CAST((1000000 * sum(is_target)) // count(*) AS BIGINT)
+           AS target_ppm
+FROM b
+GROUP BY bin
+"""
+
+
 def corpus_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the TOP ~QS_RATE_PPM of the corpus by learned quality —
     the GPT-3-style "train on the best-scoring slice" selection made
@@ -424,6 +496,7 @@ LEFT JOIN s s2 ON d.doc_id = s2.doc_id
 QUERIES = {
     "corpus_quality_classifier_scores": corpus_quality_classifier_scores,
     "corpus_quality_classifier_report": corpus_quality_classifier_report,
+    "corpus_quality_calibration_report": corpus_quality_calibration_report,
     "corpus_quality_select": corpus_quality_select,
     "dedup_keep_best_quality": dedup_keep_best_quality,
 }
@@ -431,6 +504,7 @@ QUERIES = {
 ORACLE_SQL = {
     "corpus_quality_classifier_scores": QUALITY_CLASSIFIER_SQL,
     "corpus_quality_classifier_report": _classifier_report_sql(),
+    "corpus_quality_calibration_report": _calibration_report_sql(),
     "corpus_quality_select": QUALITY_SELECT_SQL,
     "dedup_keep_best_quality": _keep_best_quality_sql(),
 }

@@ -830,6 +830,14 @@ def _sb_score_frame(
     target = (model_docs if model_docs is not None else docs).where(
         F.col("lang") == DSIR_TARGET_LANG
     )
+    return _sb_score_with_model(docs, _sb_model(target))
+
+
+def _sb_model(target: DataFrame) -> tuple:
+    """The frozen model tables (cnt2, ctx2, tot2, cnt3, ctx3) of a
+    target slice — factored out so the streaming twin can build them
+    ONCE and score every micro-batch against the same frozen frames
+    (the quality_scores_stream / ann_ingest_stream closure pattern)."""
     # bigram model tables: counts, left-word contexts, corpus total.
     # cnt2 feeds three rollups/joins -> plan barrier keeps the target
     # explode single; same for cnt3 (two consumers).
@@ -854,7 +862,13 @@ def _sb_score_frame(
             " ", F.split("tg", " ").getItem(0), F.split("tg", " ").getItem(1)
         ).alias("bg12")
     ).agg(F.sum("c3").alias("cbg12"))
+    return cnt2, ctx2, tot2, cnt3, ctx3
 
+
+def _sb_score_with_model(docs: DataFrame, model: tuple) -> DataFrame:
+    """Score `docs` against an already-built model tuple — the frame
+    every registered/streaming surface shares."""
+    cnt2, ctx2, tot2, cnt3, ctx3 = model
     # scoring: one corpus explode, pre-aggregated per (doc, trigram)
     doc_grams = (
         docs.select(

@@ -34,9 +34,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 7 (second-wave additions) + 26 = 50; after this block
+# 10 + 7 + 8 (second-wave additions) + 25 = 50; after this block
 # every registered query's latest green row is r6+ except the ten
-# parked r5 rows (seven from the first wave + the seven that yielded
+# parked r5 rows (seven from the first wave + the eight that yielded
 # to the second wave). collect()
 # raises if a priority name is not registered.
 _PRIORITY = (
@@ -62,8 +62,8 @@ _PRIORITY = (
     # (bin/threshold_bin column values change — ADVICE r8)
     "ml_quality_classifier_fit",  # MODIFIED: NULL-safe labels
     "dedup_lines_incremental",  # NEW: the line-dedup ingest twin
-    # --- tier A, second r9 wave (7): rule a forces every new query
-    # into the block; seven tier-C rows yield (see below) ---
+    # --- tier A, second r9 wave (8): rule a forces every new query
+    # into the block; eight tier-C rows yield (see below) ---
     "text_trigram_backoff_score",  # NEW: Stupid-Backoff trigram LM
     "corpus_perplexity_buckets",  # NEW: CCNet head/middle/tail
     "corpus_cluster_top_terms",  # NEW: c-TF-IDF cluster labeling
@@ -71,7 +71,8 @@ _PRIORITY = (
     "dedup_incremental_bloom",  # NEW: Bloom-filter ingest membership
     "dedup_bloom_fp_report",  # NEW: its false-positive price tag
     "corpus_c4_clean",  # NEW: the C4 line/doc rule recipe
-    # --- tier C (26 of the 40 r5-latest rows; the rest park past
+    "corpus_quality_calibration_report",  # NEW: calibration curve
+    # --- tier C (25 of the 40 r5-latest rows; the rest park past
     # slot 50 as next-in-line). Compositions stay shielded under
     # rule c: corpus_curate / corpus_curate_calibrated /
     # sim_ivf_incremental went green in r8 and re-enter at r11. ---
@@ -90,7 +91,6 @@ _PRIORITY = (
     "corpus_bpe_merges",
     "corpus_bpe_merges_batched",
     "corpus_bpe_vocab",
-    "corpus_domain_stats",
     "corpus_shingle_stats",
     "sim_ann_lsh_topk",
     "sim_ivf_sampled_topk",
@@ -102,18 +102,20 @@ _PRIORITY = (
     "events_anomaly_mad",
     "contamination_ngram_overlap",
     # --- next-in-line past slot 50: the parked r5-era rows. The
-    # second r9 wave's seven new queries displaced seven more low-risk
+    # second r9 wave's eight new queries displaced eight more low-risk
     # shapes (q6_forecast_revenue — single-scan fully-pushed agg, its
     # pushdown CI-gated in test_plans; the semi/anti join pair —
     # two-table single-exchange shapes; events_funnel_conversion — a
     # window chain whose family is covered by the r7-green events
     # twins; text_lang_guess / text_redact_pii — zero-exchange per-doc
     # map shapes, the latter's plan CI-gated in test_plans;
-    # corpus_ngram_diversity — another zero-exchange in-row shape);
+    # corpus_ngram_diversity — another zero-exchange in-row shape;
+    # corpus_domain_stats — a |sources|-row metadata rollup);
     # chunk_documents_expr yielded its slot to the line-dedup ingest
     # twin in the first wave (its udtf sibling over the same kernel
     # went green r8) ---
     "q6_forecast_revenue",
+    "corpus_domain_stats",
     "corpus_ngram_diversity",
     "text_lang_guess",
     "text_redact_pii",

@@ -336,6 +336,47 @@ def quality_scores_stream(docs_stream, out_dir: str):
     )
 
 
+def trigram_scores_stream(docs_stream, standing_sf_dir: str, out_dir: str):
+    """Streaming LM scoring: each micro-batch of incoming documents
+    (doc_id, lang, text) is scored by the FROZEN Stupid-Backoff trigram
+    model via foreachBatch — 'CCNet-score today's crawl as it arrives',
+    extending the ingest-twin family to the LM tier. The model is built
+    ONCE from the standing corpus's target slice (closure-captured
+    frames, the ann_ingest_stream pattern) and persisted; like
+    quality_scores_stream there is no state store and no ordering
+    sensitivity — scoring a micro-batch IS the batch twin
+    (text_trigram_backoff_score_incremental) on that slice, which is
+    the tested property (tests/test_streaming.py)."""
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.selection import (
+        DSIR_TARGET_LANG,
+        _sb_model,
+        _sb_score_with_model,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    spark = docs_stream.sparkSession
+    # the standing slice (source <> 'src0') of the corpus dir — the
+    # exact model the batch twin trains, so batch == streaming holds
+    standing = load_table(spark, standing_sf_dir, "documents").where(
+        F.col("source") != INCR_NEW_SOURCE
+    )
+    model = _sb_model(
+        standing.where(F.col("lang") == DSIR_TARGET_LANG)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        scores = _sb_score_with_model(batch_df, model)
+        scores.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
+
 def anomaly_state_path(state_dir: str) -> str:
     """The VERSIONED partials root under a state_dir (ADVICE r6). The
     r6 idempotence fix changed the state layout from flat appended

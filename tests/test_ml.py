@@ -399,3 +399,35 @@ def test_quality_select_python_model(spark):
     drop_max = max(r.logit_micros for r in got.values() if not r.selected)
     assert kept_min > drop_max - QS_BIN
     assert 0 < n_sel < n  # fixture exercises both verdicts
+
+
+def test_quality_calibration_report_ties_out(spark):
+    """corpus_quality_calibration_report: bins partition the corpus
+    (Σn_docs = corpus size, Σn_target = target-lang doc count); every
+    doc's logit falls in its reported bin ([bin_lo, bin_lo + QS_BIN));
+    target_ppm is the exact integral ratio."""
+    from projetbigdata_spark.operators.classifier import (
+        QS_BIN,
+        corpus_quality_calibration_report,
+        corpus_quality_classifier_scores,
+    )
+    from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.count()
+    n_target = docs.where(f"lang = '{DSIR_TARGET_LANG}'").count()
+    rep = corpus_quality_calibration_report(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rep) == total
+    assert sum(r.n_target for r in rep) == n_target
+    for r in rep:
+        assert 0 <= r.n_target <= r.n_docs
+        assert r.target_ppm == (1_000_000 * r.n_target) // r.n_docs
+    edges = {r.bin: r.bin_lo_micros for r in rep}
+    scores = corpus_quality_classifier_scores(spark, SF_SMOKE).collect()
+    for s in scores:
+        b = min(
+            (lo for lo in edges.values() if lo <= s.logit_micros),
+            key=lambda lo: s.logit_micros - lo,
+        )
+        assert b <= s.logit_micros < b + QS_BIN

@@ -164,6 +164,9 @@ MISC_R5 = [
     # grouping owns those); the report is one accounting row
     "dedup_incremental_bloom",
     "dedup_bloom_fp_report",
+    # r9 second wave: per-bin rollup — null-text docs score the
+    # intercept and land in its bin like any other doc
+    "corpus_quality_calibration_report",
 ]
 
 

@@ -410,6 +410,8 @@ EXCHANGE_BUDGET = {
     # probe join + the anchor; the FP report adds the exact semi-join
     "dedup_incremental_bloom": 4,
     "dedup_bloom_fp_report": 8,
+    # the one-pass scorer plan + a <=|bins|-row rollup
+    "corpus_quality_calibration_report": 6,
 }
 
 

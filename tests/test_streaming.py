@@ -822,3 +822,49 @@ def test_quality_scores_stream_equals_batch(spark, tmp_path):
     cols = ["doc_id", "lang", "logit_micros", "keep"]
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_trigram_scores_stream_equals_batch(spark, tmp_path):
+    """Streaming LM scoring == the batch ingest twin on the same docs:
+    the src0 batch arrives as two parquet micro-batches; per-batch
+    frozen-model scores must together reproduce
+    text_trigram_backoff_score_incremental exactly (stateless frozen
+    model — no state store, no ordering sensitivity)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.selection import (
+        text_trigram_backoff_score_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import trigram_scores_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") == "src0"
+    ).select("doc_id", "lang", "source", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    # src0 doc_ids are all multiples of 20 (source = doc_id % 20), so
+    # split on % 40 to get two non-empty micro-batches
+    half = docs.where(F.col("doc_id") % 40 == 0)
+    other = docs.subtract(half)
+    assert half.count() > 0 and other.count() > 0
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = trigram_scores_stream(stream, SF_SMOKE, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = text_trigram_backoff_score_incremental(spark, SF_SMOKE)
+    assert streamed.count() == batch.count()
+    cols = ["doc_id", "n_trigrams", "n_backoff", "sb_score_ppm"]
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0

@@ -132,6 +132,7 @@ QUERIES = [
     "dedup_incremental_bloom",
     "dedup_bloom_fp_report",
     "corpus_c4_clean",
+    "corpus_quality_calibration_report",
 ]
 
 
