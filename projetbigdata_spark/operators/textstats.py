@@ -1112,3 +1112,108 @@ FROM counts
 
 QUERIES["corpus_ngram_diversity"] = corpus_ngram_diversity
 ORACLE_SQL["corpus_ngram_diversity"] = NGRAM_DIVERSITY_SQL
+
+
+# --- per-LINE language ID (r9 second wave) ---
+
+
+def text_lang_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LINE language ID rolled up per document — the CCNet move of
+    running langid at paragraph granularity because web docs are
+    routinely mixed-language (nav chrome in English around body text
+    in another language), and a doc-level guess silently averages the
+    two. Each newline-delimited line gets text_lang_guess's marker
+    rule; the doc reports how its lines split:
+
+      (doc_id, lang, n_lines, n_en_lines, n_other_lines,
+       n_empty_lines, mixed)
+
+    with mixed = the doc holds BOTH en-guessed and other-guessed
+    non-empty lines — the flag a curation pipeline uses to route docs
+    to per-segment handling instead of whole-doc keep/drop.
+
+    The en rule is text_lang_guess's threshold spelled DIVISION-FREE:
+    ratio >= 0.05 on the floored-ppm grid is exactly 20*n_marker >=
+    n_tokens (integer comparison — no per-line divide, so empty lines
+    cannot ANSI-abort and both engines agree bit-exactly). Everything
+    is an in-row higher-order fold over the line array: zero joins,
+    zero shuffles — the corpus_c4_clean scan-bound class. NULL text
+    degrades to one empty line. Fixture honesty: the parquet corpora
+    are single-line, so `mixed` is constructively FALSE there and the
+    mixed-path laws are pinned on constructed multi-line corpora."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+
+    def toks(line):
+        return F.filter(F.split(line, "\\s+"), lambda w: w != "")
+
+    def is_en(line):
+        t = toks(F.lower(line))
+        m = F.filter(t, lambda w: F.array_contains(F.expr(_SW_ARRAY), w))
+        return (F.size(t) > 0) & (F.size(m) * 20 >= F.size(t))
+
+    def is_other(line):
+        t = toks(F.lower(line))
+        m = F.filter(t, lambda w: F.array_contains(F.expr(_SW_ARRAY), w))
+        return (F.size(t) > 0) & (F.size(m) * 20 < F.size(t))
+
+    n_en = F.size(F.filter(lines, is_en))
+    n_other = F.size(F.filter(lines, is_other))
+    n_empty = F.size(
+        F.filter(lines, lambda line: F.size(toks(line)) == 0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        n_en.cast("bigint").alias("n_en_lines"),
+        n_other.cast("bigint").alias("n_other_lines"),
+        n_empty.cast("bigint").alias("n_empty_lines"),
+        ((n_en > 0) & (n_other > 0)).alias("mixed"),
+    )
+
+
+LANG_LINES_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang,
+           string_split(coalesce(text, ''), chr(10)) AS lines
+    FROM documents
+),
+per AS (
+    SELECT doc_id, lang, lines,
+           len(list_filter(lines, l ->
+               len(list_filter(string_split_regex(lower(l), '\\s+'),
+                               w -> w <> '')) > 0
+               AND 20 * len(list_filter(
+                       list_filter(string_split_regex(lower(l), '\\s+'),
+                                   w -> w <> ''),
+                       w -> w IN ({_SW_LIST})))
+                   >= len(list_filter(string_split_regex(lower(l), '\\s+'),
+                                      w -> w <> '')))) AS n_en,
+           len(list_filter(lines, l ->
+               len(list_filter(string_split_regex(lower(l), '\\s+'),
+                               w -> w <> '')) > 0
+               AND 20 * len(list_filter(
+                       list_filter(string_split_regex(lower(l), '\\s+'),
+                                   w -> w <> ''),
+                       w -> w IN ({_SW_LIST})))
+                   < len(list_filter(string_split_regex(lower(l), '\\s+'),
+                                     w -> w <> '')))) AS n_other,
+           len(list_filter(lines, l ->
+               len(list_filter(string_split_regex(lower(l), '\\s+'),
+                               w -> w <> '')) = 0)) AS n_empty
+    FROM base
+)
+SELECT doc_id, lang,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(n_en AS BIGINT) AS n_en_lines,
+       CAST(n_other AS BIGINT) AS n_other_lines,
+       CAST(n_empty AS BIGINT) AS n_empty_lines,
+       (n_en > 0 AND n_other > 0) AS mixed
+FROM per
+"""
+
+
+QUERIES["text_lang_lines"] = text_lang_lines
+ORACLE_SQL["text_lang_lines"] = LANG_LINES_SQL

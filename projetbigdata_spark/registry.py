@@ -34,9 +34,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 8 (second-wave additions) + 25 = 50; after this block
+# 10 + 7 + 9 (second-wave additions) + 24 = 50; after this block
 # every registered query's latest green row is r6+ except the ten
-# parked r5 rows (seven from the first wave + the eight that yielded
+# parked r5 rows (seven from the first wave + the nine that yielded
 # to the second wave). collect()
 # raises if a priority name is not registered.
 _PRIORITY = (
@@ -62,8 +62,8 @@ _PRIORITY = (
     # (bin/threshold_bin column values change — ADVICE r8)
     "ml_quality_classifier_fit",  # MODIFIED: NULL-safe labels
     "dedup_lines_incremental",  # NEW: the line-dedup ingest twin
-    # --- tier A, second r9 wave (8): rule a forces every new query
-    # into the block; eight tier-C rows yield (see below) ---
+    # --- tier A, second r9 wave (9): rule a forces every new query
+    # into the block; nine tier-C rows yield (see below) ---
     "text_trigram_backoff_score",  # NEW: Stupid-Backoff trigram LM
     "corpus_perplexity_buckets",  # NEW: CCNet head/middle/tail
     "corpus_cluster_top_terms",  # NEW: c-TF-IDF cluster labeling
@@ -72,14 +72,14 @@ _PRIORITY = (
     "dedup_bloom_fp_report",  # NEW: its false-positive price tag
     "corpus_c4_clean",  # NEW: the C4 line/doc rule recipe
     "corpus_quality_calibration_report",  # NEW: calibration curve
-    # --- tier C (25 of the 40 r5-latest rows; the rest park past
+    "text_lang_lines",  # NEW: per-line language ID (mixed-doc flag)
+    # --- tier C (24 of the 40 r5-latest rows; the rest park past
     # slot 50 as next-in-line). Compositions stay shielded under
     # rule c: corpus_curate / corpus_curate_calibrated /
     # sim_ivf_incremental went green in r8 and re-enter at r11. ---
     "dedup_components_minhash",
     "dedup_components_prefiltered",
     "dedup_minhash_estimate",
-    "dedup_containment_pairs",
     "dedup_contamination",
     "dedup_incremental",
     "dedup_jaccard_verified",
@@ -102,7 +102,7 @@ _PRIORITY = (
     "events_anomaly_mad",
     "contamination_ngram_overlap",
     # --- next-in-line past slot 50: the parked r5-era rows. The
-    # second r9 wave's eight new queries displaced eight more low-risk
+    # second r9 wave's nine new queries displaced nine more low-risk
     # shapes (q6_forecast_revenue — single-scan fully-pushed agg, its
     # pushdown CI-gated in test_plans; the semi/anti join pair —
     # two-table single-exchange shapes; events_funnel_conversion — a
@@ -110,11 +110,14 @@ _PRIORITY = (
     # twins; text_lang_guess / text_redact_pii — zero-exchange per-doc
     # map shapes, the latter's plan CI-gated in test_plans;
     # corpus_ngram_diversity — another zero-exchange in-row shape;
-    # corpus_domain_stats — a |sources|-row metadata rollup);
+    # corpus_domain_stats — a |sources|-row metadata rollup;
+    # dedup_containment_pairs — its shingle core is shared with the
+    # r9-green jaccard/minhash tiers);
     # chunk_documents_expr yielded its slot to the line-dedup ingest
     # twin in the first wave (its udtf sibling over the same kernel
     # went green r8) ---
     "q6_forecast_revenue",
+    "dedup_containment_pairs",
     "corpus_domain_stats",
     "corpus_ngram_diversity",
     "text_lang_guess",

@@ -655,3 +655,66 @@ def test_c4_clean_rules_on_constructed_corpus(spark, tmp_path):
         for r in con.execute(C4_CLEAN_SQL).fetchall()
     }
     assert got == want
+
+
+def test_lang_lines_mixed_detection(spark, tmp_path):
+    """text_lang_lines on a constructed multi-line corpus (the parquet
+    fixtures are single-line, so `mixed` is constructively FALSE
+    there): per-line guesses match text_lang_guess's threshold spelled
+    division-free; mixed fires only when both classes of non-empty
+    line coexist; empty lines count separately; accounting ties out
+    (en + other + empty == n_lines); plus value-exact Spark<->DuckDB
+    parity over the same written table."""
+    import duckdb
+
+    from projetbigdata_spark.operators.textstats import (
+        LANG_LINES_SQL,
+        text_lang_lines,
+    )
+
+    en = "the of and to a in is it you that"  # 10/10 markers
+    fr = "le la les des une dans est vous que ce"  # 0 markers
+    rows = [
+        (1, f"{en}\n{fr}"),           # mixed
+        (2, f"{en}\n\n{en}"),         # en + empty, not mixed
+        (3, fr),                      # other only
+        (4, None),                    # NULL -> one empty line
+        (5, ""),                      # one empty line
+        (6, f"{fr}\n{fr}\n{en}"),     # mixed, other-majority
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.lit("xx")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (
+            r.n_lines,
+            r.n_en_lines,
+            r.n_other_lines,
+            r.n_empty_lines,
+            r.mixed,
+        )
+        for r in text_lang_lines(spark, d).collect()
+    }
+    assert got[1] == (2, 1, 1, 0, True)
+    assert got[2] == (3, 2, 0, 1, False)
+    assert got[3] == (1, 0, 1, 0, False)
+    assert got[4] == (1, 0, 0, 1, False)
+    assert got[5] == (1, 0, 0, 1, False)
+    assert got[6] == (3, 1, 2, 0, True)
+    for n, e, o, z, _m in got.values():
+        assert e + o + z == n  # lines partition into the three classes
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[2], r[3], r[4], r[5], r[6])
+        for r in con.execute(LANG_LINES_SQL).fetchall()
+    }
+    assert got == want

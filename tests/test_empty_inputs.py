@@ -104,6 +104,16 @@ REPRESENTATIVES = [
     "dedup_keep_best_quality",           # argmax over 0 clusters
     "corpus_cluster_balance_sample",     # k-means over 0 vectors
     "corpus_quality_select",             # histogram over 0 docs
+    # r9 second wave
+    "text_trigram_backoff_score",        # LM model/scoring over 0 docs
+    "text_trigram_backoff_score_incremental",  # frozen model, 0 batch
+    "corpus_perplexity_buckets",         # terciles over 0 scored docs
+    "corpus_cluster_top_terms",          # lift/top-k over 0 vectors
+    "dedup_incremental_bloom",           # filter/probe over 0 keys
+    "dedup_bloom_fp_report",             # 1 accounting row of zeros
+    "corpus_c4_clean",                   # in-row rules over 0 docs
+    "corpus_quality_calibration_report",  # bins over 0 docs
+    "text_lang_lines",                   # per-line langid over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input
@@ -111,6 +121,7 @@ NONZERO_ON_EMPTY = {
     "quality_constraints",
     "corpus_mix_plan",
     "corpus_health_report",
+    "dedup_bloom_fp_report",  # r9: a global agg is 1 row on 0 docs
 }
 
 

@@ -99,6 +99,9 @@ PER_DOC_KEEPERS = [
     # r9 second wave: zero-join per-doc projection — null text is one
     # empty line, all rules fail, row kept with kept=FALSE
     "corpus_c4_clean",
+    # r9 second wave: same in-row class — null text is one empty
+    # line, (1, 0, 0, 1, FALSE)
+    "text_lang_lines",
 ]
 
 EXPLODE_DROPPERS = [

@@ -201,6 +201,7 @@ def test_mapside_ops_have_zero_exchanges(spark):
         "text_wordpunct_tokens",
         "sim_lsh_buckets",
         "corpus_c4_clean",
+        "text_lang_lines",
     ):
         plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
         assert plan.count("Exchange") == 0, (name, plan)

@@ -133,6 +133,7 @@ QUERIES = [
     "dedup_bloom_fp_report",
     "corpus_c4_clean",
     "corpus_quality_calibration_report",
+    "text_lang_lines",
 ]
 
 
