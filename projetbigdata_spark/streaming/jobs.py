@@ -377,6 +377,66 @@ def trigram_scores_stream(docs_stream, standing_sf_dir: str, out_dir: str):
 
 
 
+def bloom_membership_stream(docs_stream, standing_sf_dir: str, out_dir: str):
+    """Streaming Bloom membership: each micro-batch of incoming
+    documents is probed against the standing corpus's FROZEN bit set
+    via foreachBatch — the at-ingest exact-membership prefilter as a
+    stream job. The filter frame is built ONCE from the standing slice
+    (closure-captured, like the LM/ANN twins) and is MONOTONE (bits
+    only turn on), so a filter snapshot is always a valid — merely
+    conservative-in-time — prefilter for later batches; there is no
+    state store and no ordering sensitivity, and probing a micro-batch
+    IS the batch twin (dedup_incremental_bloom) on that slice — the
+    tested property (tests/test_streaming.py)."""
+    from projetbigdata_spark.operators.dedup import (
+        BLOOM_K,
+        INCR_NEW_SOURCE,
+        _bloom_bit_exprs,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    spark = docs_stream.sparkSession
+    standing = (
+        load_table(spark, standing_sf_dir, "documents")
+        .where(F.col("source") != INCR_NEW_SOURCE)
+        .select(F.md5(F.lower("text")).alias("content_md5"))
+        .where(F.col("content_md5").isNotNull())
+    )
+    bits = (
+        standing.select(F.explode(F.array(*_bloom_bit_exprs())).alias("bit"))
+        .distinct()
+        .withColumn("set", F.lit(1))
+        .persist()
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(
+            "doc_id", F.md5(F.lower("text")).alias("content_md5")
+        )
+        probe = keyed.where(F.col("content_md5").isNotNull()).select(
+            "doc_id", F.explode(F.array(*_bloom_bit_exprs())).alias("bit")
+        )
+        hits = (
+            probe.join(bits, "bit", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce("set", F.lit(0))).alias("nhit"))
+        )
+        verdicts = keyed.select("doc_id").join(hits, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("nhit") == BLOOM_K, F.lit(False)).alias(
+                "possibly_dup"
+            ),
+        )
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
+
 def anomaly_state_path(state_dir: str) -> str:
     """The VERSIONED partials root under a state_dir (ADVICE r6). The
     r6 idempotence fix changed the state layout from flat appended

@@ -868,3 +868,43 @@ def test_trigram_scores_stream_equals_batch(spark, tmp_path):
     cols = ["doc_id", "n_trigrams", "n_backoff", "sb_score_ppm"]
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_bloom_membership_stream_equals_batch(spark, tmp_path):
+    """Streaming Bloom probing == the batch twin on the same docs: the
+    src0 batch arrives as two micro-batches; per-batch verdicts against
+    the frozen standing filter must together reproduce
+    dedup_incremental_bloom exactly (monotone frozen filter — no state
+    store, no ordering sensitivity)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import dedup_incremental_bloom
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import bloom_membership_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") == "src0"
+    ).select("doc_id", "source", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    half = docs.where(F.col("doc_id") % 40 == 0)
+    other = docs.subtract(half)
+    assert half.count() > 0 and other.count() > 0
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = bloom_membership_stream(stream, SF_SMOKE, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = dedup_incremental_bloom(spark, SF_SMOKE)
+    assert streamed.count() == batch.count()
+    cols = ["doc_id", "possibly_dup"]
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
