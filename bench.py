@@ -72,6 +72,11 @@ EXTENDED = [
     # + per-lang terciles) — the heaviest new corpus-sweep plan
     # (~7.5s at sf0.1), bench-tracked like the classifier scorer
     "corpus_perplexity_buckets",
+    # r9 third wave: the full Gopher repetition profile — the widest
+    # per-sweep gram fan-out in the repo (9 n-gram sizes, two skinny
+    # streams; ~2s at sf0.1), the rule-filter cost a Gopher-style
+    # curation run pays before anything learned
+    "text_gopher_repetition",
 ]
 
 

@@ -153,6 +153,36 @@ def c4_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher A1.1 rule pass as the same pre-gate audit shape as
+    c4_gate_report (r9 third wave): per-lang doc accounting plus the
+    mean of each exact ppm ratio, so a data team sees WHICH rule
+    binds on their corpus (on these fixtures the required-stop-word
+    rule drops everything — the operator's fixture-honesty note made
+    executable; word count splits roughly in half at the 50 floor)."""
+    from projetbigdata_spark.operators.repetition import corpus_gopher_clean
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        corpus_gopher_clean(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept_docs"),
+            F.sum(
+                (F.col("n_words") >= 50).cast("int")
+            ).alias("n_wordcount_ok"),
+            F.sum(
+                (F.col("n_required") >= 2).cast("int")
+            ).alias("n_required_ok"),
+            F.avg("alpha_word_ppm").alias("mean_alpha_word_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 def softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup→sampling loop closed (r8): corpus_softdedup_weights'
     per-doc ppm weights become acceptance probabilities through the
@@ -296,6 +326,7 @@ def main() -> None:
     lc2 = lc_re.agg(F.sum("n_lines_cut").alias("c")).first().c
     print(f"line clean: {lc1} duplicated lines cut -> recheck cuts {lc2}")
     c4_gate_report(spark, sf_dir).show(truncate=False)
+    gopher_gate_report(spark, sf_dir).show(truncate=False)
     soft = softdedup_sample(spark, sf_dir)
     s = soft.agg(
         F.count("*").alias("n"),

@@ -34,10 +34,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 9 (second-wave additions) + 24 = 50; after this block
-# every registered query's latest green row is r6+ except the ten
-# parked r5 rows (seven from the first wave + the nine that yielded
-# to the second wave). collect()
+# 10 + 7 + 9 (second wave) + 2 (third wave) + 22 = 50; after this
+# block every registered query's latest green row is r6+ except the
+# twelve parked r5 rows (seven from the first wave + the nine that
+# yielded to the second wave + dedup_simhash/corpus_shingle_stats,
+# which yielded to the third — both share their shingle/hash cores
+# with r9-green siblings). collect()
 # raises if a priority name is not registered.
 _PRIORITY = (
     # --- tier B (10): the r4-latest rows, oldest in the ledger —
@@ -73,6 +75,11 @@ _PRIORITY = (
     "corpus_c4_clean",  # NEW: the C4 line/doc rule recipe
     "corpus_quality_calibration_report",  # NEW: calibration curve
     "text_lang_lines",  # NEW: per-line language ID (mixed-doc flag)
+    # --- tier A, third r9 wave (2): rule a again; two more tier-C
+    # rows (dedup_simhash, corpus_shingle_stats — both sharing their
+    # shingle/hash cores with r9-green siblings) yield their slots ---
+    "corpus_gopher_clean",  # NEW: the Gopher A1.1 quality verdict
+    "text_gopher_repetition",  # NEW: the full table-A1 repetition set
     # --- tier C (24 of the 40 r5-latest rows; the rest park past
     # slot 50 as next-in-line). Compositions stay shielded under
     # rule c: corpus_curate / corpus_curate_calibrated /
@@ -84,14 +91,12 @@ _PRIORITY = (
     "dedup_incremental",
     "dedup_jaccard_verified",
     "dedup_levenshtein_candidates",
-    "dedup_simhash",
     "dedup_span_profile",
     "corpus_bpe_encode",
     "corpus_bpe_fertility",
     "corpus_bpe_merges",
     "corpus_bpe_merges_batched",
     "corpus_bpe_vocab",
-    "corpus_shingle_stats",
     "sim_ann_lsh_topk",
     "sim_ivf_sampled_topk",
     "sim_ivfpq_topk",
@@ -117,6 +122,8 @@ _PRIORITY = (
     # twin in the first wave (its udtf sibling over the same kernel
     # went green r8) ---
     "q6_forecast_revenue",
+    "dedup_simhash",
+    "corpus_shingle_stats",
     "dedup_containment_pairs",
     "corpus_domain_stats",
     "corpus_ngram_diversity",

@@ -333,3 +333,26 @@ def test_c4_gate_report_accounting(spark):
     for r in rep:
         assert 0 <= r.n_kept_lines <= r.n_lines
         assert r.n_kept_docs == 0  # punctuation-free fixture: all drop
+
+
+def test_gopher_gate_report_accounting(spark):
+    """examples/corpus_curation.gopher_gate_report: the per-lang
+    rollup ties out against corpus_gopher_clean (doc totals partition
+    the corpus; rule-pass counts bound kept counts), and on THESE
+    fixtures the required-stop-word rule drops everything while the
+    word-count rule splits the corpus — the report shows WHICH rule
+    binds, which is its entire job."""
+    from tests.conftest import SF_SMOKE
+
+    from examples.corpus_curation import gopher_gate_report
+    from projetbigdata_spark.sources.catalog import load_table
+
+    rep = gopher_gate_report(spark, SF_SMOKE).collect()
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rep) == total
+    for r in rep:
+        assert r.n_kept_docs <= min(r.n_wordcount_ok, r.n_required_ok)
+        assert r.n_kept_docs == 0  # <2 required stop words: all drop
+        assert 0 < r.mean_alpha_word_ppm <= 1_000_000
+    # the word-count rule is the one the fixtures actually exercise
+    assert 0 < sum(r.n_wordcount_ok for r in rep) < total

@@ -114,6 +114,9 @@ REPRESENTATIVES = [
     "corpus_c4_clean",                   # in-row rules over 0 docs
     "corpus_quality_calibration_report",  # bins over 0 docs
     "text_lang_lines",                   # per-line langid over 0 docs
+    # r9 third wave
+    "corpus_gopher_clean",               # in-row rules over 0 docs
+    "text_gopher_repetition",            # 9-size profile over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input

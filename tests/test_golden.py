@@ -81,3 +81,37 @@ def test_curation_survivors_match_golden_file(spark):
     produced = [f"{d:05d}" for d in ids]
     with open(CURATION_GOLDEN) as f:
         assert produced == f.read().splitlines()
+
+
+def test_multiline_lane_matches_golden(spark):
+    """The committed multi-line lane (tools/gen_multiline_golden.py):
+    a frozen 15-doc multi-line parquet plus the expected outputs of
+    every line/paragraph-granularity operator. The per-test
+    constructed-frame parity tests prove Spark == DuckDB; this lane
+    additionally pins the VALUES, so a semantics drift that moves both
+    engines together (the failure parity can't see) still fails — and
+    it survives any driver-side fixture regeneration."""
+    import json
+
+    from projetbigdata_spark import registry
+
+    lane_dir = os.path.join(os.path.dirname(__file__), "golden", "multiline")
+    with open(
+        os.path.join(os.path.dirname(__file__), "golden",
+                     "multiline_expected.json")
+    ) as f:
+        expected = json.load(f)
+    queries, _ = registry.collect()
+    for name, want in expected.items():
+        got = {
+            str(r["doc_id"]): {
+                c: v for c, v in r.asDict().items() if c != "doc_id"
+            }
+            for r in queries[name](spark, lane_dir).collect()
+        }
+        assert got == want, f"{name}: drift vs committed multiline golden"
+    # the lane actually exercises the live paths the fixtures can't
+    assert expected["dedup_lines"]["1"]["n_lines_cut"] > 0
+    assert expected["corpus_gopher_clean"]["4"]["kept"] is True
+    assert expected["text_lang_lines"]["9"]["mixed"] is True
+    assert expected["text_gopher_repetition"]["7"]["dup_8gram_char_ppm"] > 0

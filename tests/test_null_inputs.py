@@ -102,6 +102,12 @@ PER_DOC_KEEPERS = [
     # r9 second wave: same in-row class — null text is one empty
     # line, (1, 0, 0, 1, FALSE)
     "text_lang_lines",
+    # r9 third wave: zero-join per-doc projection — null text -> 0
+    # words, ratio columns NULL, kept=FALSE via the word-count rule
+    "corpus_gopher_clean",
+    # r9 third wave: anchors the full doc set (null text -> n_tokens=0
+    # with a NULL repetition profile)
+    "text_gopher_repetition",
 ]
 
 EXPLODE_DROPPERS = [

@@ -202,6 +202,7 @@ def test_mapside_ops_have_zero_exchanges(spark):
         "sim_lsh_buckets",
         "corpus_c4_clean",
         "text_lang_lines",
+        "corpus_gopher_clean",
     ):
         plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
         assert plan.count("Exchange") == 0, (name, plan)
@@ -413,6 +414,11 @@ EXCHANGE_BUDGET = {
     "dedup_bloom_fp_report": 8,
     # the one-pass scorer plan + a <=|bins|-row rollup
     "corpus_quality_calibration_report": 6,
+    # r9 third wave: the full Gopher repetition profile — the
+    # (doc,n,k) count stream (partial/final agg), the dup-sizes
+    # position stream + its probe join, two per-doc folds, and the
+    # final anchor join back to the barriered tokenize
+    "text_gopher_repetition": 7,
 }
 
 

@@ -134,6 +134,9 @@ QUERIES = [
     "corpus_c4_clean",
     "corpus_quality_calibration_report",
     "text_lang_lines",
+    # r9 third wave
+    "corpus_gopher_clean",
+    "text_gopher_repetition",
 ]
 
 
@@ -205,6 +208,11 @@ BYTE_BUDGET_MB = {
     # on top (both measured ~5.6 MB at sf0.1)
     "text_trigram_backoff_score": 11.2,
     "corpus_perplexity_buckets": 11.3,
+    # r9 third wave: the full Gopher profile's two skinny gram
+    # streams — 9 sizes' counts + 6 sizes' positions (measured
+    # 34.6 MB at sf0.1; ~3 MB per profile column; the two fatter
+    # spellings measured are documented at the operator)
+    "text_gopher_repetition": 69.2,
 }
 
 
