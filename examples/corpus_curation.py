@@ -183,6 +183,37 @@ def gopher_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_full_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE published Gopher document filter (r9 third wave):
+    quality rules (corpus_gopher_clean) AND repetition ceilings
+    (corpus_gopher_repetition_clean) joined into one per-doc verdict —
+    both inputs are independently oracle-green registered queries, so
+    this composition can never drift from the driver-checked surface
+    (the softdedup_sample delegation principle). A doc survives only
+    if BOTH rule families pass; the two kept flags are kept separate
+    so the gate report can say which family binds."""
+    from projetbigdata_spark.operators.repetition import (
+        corpus_gopher_clean,
+        corpus_gopher_repetition_clean,
+    )
+
+    q = corpus_gopher_clean(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("kept_quality")
+    )
+    r = corpus_gopher_repetition_clean(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.col("kept").alias("kept_repetition"),
+    )
+    return r.join(q, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "kept_quality",
+        "kept_repetition",
+        (F.col("kept_quality") & F.col("kept_repetition")).alias("kept"),
+    )
+
+
 def softdedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup→sampling loop closed (r8): corpus_softdedup_weights'
     per-doc ppm weights become acceptance probabilities through the

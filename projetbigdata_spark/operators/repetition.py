@@ -216,7 +216,14 @@ def corpus_gopher_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned on constructed corpora in tests/test_repetition_ops.py
     including a written-table Spark<->DuckDB parity run."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_clean_of(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_clean_of(docs: DataFrame) -> DataFrame:
+    """Frame-level core of corpus_gopher_clean over any (doc_id, text)
+    frame — factored (the line_dedup_frame convention) so the
+    streaming twin and the constructed-frame tests share one
+    implementation with the registered query."""
     t = F.coalesce(F.col("text"), F.lit(""))
     w = tokenize(t)
     lines = F.split(t, "\n", -1)
@@ -735,11 +742,77 @@ FROM counted
 """
 
 
+# Gopher table-A1 repetition CEILINGS (Rae et al. 2021) on the exact
+# ppm grid — a doc is dropped when ANY signal exceeds its published
+# ceiling. NULL signals (doc too short to define the n-gram size)
+# vacuously pass: there is nothing to measure.
+GOPHER_REP_CEILINGS_PPM: tuple[tuple[str, int], ...] = (
+    ("dup_line_ppm", 300_000),
+    ("dup_line_char_ppm", 200_000),
+    ("top_2gram_char_ppm", 200_000),
+    ("top_3gram_char_ppm", 180_000),
+    ("top_4gram_char_ppm", 160_000),
+    ("dup_5gram_char_ppm", 150_000),
+    ("dup_6gram_char_ppm", 140_000),
+    ("dup_7gram_char_ppm", 130_000),
+    ("dup_8gram_char_ppm", 120_000),
+    ("dup_9gram_char_ppm", 110_000),
+    ("dup_10gram_char_ppm", 100_000),
+)
+
+
+def corpus_gopher_repetition_clean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Gopher repetition rules made EXECUTABLE — the verdict pass
+    text_gopher_repetition audits (profile → verdict, the
+    dedup_span_profile → dedup_span_removal relationship): every
+    profile signal compared against its PUBLISHED table-A1 ceiling
+    (dup lines 30%/20% chars, top 2/3/4-grams 20/18/16%, dup
+    5..10-grams 15..10% — Rae et al. 2021), on the exact ppm grid so
+    the verdict is bit-exact in both engines. Output per doc:
+    (doc_id, n_tokens, n_rules_failed, kept) — the failed-rule count
+    is the same per-rule telemetry dial the quality verdict's ratio
+    columns provide.
+
+    Plan: the profile plan plus one in-row projection — nothing new
+    shuffles; the oracle nests the profile SQL verbatim as a CTE (the
+    corpus_bpe_fertility composition idiom). Together with
+    corpus_gopher_clean this completes the full published Gopher
+    document filter (quality rules + repetition rules)."""
+    prof = text_gopher_repetition(spark, sf_dir)
+    failed = sum(
+        F.coalesce(F.col(c) > F.lit(t), F.lit(False)).cast("int")
+        for c, t in GOPHER_REP_CEILINGS_PPM
+    )
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        failed.cast("int").alias("n_rules_failed"),
+        (failed == 0).alias("kept"),
+    )
+
+
+def _gopher_repetition_clean_sql() -> str:
+    failed = "\n             + ".join(
+        f"CASE WHEN coalesce({c} > {t}, FALSE) THEN 1 ELSE 0 END"
+        for c, t in GOPHER_REP_CEILINGS_PPM
+    )
+    return f"""
+WITH profile AS ({_gopher_repetition_sql()})
+SELECT doc_id, n_tokens,
+       CAST({failed} AS INT) AS n_rules_failed,
+       ({failed}) = 0 AS kept
+FROM profile
+"""
+
+
 QUERIES = {
     "text_repetition_scores": text_repetition_scores,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "corpus_gopher_clean": corpus_gopher_clean,
     "text_gopher_repetition": text_gopher_repetition,
+    "corpus_gopher_repetition_clean": corpus_gopher_repetition_clean,
 }
 
 ORACLE_SQL = {
@@ -747,4 +820,5 @@ ORACLE_SQL = {
     "text_winnow_fingerprints": WINNOW_SQL,
     "corpus_gopher_clean": GOPHER_CLEAN_SQL,
     "text_gopher_repetition": _gopher_repetition_sql(),
+    "corpus_gopher_repetition_clean": _gopher_repetition_clean_sql(),
 }

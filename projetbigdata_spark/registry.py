@@ -34,12 +34,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 9 (second wave) + 2 (third wave) + 22 = 50; after this
+# 10 + 7 + 9 (second wave) + 3 (third wave) + 21 = 50; after this
 # block every registered query's latest green row is r6+ except the
-# twelve parked r5 rows (seven from the first wave + the nine that
-# yielded to the second wave + dedup_simhash/corpus_shingle_stats,
-# which yielded to the third — both share their shingle/hash cores
-# with r9-green siblings). collect()
+# thirteen parked r5 rows (seven from the first wave + the nine that
+# yielded to the second wave + dedup_simhash / corpus_shingle_stats /
+# dedup_contamination, which yielded to the third — all share their
+# shingle/hash cores with r9-green siblings). collect()
 # raises if a priority name is not registered.
 _PRIORITY = (
     # --- tier B (10): the r4-latest rows, oldest in the ledger —
@@ -75,11 +75,13 @@ _PRIORITY = (
     "corpus_c4_clean",  # NEW: the C4 line/doc rule recipe
     "corpus_quality_calibration_report",  # NEW: calibration curve
     "text_lang_lines",  # NEW: per-line language ID (mixed-doc flag)
-    # --- tier A, third r9 wave (2): rule a again; two more tier-C
-    # rows (dedup_simhash, corpus_shingle_stats — both sharing their
-    # shingle/hash cores with r9-green siblings) yield their slots ---
+    # --- tier A, third r9 wave (3): rule a again; three more tier-C
+    # rows (dedup_simhash, corpus_shingle_stats, dedup_contamination —
+    # all sharing their shingle/hash cores with r9-green siblings)
+    # yield their slots ---
     "corpus_gopher_clean",  # NEW: the Gopher A1.1 quality verdict
     "text_gopher_repetition",  # NEW: the full table-A1 repetition set
+    "corpus_gopher_repetition_clean",  # NEW: the A1 ceiling verdict
     # --- tier C (24 of the 40 r5-latest rows; the rest park past
     # slot 50 as next-in-line). Compositions stay shielded under
     # rule c: corpus_curate / corpus_curate_calibrated /
@@ -87,7 +89,6 @@ _PRIORITY = (
     "dedup_components_minhash",
     "dedup_components_prefiltered",
     "dedup_minhash_estimate",
-    "dedup_contamination",
     "dedup_incremental",
     "dedup_jaccard_verified",
     "dedup_levenshtein_candidates",
@@ -124,6 +125,7 @@ _PRIORITY = (
     "q6_forecast_revenue",
     "dedup_simhash",
     "corpus_shingle_stats",
+    "dedup_contamination",
     "dedup_containment_pairs",
     "corpus_domain_stats",
     "corpus_ngram_diversity",

@@ -336,6 +336,31 @@ def quality_scores_stream(docs_stream, out_dir: str):
     )
 
 
+def gopher_clean_stream(docs_stream, out_dir: str):
+    """Streaming Gopher rule gating: each micro-batch of incoming
+    documents (doc_id, text) gets the published A1.1 quality verdict
+    via foreachBatch — 'rule-gate today's crawl as it arrives', the
+    cheapest member of the ingest-twin family: the rules are a
+    stateless zero-shuffle in-row projection (no model table, no
+    state store, no ordering sensitivity), so gating a micro-batch IS
+    the batch query on that slice (the shared
+    operators/repetition.gopher_clean_of core — batch == streaming
+    verdicts is the tested property, tests/test_streaming.py). This
+    is where rule filters sit in a real ingest pipeline: in front of
+    everything that shuffles."""
+    from projetbigdata_spark.operators.repetition import gopher_clean_of
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = gopher_clean_of(batch_df)
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
 def trigram_scores_stream(docs_stream, standing_sf_dir: str, out_dir: str):
     """Streaming LM scoring: each micro-batch of incoming documents
     (doc_id, lang, text) is scored by the FROZEN Stupid-Backoff trigram

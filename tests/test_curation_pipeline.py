@@ -356,3 +356,37 @@ def test_gopher_gate_report_accounting(spark):
         assert 0 < r.mean_alpha_word_ppm <= 1_000_000
     # the word-count rule is the one the fixtures actually exercise
     assert 0 < sum(r.n_wordcount_ok for r in rep) < total
+
+
+def test_gopher_full_filter_composition(spark, tmp_path):
+    """examples/corpus_curation.gopher_full_filter: the joined verdict
+    is exactly the AND of its two oracle-green inputs, doc totals
+    partition the corpus, and on a constructed corpus both branches
+    actually bind (a doc that passes quality but fails repetition,
+    and one that fails quality but passes repetition)."""
+    from pyspark.sql import functions as F
+
+    from examples.corpus_curation import gopher_full_filter
+
+    good = " ".join(["the", "with"] + [f"word{i:02d}" for i in range(78)])
+    rows = [
+        (0, good),                                # passes both
+        (1, ("the with " * 40).strip()),          # quality ok, repetition NO
+        (2, " ".join(f"t{i:03d}" for i in range(80))),  # repetition ok, quality NO (no required words)
+        (3, None),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {r.doc_id: r for r in gopher_full_filter(spark, d).collect()}
+    assert len(got) == len(rows)
+    for r in got.values():
+        assert r.kept == (r.kept_quality and r.kept_repetition)
+    assert got[0].kept
+    assert got[1].kept_quality and not got[1].kept_repetition
+    assert got[2].kept_repetition and not got[2].kept_quality
+    assert not got[3].kept  # null text fails the word-count floor

@@ -108,6 +108,9 @@ PER_DOC_KEEPERS = [
     # r9 third wave: anchors the full doc set (null text -> n_tokens=0
     # with a NULL repetition profile)
     "text_gopher_repetition",
+    # r9 third wave: NULL profile signals pass vacuously -> null-text
+    # docs keep their row with kept=TRUE, n_rules_failed=0
+    "corpus_gopher_repetition_clean",
 ]
 
 EXPLODE_DROPPERS = [

@@ -417,8 +417,10 @@ EXCHANGE_BUDGET = {
     # r9 third wave: the full Gopher repetition profile — the
     # (doc,n,k) count stream (partial/final agg), the dup-sizes
     # position stream + its probe join, two per-doc folds, and the
-    # final anchor join back to the barriered tokenize
+    # final anchor join back to the barriered tokenize; the ceiling
+    # verdict is the same plan plus one in-row projection
     "text_gopher_repetition": 7,
+    "corpus_gopher_repetition_clean": 7,
 }
 
 

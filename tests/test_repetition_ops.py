@@ -106,6 +106,10 @@ REP_TEXTS = [
     (8, "solo"),
     # within-the-first-doc repeats in a SHORT doc (< every dup n)
     (9, "x y x y"),
+    # long repetition-free doc: the verdict's kept=True case (short
+    # docs like 5 fail top-gram ceilings VACUOUSLY of repetition —
+    # one 2-gram is >20% of a 10-token doc's chars by arithmetic)
+    (10, " ".join(f"w{i:03d}" for i in range(80))),
 ]
 
 
@@ -234,3 +238,38 @@ def test_gopher_clean_matches_oracle_on_constructed_corpus(spark, tmp_path):
     }
     assert got == want
     assert got[100][-1] == ("kept", False)  # null text fails word count
+
+
+def test_gopher_repetition_clean_verdict_flips(spark, tmp_path):
+    """The A1 ceiling verdict over the profile: a saturated-repetition
+    doc fails every defined rule, a repetition-free doc passes all,
+    and a doc too short to define any n-gram passes VACUOUSLY (NULL
+    signals measure nothing). Python model = the published ceilings
+    applied to the already-verified profile model."""
+    from projetbigdata_spark.operators.repetition import (
+        GOPHER_REP_CEILINGS_PPM,
+        corpus_gopher_repetition_clean,
+    )
+
+    d = _write_docs(spark, tmp_path, REP_TEXTS)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_gopher_repetition_clean(spark, d).collect()
+    }
+    for doc_id, text in REP_TEXTS:
+        prof = _rep_model(text)
+        want_failed = sum(
+            1
+            for c, t in GOPHER_REP_CEILINGS_PPM
+            if prof.get(c) is not None and prof[c] > t
+        )
+        assert got[doc_id]["n_rules_failed"] == want_failed, (doc_id, prof)
+        assert got[doc_id]["kept"] is (want_failed == 0)
+    assert got[2]["kept"] is False and got[2]["n_rules_failed"] >= 8
+    assert got[10]["kept"] is True  # long + repetition-free
+    # doc 5 (10 tokens, zero repetition) FAILS the top-gram ceilings
+    # by pure arithmetic — the published rules presuppose long docs;
+    # pinning this documents why the verdict composes AFTER the
+    # word-count floor of corpus_gopher_clean
+    assert got[5]["kept"] is False
+    assert got[8]["kept"] is True  # 'solo': every signal NULL -> vacuous

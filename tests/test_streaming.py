@@ -908,3 +908,42 @@ def test_bloom_membership_stream_equals_batch(spark, tmp_path):
     cols = ["doc_id", "possibly_dup"]
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_gopher_clean_stream_equals_batch(spark, tmp_path):
+    """Streaming Gopher rule gating == the batch verdict on the same
+    docs: the corpus arrives as two parquet micro-batches; per-batch
+    in-row verdicts must together reproduce corpus_gopher_clean
+    exactly (the stateless zero-shuffle ingest twin — no model table,
+    no state store, no ordering sensitivity)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.repetition import (
+        corpus_gopher_clean,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import gopher_clean_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    other = docs.subtract(half)
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = gopher_clean_stream(stream, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = corpus_gopher_clean(spark, SF_SMOKE)
+    assert streamed.count() == batch.count()
+    cols = [c for c in batch.columns]
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0

@@ -43,6 +43,7 @@ LANE_QUERIES = (
     "corpus_c4_clean",
     "corpus_gopher_clean",
     "text_gopher_repetition",
+    "corpus_gopher_repetition_clean",
     "text_lang_lines",
 )
 

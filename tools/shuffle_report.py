@@ -137,6 +137,7 @@ QUERIES = [
     # r9 third wave
     "corpus_gopher_clean",
     "text_gopher_repetition",
+    "corpus_gopher_repetition_clean",
 ]
 
 
@@ -211,8 +212,10 @@ BYTE_BUDGET_MB = {
     # r9 third wave: the full Gopher profile's two skinny gram
     # streams — 9 sizes' counts + 6 sizes' positions (measured
     # 34.6 MB at sf0.1; ~3 MB per profile column; the two fatter
-    # spellings measured are documented at the operator)
+    # spellings measured are documented at the operator). The
+    # ceiling verdict shares the identical plan + one projection.
     "text_gopher_repetition": 69.2,
+    "corpus_gopher_repetition_clean": 69.2,
 }
 
 
