@@ -469,6 +469,168 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lines_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup — the in-row complement of
+    dedup_lines (which cuts lines seen in EARLIER documents and
+    deliberately keeps within-doc repeats): here each document keeps
+    only the FIRST occurrence of every non-empty line it contains,
+    the classic 'strip repeated boilerplate inside one page' move
+    (nav chrome repeated top and bottom, pagination artifacts,
+    chat-log stutter). Empty lines carry no content and always
+    survive (the dedup_lines stance), so paragraph structure is
+    preserved. Output mirrors dedup_lines: (doc_id, n_lines,
+    n_lines_cut, text_deduped), full-corpus anchored.
+
+    Scale posture: ZERO joins, zero shuffles — keep-first within a
+    row is a positional in-row filter (line i survives iff no equal
+    line at j < i), O(lines²) string compares per doc where lines
+    are tens, not thousands — the corpus_c4_clean scan-bound class.
+    Composition: run this BEFORE the cross-doc pass so within-doc
+    stutter can't vote a line into the corpus-level first_doc index.
+
+    Null/empty text: coalesced to '' -> one empty line, kept —
+    n_lines = 1, n_lines_cut = 0, text_deduped = ''. Fixture honesty:
+    single-line fixtures cut nothing (the registered row value-checks
+    the anchored identity rebuild); live multi-line behavior is
+    pinned on constructed corpora + the committed multiline golden
+    lane."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+    # stage the split once, then filter positionally against it
+    # (line i survives iff empty, or no equal line among ls[1..i])
+    staged = docs.select("doc_id", lines.alias("_ls"))
+    kept = F.filter(
+        F.col("_ls"),
+        lambda l, i: (l == "")
+        | ~F.exists(F.slice(F.col("_ls"), 1, i), lambda e: e == l),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_ls").cast("bigint").alias("n_lines"),
+        (F.size("_ls") - F.size(kept)).cast("bigint").alias("n_lines_cut"),
+        F.array_join(kept, "\n").alias("text_deduped"),
+    )
+
+
+DEDUP_LINES_WITHIN_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           string_split(coalesce(text, ''), chr(10)) AS ls
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, len(ls) AS n_lines,
+           [ls[i] FOR i IN generate_series(1, len(ls))
+            IF ls[i] = ''
+               OR len(list_filter(ls[1:i-1], e -> e = ls[i])) = 0] AS kl
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_lines - len(kl) AS BIGINT) AS n_lines_cut,
+       coalesce(array_to_string(kl, chr(10)), '') AS text_deduped
+FROM kept
+"""
+
+
+# --- text normalization (the pre-dedup pass) --------------------------
+#
+# Unicode punctuation folding as a 1:1 char map (both engines'
+# translate() are codepoint maps on these BMP chars): curly quotes ->
+# ASCII, en/em dash + minus -> '-', NBSP/figure/narrow-NBSP/ideographic
+# space + tab -> ' '.
+_NORM_FROM = (
+    "‘’‚‛"  # ' ' , ,  single quotes
+    "“”„‟"  # " " low/high double quotes
+    "–—−"  # en dash, em dash, minus sign
+    "   　\t"  # unicode spaces + tab
+)
+_NORM_TO = "''''\"\"\"\"---     "
+assert len(_NORM_FROM) == len(_NORM_TO)
+# C0 controls (minus \t\n\r, handled above/kept) + DEL — stripped
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-dedup text normalization pass (the ftfy-lite subset
+    every real pipeline runs BEFORE hashing): curly quotes / unicode
+    dashes / unicode spaces folded to ASCII (1:1 translate map),
+    'HORIZONTAL ELLIPSIS' expanded to '...', CRLF/CR folded to LF, C0
+    control chars + DEL stripped, and per-line space-squeeze + trim —
+    newlines themselves are PRESERVED because line structure feeds
+    dedup_lines downstream. Case is NOT folded (tokenize owns that).
+    Output: (doc_id, text_norm, changed, len_before, len_after).
+
+    Why it's load-bearing at 100 TB: every dedup tier keys on
+    md5(text) — a curly quote vs a straight quote defeats exact dedup
+    and shifts every shingle; normalizing first is what makes hash
+    keys mean content equality (pinned: two docs differing only by
+    quote style become exact-key equals after this pass).
+
+    Scale posture: ZERO joins, zero shuffles — one codegen'd
+    projection (translate + replace + two regexp passes + an in-row
+    line fold); idempotent by construction (normalize∘normalize =
+    normalize, pinned). Null text: text_norm = '', the anchor
+    contract."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t1 = F.translate(t, _NORM_FROM, _NORM_TO)
+    t2 = F.regexp_replace(t1, "…", "...")
+    t3 = F.regexp_replace(t2, "\r\n?", "\n")
+    t4 = F.regexp_replace(t3, _CTRL_RE, "")
+    squeezed = F.array_join(
+        F.transform(
+            F.split(t4, "\n", -1),
+            lambda l: F.trim(F.regexp_replace(l, " +", " ")),
+        ),
+        "\n",
+    )
+    return docs.select(
+        "doc_id",
+        squeezed.alias("text_norm"),
+        (squeezed != t).alias("changed"),
+        F.length(t).cast("bigint").alias("len_before"),
+        F.length(squeezed).cast("bigint").alias("len_after"),
+    )
+
+
+def _text_normalize_sql() -> str:
+    # the translate map embeds quote chars: single-quote doubles for
+    # the SQL literal
+    nfrom = _NORM_FROM.replace("'", "''")
+    nto = _NORM_TO.replace("'", "''")
+    return f"""
+WITH base AS (
+    SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+folded AS (
+    SELECT doc_id, t,
+           regexp_replace(
+               regexp_replace(
+                   replace(translate(t, '{nfrom}', '{nto}'),
+                           '…', '...'),
+                   chr(13) || chr(10) || '?', chr(10), 'g'),
+               '{_CTRL_RE}', '', 'g') AS t4
+    FROM base
+),
+squeezed AS (
+    SELECT doc_id, t,
+           array_to_string(
+               list_transform(string_split(t4, chr(10)),
+                              l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+               chr(10)) AS text_norm
+    FROM folded
+)
+SELECT doc_id, text_norm,
+       text_norm <> t AS changed,
+       CAST(length(t) AS BIGINT) AS len_before,
+       CAST(length(text_norm) AS BIGINT) AS len_after
+FROM squeezed
+"""
+
+
 def line_dedup_frame(docs: DataFrame) -> DataFrame:
     """Frame-level core of dedup_lines over any (doc_id, text) frame —
     factored so the constructed-frame tests and the registered query
@@ -2106,8 +2268,13 @@ def corpus_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
+    # \r? before $: lines split from CRLF text end in \r, and Java's
+    # $ matches BEFORE a trailing \r (line terminator) while RE2's
+    # does not — the explicit \r? keeps both engines on the same
+    # verdict (the divergence the multiline golden lane caught on the
+    # sibling Gopher ellipsis rule)
     keep_line = lambda l: (  # noqa: E731
-        l.rlike('[.!?"]$')
+        l.rlike('[.!?"]\r?$')
         & (
             F.size(F.filter(F.split(l, "\\s+"), lambda w: w != ""))
             >= C4_MIN_LINE_WORDS
@@ -2140,7 +2307,7 @@ WITH base AS (
 f AS (
     SELECT doc_id, t, lines,
            list_filter(lines, l ->
-               regexp_matches(l, '[.!?"]$')
+               regexp_matches(l, '[.!?"]\\r?$')
                AND len(list_filter(string_split_regex(l, '\\s+'),
                                    w -> w <> '')) >= {C4_MIN_LINE_WORDS}
                AND NOT contains(lower(l), 'javascript')) AS kept_lines
@@ -2175,7 +2342,9 @@ QUERIES = {
     "dedup_span_profile": dedup_span_profile,
     "dedup_span_removal": dedup_span_removal,
     "dedup_lines": dedup_lines,
+    "dedup_lines_within": dedup_lines_within,
     "dedup_lines_incremental": dedup_lines_incremental,
+    "text_normalize": text_normalize,
     "dedup_span_removal_incremental": dedup_span_removal_incremental,
     "dedup_span_decontaminate": dedup_span_decontaminate,
     "dedup_keep_canonical": dedup_keep_canonical,
@@ -2199,7 +2368,9 @@ ORACLE_SQL = {
     "dedup_span_profile": SPAN_PROFILE_SQL,
     "dedup_span_removal": SPAN_REMOVAL_SQL,
     "dedup_lines": DEDUP_LINES_SQL,
+    "dedup_lines_within": DEDUP_LINES_WITHIN_SQL,
     "dedup_lines_incremental": DEDUP_LINES_INCR_SQL,
+    "text_normalize": _text_normalize_sql(),
     "dedup_span_removal_incremental": SPAN_REMOVAL_INCR_SQL,
     "dedup_span_decontaminate": SPAN_DECONTAMINATE_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),

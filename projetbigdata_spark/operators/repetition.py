@@ -248,8 +248,15 @@ def gopher_clean_of(docs: DataFrame) -> DataFrame:
         F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*\u2022]")))
         .cast("bigint")
         .alias("n_bullet_lines"),
+        # [ \t\r]* before $: lines split from CRLF text end in \r, and
+        # Java's $ matches BEFORE a trailing \r (it's a line
+        # terminator) while RE2's does not \u2014 the explicit \r keeps
+        # both engines on the same verdict (caught by the multiline
+        # golden lane's CRLF doc)
         F.size(
-            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|\u2026)[ \t]*$"))
+            F.filter(
+                lines, lambda l: l.rlike(r"(\.\.\.|\u2026)[ \t\r]*$")
+            )
         )
         .cast("bigint")
         .alias("n_ellipsis_lines"),
@@ -329,7 +336,7 @@ counts AS (
                 l -> regexp_matches(l, '^[ \\t]*[-*\u2022]')))
                 AS BIGINT) AS n_bullet_lines,
            CAST(len(list_filter(lines,
-                l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t]*$')))
+                l -> regexp_matches(l, '(\\.\\.\\.|\u2026)[ \\t\\r]*$')))
                 AS BIGINT) AS n_ellipsis_lines,
            CAST(len(list_filter([{_REQ_LIST}], x -> list_contains(w, x)))
                 AS BIGINT) AS n_required

@@ -34,12 +34,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 9 (second wave) + 3 (third wave) + 21 = 50; after this
-# block every registered query's latest green row is r6+ except the
-# thirteen parked r5 rows (seven from the first wave + the nine that
-# yielded to the second wave + dedup_simhash / corpus_shingle_stats /
-# dedup_contamination, which yielded to the third — all share their
-# shingle/hash cores with r9-green siblings). collect()
+# 10 + 7 + 9 (second wave) + 3 (third wave) + 2 (fourth wave) + 19
+# = 50; after this block every registered query's latest green row is
+# r6+ except the fifteen parked r5 rows (seven from the first wave +
+# nine from the second + dedup_simhash / corpus_shingle_stats /
+# dedup_contamination from the third + corpus_bpe_merges_batched /
+# sim_ivf_sampled_topk from the fourth — every parked row shares its
+# core kernel with an r9-green in-block sibling). collect()
 # raises if a priority name is not registered.
 _PRIORITY = (
     # --- tier B (10): the r4-latest rows, oldest in the ledger —
@@ -82,6 +83,12 @@ _PRIORITY = (
     "corpus_gopher_clean",  # NEW: the Gopher A1.1 quality verdict
     "text_gopher_repetition",  # NEW: the full table-A1 repetition set
     "corpus_gopher_repetition_clean",  # NEW: the A1 ceiling verdict
+    # --- tier A, fourth r9 wave (2): rule a once more; two more
+    # tier-C rows (corpus_bpe_merges_batched — B=1 reduces exactly to
+    # corpus_bpe_merges which stays in-block; sim_ivf_sampled_topk —
+    # shares the IVF core with in-block sim_ivfpq_topk) yield ---
+    "text_normalize",  # NEW: the pre-dedup unicode folding pass
+    "dedup_lines_within",  # NEW: within-doc keep-first line dedup
     # --- tier C (24 of the 40 r5-latest rows; the rest park past
     # slot 50 as next-in-line). Compositions stay shielded under
     # rule c: corpus_curate / corpus_curate_calibrated /
@@ -96,10 +103,8 @@ _PRIORITY = (
     "corpus_bpe_encode",
     "corpus_bpe_fertility",
     "corpus_bpe_merges",
-    "corpus_bpe_merges_batched",
     "corpus_bpe_vocab",
     "sim_ann_lsh_topk",
-    "sim_ivf_sampled_topk",
     "sim_ivfpq_topk",
     "sim_neardup_pairs",
     "sim_pq_topk",
@@ -126,6 +131,8 @@ _PRIORITY = (
     "dedup_simhash",
     "corpus_shingle_stats",
     "dedup_contamination",
+    "corpus_bpe_merges_batched",
+    "sim_ivf_sampled_topk",
     "dedup_containment_pairs",
     "corpus_domain_stats",
     "corpus_ngram_diversity",

@@ -718,3 +718,142 @@ def test_lang_lines_mixed_detection(spark, tmp_path):
         for r in con.execute(LANG_LINES_SQL).fetchall()
     }
     assert got == want
+
+
+def test_dedup_lines_within_python_model_and_idempotence(spark, tmp_path):
+    """Within-doc keep-first on constructed multi-line docs: repeats
+    inside ONE doc are cut (unlike dedup_lines, which keeps them),
+    empty lines always survive, cross-doc repeats are NOT touched,
+    and a second pass cuts nothing. Written-table Spark<->DuckDB
+    parity over the registered artifacts."""
+    import duckdb
+
+    from projetbigdata_spark.operators.curation import (
+        DEDUP_LINES_WITHIN_SQL,
+        dedup_lines_within,
+    )
+
+    rows = [
+        (0, "nav bar\nbody text one.\nnav bar\n\nbody text two.\nnav bar"),
+        (1, "nav bar\nfresh body."),  # cross-doc repeat: untouched here
+        (2, "a\na\na\na"),
+        (3, None),
+        (4, ""),
+        (5, "\n\n"),  # only empty lines: all survive
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    def model(text):
+        ls = (text or "").split("\n")
+        out, seen = [], set()
+        for line in ls:
+            if line == "" or line not in seen:
+                out.append(line)
+                seen.add(line)
+        return (len(ls), len(ls) - len(out), "\n".join(out))
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_lines_cut, r.text_deduped)
+        for r in dedup_lines_within(spark, d).collect()
+    }
+    assert got == {i: model(t) for i, t in rows}
+    assert got[0][1] == 2 and got[2][1] == 3  # within-doc cuts real
+    assert got[1][1] == 0  # cross-doc repeat untouched
+    assert got[5] == (3, 0, "\n\n")  # empty lines all survive
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(DEDUP_LINES_WITHIN_SQL).fetchall()
+    }
+    assert got == want
+
+    # idempotence: a second within-doc pass cuts nothing
+    d2 = str(tmp_path / "sf2")
+    spark.createDataFrame(
+        [(i, t) for i, (_, _, t) in got.items()], "doc_id bigint, text string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{d2}/documents.parquet"
+    )
+    second = dedup_lines_within(spark, d2).collect()
+    assert all(r.n_lines_cut == 0 for r in second)
+
+
+def test_text_normalize_semantics(spark, tmp_path):
+    """The pre-dedup normalization pass on constructed rows: quote /
+    dash / space folding, ellipsis expansion, CRLF folding, control
+    stripping, per-line squeeze+trim with newlines preserved;
+    idempotent; and the load-bearing law — two docs differing only by
+    punctuation style become EXACT-KEY EQUALS after normalization.
+    Written-table Spark<->DuckDB parity over the registered
+    artifacts."""
+    import duckdb
+
+    from projetbigdata_spark.operators.curation import (
+        _text_normalize_sql,
+        text_normalize,
+    )
+
+    rows = [
+        (0, "“Smart” quotes — and spaces…"),
+        (1, '"Smart" quotes - and spaces...'),  # ascii twin of 0
+        (2, "line one\r\nline two\rline three"),
+        (3, "  padded   line  \nkeep\tnewlines  "),
+        (4, "ctrl\x00\x1fchars\x7fgone"),
+        (5, None),
+        (6, "already clean."),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {r.doc_id: r for r in text_normalize(spark, d).collect()}
+    assert got[0].text_norm == '"Smart" quotes - and spaces...'
+    assert got[0].text_norm == got[1].text_norm  # the dedup-key law
+    assert got[1].changed is False
+    assert got[2].text_norm == "line one\nline two\nline three"
+    assert got[3].text_norm == "padded line\nkeep newlines"
+    assert got[4].text_norm == "ctrlcharsgone"
+    assert got[5].text_norm == "" and got[5].len_before == 0
+    assert got[6].changed is False
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_text_normalize_sql()).fetchall()
+    }
+    assert {
+        k: (v.text_norm, v.changed, v.len_before, v.len_after)
+        for k, v in got.items()
+    } == want
+
+    # idempotence: normalizing the normalized corpus changes nothing
+    d2 = str(tmp_path / "sf2")
+    spark.createDataFrame(
+        [(k, v.text_norm) for k, v in got.items()],
+        "doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{d2}/documents.parquet"
+    )
+    second = text_normalize(spark, d2).collect()
+    assert all(r.changed is False for r in second)

@@ -118,6 +118,8 @@ REPRESENTATIVES = [
     "corpus_gopher_clean",               # in-row rules over 0 docs
     "text_gopher_repetition",            # 9-size profile over 0 docs
     "corpus_gopher_repetition_clean",    # ceiling verdict over 0 docs
+    "dedup_lines_within",                # in-row keep-first over 0 docs
+    "text_normalize",                    # in-row folding over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input

@@ -111,6 +111,10 @@ PER_DOC_KEEPERS = [
     # r9 third wave: NULL profile signals pass vacuously -> null-text
     # docs keep their row with kept=TRUE, n_rules_failed=0
     "corpus_gopher_repetition_clean",
+    # r9 fourth wave: null text -> one kept empty line / empty
+    # text_norm — both anchor every doc
+    "dedup_lines_within",
+    "text_normalize",
 ]
 
 EXPLODE_DROPPERS = [

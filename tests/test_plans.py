@@ -203,6 +203,8 @@ def test_mapside_ops_have_zero_exchanges(spark):
         "corpus_c4_clean",
         "text_lang_lines",
         "corpus_gopher_clean",
+        "dedup_lines_within",
+        "text_normalize",
     ):
         plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
         assert plan.count("Exchange") == 0, (name, plan)

@@ -40,6 +40,8 @@ EXPECTED = os.path.join(
 
 LANE_QUERIES = (
     "dedup_lines",
+    "dedup_lines_within",
+    "text_normalize",
     "corpus_c4_clean",
     "corpus_gopher_clean",
     "text_gopher_repetition",
@@ -101,6 +103,10 @@ def corpus_rows():
         # 14: symbol-heavy (Gopher symbol rule)
         (14, "the data with hash tags " + "# " * 20 + "ends here.",
          "en", "web"),
+        # 15: normalization fodder — curly quotes, em dash, ellipsis,
+        # CRLF, NBSP, double spaces (text_normalize's live paths)
+        (15, "“Smart” quotes — and spaces…\r\n"
+             "second  line  here.", "en", "web"),
     ]
     return rows
 
