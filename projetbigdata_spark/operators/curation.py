@@ -574,7 +574,14 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize, pinned). Null text: text_norm = '', the anchor
     contract."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    return normalize_frame(load_table(spark, sf_dir, "documents"))
+
+
+def normalize_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of text_normalize over any (doc_id, text)
+    frame — factored (the gopher_clean_of convention) so the
+    streaming twin and constructed-frame tests share one
+    implementation with the registered query."""
     t = F.coalesce(F.col("text"), F.lit(""))
     t1 = F.translate(t, _NORM_FROM, _NORM_TO)
     t2 = F.regexp_replace(t1, "…", "...")

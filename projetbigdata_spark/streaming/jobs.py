@@ -361,6 +361,27 @@ def gopher_clean_stream(docs_stream, out_dir: str):
     )
 
 
+def normalize_stream(docs_stream, out_dir: str):
+    """Streaming text normalization: each micro-batch of incoming
+    documents (doc_id, text) gets the pre-dedup folding pass
+    (operators/curation.text_normalize's expression chain) via
+    foreachBatch — normalize the crawl AS IT ARRIVES so every
+    downstream ingest twin (Bloom membership, line dedup, span
+    fold-in) hashes canonical bytes. Stateless zero-shuffle in-row
+    rules, the gopher_clean_stream class: batch == streaming outputs
+    is the tested property (tests/test_streaming.py)."""
+    from projetbigdata_spark.operators.curation import normalize_frame
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        normalize_frame(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+
+
 def trigram_scores_stream(docs_stream, standing_sf_dir: str, out_dir: str):
     """Streaming LM scoring: each micro-batch of incoming documents
     (doc_id, lang, text) is scored by the FROZEN Stupid-Backoff trigram

@@ -947,3 +947,39 @@ def test_gopher_clean_stream_equals_batch(spark, tmp_path):
     cols = [c for c in batch.columns]
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_normalize_stream_equals_batch(spark, tmp_path):
+    """Streaming normalization == the batch pass on the same docs:
+    two parquet micro-batches of (doc_id, text) must together
+    reproduce text_normalize exactly (stateless zero-shuffle in-row
+    rules — the gopher_clean_stream class)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.curation import text_normalize
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import normalize_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    other = docs.subtract(half)
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = normalize_stream(stream, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = text_normalize(spark, SF_SMOKE)
+    cols = batch.columns
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
