@@ -638,6 +638,53 @@ FROM squeezed
 """
 
 
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on NORMALIZED text — the text_normalize →
+    dedup composition as its own registered row: documents that
+    differ only in punctuation style (curly vs straight quotes,
+    em dash vs hyphen, NBSP vs space, CRLF vs LF, spacing runs)
+    collapse into ONE group here while the raw tier (dedup_exact)
+    counts them as distinct. Same output contract as dedup_exact —
+    (content_md5, keep_id, n_copies), keep-first by doc_id — so the
+    two tiers diff directly: rows where this tier's n_copies exceeds
+    the raw tier's are exactly the punctuation-variant clusters, the
+    standard audit for 'how much dup mass does normalization
+    unlock'. Refinement law (pinned): every raw-exact group maps
+    into exactly one normalized group, so n_copies here >= the raw
+    tier's for the same surviving key.
+
+    Plan: the zero-shuffle normalize projection + dedup_exact's one
+    hash-agg — the same single-exchange class; only the 16-byte md5
+    and doc_id shuffle. Fixture honesty: the fixtures are ASCII
+    single-line text where normalize is the identity, so the
+    registered row value-checks equal to dedup_exact's grouping;
+    punctuation-twin collapse is pinned on constructed corpora and
+    the committed multiline golden lane (its CRLF/quote docs)."""
+    tune(spark)
+    base = normalize_frame(load_table(spark, sf_dir, "documents"))
+    return (
+        base.select(
+            "doc_id", F.md5(F.lower("text_norm")).alias("content_md5")
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _dedup_exact_normalized_sql() -> str:
+    return f"""
+WITH normalized AS ({_text_normalize_sql()})
+SELECT md5(lower(text_norm)) AS content_md5,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM normalized
+GROUP BY 1
+"""
+
+
 def line_dedup_frame(docs: DataFrame) -> DataFrame:
     """Frame-level core of dedup_lines over any (doc_id, text) frame —
     factored so the constructed-frame tests and the registered query
@@ -2352,6 +2399,7 @@ QUERIES = {
     "dedup_lines_within": dedup_lines_within,
     "dedup_lines_incremental": dedup_lines_incremental,
     "text_normalize": text_normalize,
+    "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_span_removal_incremental": dedup_span_removal_incremental,
     "dedup_span_decontaminate": dedup_span_decontaminate,
     "dedup_keep_canonical": dedup_keep_canonical,
@@ -2378,6 +2426,7 @@ ORACLE_SQL = {
     "dedup_lines_within": DEDUP_LINES_WITHIN_SQL,
     "dedup_lines_incremental": DEDUP_LINES_INCR_SQL,
     "text_normalize": _text_normalize_sql(),
+    "dedup_exact_normalized": _dedup_exact_normalized_sql(),
     "dedup_span_removal_incremental": SPAN_REMOVAL_INCR_SQL,
     "dedup_span_decontaminate": SPAN_DECONTAMINATE_SQL,
     "dedup_keep_canonical": _keep_canonical_sql(),

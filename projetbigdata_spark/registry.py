@@ -34,13 +34,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # same kernel went green in r8). No compositions this round (rule
 # c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
 # went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 9 (second wave) + 3 (third wave) + 2 (fourth wave) + 19
+# 10 + 7 + 9 (second wave) + 3 (third wave) + 3 (fourth wave) + 18
 # = 50; after this block every registered query's latest green row is
-# r6+ except the fifteen parked r5 rows (seven from the first wave +
+# r6+ except the sixteen parked r5 rows (seven from the first wave +
 # nine from the second + dedup_simhash / corpus_shingle_stats /
 # dedup_contamination from the third + corpus_bpe_merges_batched /
-# sim_ivf_sampled_topk from the fourth — every parked row shares its
-# core kernel with an r9-green in-block sibling). collect()
+# sim_ivf_sampled_topk / dedup_levenshtein_candidates from the
+# fourth — every parked row shares its core kernel with an r9-green
+# in-block sibling). collect()
 # raises if a priority name is not registered.
 _PRIORITY = (
     # --- tier B (10): the r4-latest rows, oldest in the ledger —
@@ -89,6 +90,9 @@ _PRIORITY = (
     # shares the IVF core with in-block sim_ivfpq_topk) yield ---
     "text_normalize",  # NEW: the pre-dedup unicode folding pass
     "dedup_lines_within",  # NEW: within-doc keep-first line dedup
+    "dedup_exact_normalized",  # NEW: the normalize->dedup composition
+    # (dedup_levenshtein_candidates yields — its shingle candidate
+    # core is shared with the in-block jaccard/minhash tiers)
     # --- tier C (24 of the 40 r5-latest rows; the rest park past
     # slot 50 as next-in-line). Compositions stay shielded under
     # rule c: corpus_curate / corpus_curate_calibrated /
@@ -98,7 +102,6 @@ _PRIORITY = (
     "dedup_minhash_estimate",
     "dedup_incremental",
     "dedup_jaccard_verified",
-    "dedup_levenshtein_candidates",
     "dedup_span_profile",
     "corpus_bpe_encode",
     "corpus_bpe_fertility",
@@ -133,6 +136,7 @@ _PRIORITY = (
     "dedup_contamination",
     "corpus_bpe_merges_batched",
     "sim_ivf_sampled_topk",
+    "dedup_levenshtein_candidates",
     "dedup_containment_pairs",
     "corpus_domain_stats",
     "corpus_ngram_diversity",

@@ -857,3 +857,42 @@ def test_text_normalize_semantics(spark, tmp_path):
     )
     second = text_normalize(spark, d2).collect()
     assert all(r.changed is False for r in second)
+
+
+def test_dedup_exact_normalized_collapses_punctuation_twins(
+    spark, tmp_path
+):
+    """The normalize → dedup composition: punctuation-style twins that
+    raw exact dedup counts as distinct collapse into one normalized
+    group (keep-first by doc_id), genuinely-different docs stay
+    apart, and the refinement law holds — every raw group maps into
+    exactly one normalized group."""
+    from projetbigdata_spark.operators.curation import (
+        dedup_exact_normalized,
+    )
+    from projetbigdata_spark.operators.dedup import dedup_exact
+
+    rows = [
+        (0, "“Smart” quotes — and spaces…"),
+        (1, '"Smart" quotes - and spaces...'),  # twin of 0
+        (2, "Smart  quotes -  and  spaces..."),  # squeeze twin of 0/1? no: word 'Smart' unquoted
+        (3, "a different document entirely."),
+        (4, "a different document entirely."),  # raw exact dup of 3
+        (5, None),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    norm = {r.keep_id: r.n_copies
+            for r in dedup_exact_normalized(spark, d).collect()}
+    raw = {r.keep_id: r.n_copies for r in dedup_exact(spark, d).collect()}
+    assert norm[0] == 2  # docs 0 and 1 collapse after normalization
+    assert raw.get(0) == 1 and raw.get(1) == 1  # raw tier keeps them apart
+    assert norm[3] == 2 == raw[3]  # raw dups stay collapsed in both
+    assert sum(norm.values()) == sum(raw.values()) == len(rows)
+    # refinement: normalized groups never split a raw group
+    assert len(norm) <= len(raw)

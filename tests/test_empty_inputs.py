@@ -120,6 +120,7 @@ REPRESENTATIVES = [
     "corpus_gopher_repetition_clean",    # ceiling verdict over 0 docs
     "dedup_lines_within",                # in-row keep-first over 0 docs
     "text_normalize",                    # in-row folding over 0 docs
+    "dedup_exact_normalized",            # hash-agg over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input

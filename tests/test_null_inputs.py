@@ -136,6 +136,9 @@ EXPLODE_DROPPERS = [
 
 DEDUP_FAMILY = [
     "dedup_exact",
+    # r9 fourth wave: null text normalizes to '' -> the empty-string
+    # group (unlike raw dedup_exact, where md5(NULL) is NULL)
+    "dedup_exact_normalized",
     "dedup_incremental",
     "dedup_components_prefiltered",
     "dedup_components_verified_prefiltered",

@@ -423,6 +423,9 @@ EXCHANGE_BUDGET = {
     # verdict is the same plan plus one in-row projection
     "text_gopher_repetition": 7,
     "corpus_gopher_repetition_clean": 7,
+    # r9 fourth wave: the zero-shuffle normalize projection + the
+    # dedup_exact hash-agg (16-byte md5 + doc_id only)
+    "dedup_exact_normalized": 1,
 }
 
 

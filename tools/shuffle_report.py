@@ -138,9 +138,10 @@ QUERIES = [
     "corpus_gopher_clean",
     "text_gopher_repetition",
     "corpus_gopher_repetition_clean",
-    # r9 fourth wave (both zero-shuffle by design)
+    # r9 fourth wave (first two zero-shuffle by design)
     "dedup_lines_within",
     "text_normalize",
+    "dedup_exact_normalized",
 ]
 
 
