@@ -538,26 +538,42 @@ FROM kept
 #
 # Unicode punctuation folding as a 1:1 char map (both engines'
 # translate() are codepoint maps on these BMP chars): curly quotes ->
-# ASCII, en/em dash + minus -> '-', NBSP/figure/narrow-NBSP/ideographic
-# space + tab -> ' '.
+# ASCII, en/em dash + minus -> '-', and EVERY Unicode Zs space -> ' '
+# (ADVICE r9: the complete category, not just NBSP/figure/narrow-NBSP/
+# ideographic -- en/em/thin/hair spaces et al. defeated the "hash keys
+# mean content equality" claim). Spelled as \u escapes so the map is
+# auditable codepoint by codepoint.
 _NORM_FROM = (
-    "‘’‚‛"  # ' ' , ,  single quotes
-    "“”„‟"  # " " low/high double quotes
-    "–—−"  # en dash, em dash, minus sign
-    "   　\t"  # unicode spaces + tab
+    "\u2018\u2019\u201a\u201b"  # single quotes: curly pair, low-9, rev-9
+    "\u201c\u201d\u201e\u201f"  # double quotes: curly pair, low-9, rev-9
+    "\u2013\u2014\u2212"  # en dash, em dash, minus sign
+    "\u00a0\u1680"  # NBSP, ogham space mark
+    "\u2000\u2001\u2002\u2003"  # en quad, em quad, en space, em space
+    "\u2004\u2005\u2006\u2007"  # 3/4/6-per-em space, figure space
+    "\u2008\u2009\u200a"  # punctuation space, thin space, hair space
+    "\u202f\u205f\u3000"  # narrow NBSP, math space, ideographic space
+    "\t"  # tab
 )
-_NORM_TO = "''''\"\"\"\"---     "
+_NORM_TO = "''''\"\"\"\"---" + " " * 17
 assert len(_NORM_FROM) == len(_NORM_TO)
-# C0 controls (minus \t\n\r, handled above/kept) + DEL — stripped
-_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+# Stripped outright: C0 controls (minus \t\n\r -- folded above /
+# kept), DEL, ZERO WIDTH SPACE (U+200B -- a word-break hint with no
+# width; crawls are full of it and it defeats exact keys), and U+FEFF
+# (BOM / zero-width no-break space -- the classic mid-document paste
+# artifact). ZWNJ/ZWJ (U+200C/D) are deliberately KEPT: they are
+# orthographically meaningful in Persian/Indic scripts and stripping
+# them would corrupt non-Latin corpora (ADVICE r9 scope note).
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\u200b\ufeff]"
 
 
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-dedup text normalization pass (the ftfy-lite subset
     every real pipeline runs BEFORE hashing): curly quotes / unicode
-    dashes / unicode spaces folded to ASCII (1:1 translate map),
-    'HORIZONTAL ELLIPSIS' expanded to '...', CRLF/CR folded to LF, C0
-    control chars + DEL stripped, and per-line space-squeeze + trim —
+    dashes / the complete Unicode Zs space category folded to ASCII
+    (1:1 translate map), 'HORIZONTAL ELLIPSIS' expanded to '...',
+    CRLF/CR folded to LF, C0 control chars + DEL + ZWSP + BOM
+    stripped (ZWNJ/ZWJ kept — orthographic in Persian/Indic), and
+    per-line space-squeeze + trim —
     newlines themselves are PRESERVED because line structure feeds
     dedup_lines downstream. Case is NOT folded (tokenize owns that).
     Output: (doc_id, text_norm, changed, len_before, len_after).

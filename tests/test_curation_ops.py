@@ -813,6 +813,12 @@ def test_text_normalize_semantics(spark, tmp_path):
         (4, "ctrl\x00\x1fchars\x7fgone"),
         (5, None),
         (6, "already clean."),
+        # ADVICE r9: the REST of the Zs category + zero-width junk —
+        # en space, thin space, hair space, math space, ogham mark
+        # fold to ' '; ZWSP and BOM strip outright; ZWNJ survives
+        (7, "en\u2002space\u2009thin\u200aand\u205fhair\u1680ogham"),
+        (8, "en space thin and hair ogham"),  # ascii twin of 7
+        (9, "\ufeffzero\u200bwidth kept\u200cjoiner"),
     ]
     d = str(tmp_path / "sf")
     spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
@@ -830,6 +836,9 @@ def test_text_normalize_semantics(spark, tmp_path):
     assert got[4].text_norm == "ctrlcharsgone"
     assert got[5].text_norm == "" and got[5].len_before == 0
     assert got[6].changed is False
+    assert got[7].text_norm == "en space thin and hair ogham"
+    assert got[7].text_norm == got[8].text_norm  # Zs twins collapse
+    assert got[9].text_norm == "zerowidth kept\u200cjoiner"  # ZWNJ kept
 
     con = duckdb.connect()
     con.execute(
