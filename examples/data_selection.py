@@ -89,24 +89,27 @@ def selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ccnet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet cut crossed with the selection verdicts: per (lang,
-    ppl_bucket), how many docs the head/middle/tail terciles hold and
-    how many of them the DSIR+fluency composition would ALSO keep — the
-    two-filter agreement audit a data team reads before choosing which
-    gate (or intersection) feeds training. Both inputs anchor the full
-    doc set, so the join is 1:1 and the report partitions the corpus."""
-    from projetbigdata_spark.operators.selection import (
-        corpus_perplexity_buckets,
-    )
+    ppl_bucket), how many docs the head/middle/tail terciles hold, how
+    many the composed CCNet verdict keeps, and how many of them the
+    DSIR+fluency composition would ALSO keep — the two-filter
+    agreement audit a data team reads before choosing which gate (or
+    intersection) feeds training. DELEGATES to the registered
+    corpus_ccnet_select (r10 — the end-to-end keep verdict is engine
+    surface now, not example plumbing); both inputs anchor the full
+    doc set, so the join is 1:1 and the report partitions the
+    corpus."""
+    from projetbigdata_spark.operators.selection import corpus_ccnet_select
 
-    buckets = corpus_perplexity_buckets(spark, sf_dir)
+    ccnet = corpus_ccnet_select(spark, sf_dir)
     return (
-        buckets.join(
+        ccnet.join(
             select_corpus(spark, sf_dir).select("doc_id", "selected"),
             "doc_id",
         )
         .groupBy("lang", "ppl_bucket")
         .agg(
             F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).alias("n_ccnet_kept"),
             F.sum(F.col("selected").cast("int")).alias("n_also_selected"),
         )
         .orderBy("lang", "ppl_bucket")

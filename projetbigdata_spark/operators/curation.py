@@ -1727,6 +1727,77 @@ def corpus_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_quantiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_quality_quantiles' SKEW-RELIEF tier made executable
+    (r10, VERDICT r9 item 3 — the twin of selection.py's
+    corpus_perplexity_buckets_approx): the per-language p10/p50/p90
+    thresholds come from a grouped `percentile_approx` sketch instead
+    of the exact tier's two per-lang `row_number` windows — map-side
+    mergeable partial aggs, NO per-lang sort, so the mega-language
+    reducer the exact tier's docstring warns about never exists in
+    this plan. Same output contract and columns as the exact tier.
+
+    Oracle note (measured, r10): in the sketch's exact regime
+    (per-lang scored count <= PPL_APPROX_ACCURACY) Spark's
+    percentile_approx returns EXACTLY the ascending order statistic
+    at the RATIONAL rank ceil(p*n) — probed across n up to 5000,
+    multi-partition merges, and the float-hazard points (n=2151
+    p=0.1 where ceil of the double product would read 51-vs-50
+    wrong; n=3334 p=1/3) — i.e. bit-identical to the exact tier's
+    integer rank ceilings (n+9) div 10 / (n+1) div 2 / (9n+9) div
+    10. So this row's DuckDB oracle IS the exact tier's oracle, and
+    the two registered tiers must hash-match each other at fixture
+    scale; past the exact regime they diverge by design (rank error
+    <= n/accuracy) and the skew study in SCALE.md prices the swap."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from projetbigdata_spark.operators.selection import (
+        PPL_APPROX_ACCURACY,
+    )
+    from projetbigdata_spark.operators.textstats import _SW_ARRAY
+
+    toks = tokenize("text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.expr(_SW_ARRAY), t))
+        ).alias("n_stop"),
+    ).where(F.col("n_tokens") > 0)
+    stats = d.select(
+        "lang",
+        F.expr("(n_stop * CAST(1000000 AS BIGINT)) div n_tokens").alias(
+            "stop_ppm"
+        ),
+        F.expr(
+            "1000000 - (n_unique * CAST(1000000 AS BIGINT)) div n_tokens"
+        ).alias("dup_ppm"),
+    )
+    ps = F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+    return stats.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.percentile_approx(
+            "stop_ppm", ps, F.lit(PPL_APPROX_ACCURACY)
+        ).alias("qs"),
+        F.percentile_approx(
+            "dup_ppm", ps, F.lit(PPL_APPROX_ACCURACY)
+        ).alias("qd"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.col("qs")[0].alias("stop_ppm_p10"),
+        F.col("qs")[1].alias("stop_ppm_p50"),
+        F.col("qs")[2].alias("stop_ppm_p90"),
+        F.col("qd")[0].alias("dup_ppm_p10"),
+        F.col("qd")[1].alias("dup_ppm_p50"),
+        F.col("qd")[2].alias("dup_ppm_p90"),
+    )
+
+
 def _quality_quantiles_sql() -> str:
     from projetbigdata_spark.functions.text import STOPWORDS
 
@@ -2406,6 +2477,7 @@ QUERIES = {
     "corpus_lang_cap": corpus_lang_cap,
     "corpus_source_divergence": corpus_source_divergence,
     "corpus_quality_quantiles": corpus_quality_quantiles,
+    "corpus_quality_quantiles_approx": corpus_quality_quantiles_approx,
     "dedup_component_sizes": dedup_component_sizes,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "text_unigram_freq_score": text_unigram_freq_score,
@@ -2433,6 +2505,9 @@ ORACLE_SQL = {
     "corpus_lang_cap": _key_cap_sql("lang", LANG_CAP_PPM, "langcap"),
     "corpus_source_divergence": SOURCE_DIVERGENCE_SQL,
     "corpus_quality_quantiles": _quality_quantiles_sql(),
+    # the sketch tier's exact-regime oracle IS the exact tier's SQL
+    # (measured rational-ceil rank identity — see the docstring)
+    "corpus_quality_quantiles_approx": _quality_quantiles_sql(),
     "dedup_component_sizes": _component_sizes_sql(),
     "contamination_ngram_overlap": CONTAMINATION_NGRAM_SQL,
     "text_unigram_freq_score": UNIGRAM_FREQ_SQL,

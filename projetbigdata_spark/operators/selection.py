@@ -1194,3 +1194,279 @@ QUERIES["text_trigram_backoff_score_incremental"] = (
     text_trigram_backoff_score_incremental
 )
 ORACLE_SQL["text_trigram_backoff_score_incremental"] = SB_TRIGRAM_INCR_SQL
+
+
+# --- the CCNet end-to-end keep verdict (r10, VERDICT r9 item 2) -----
+
+CCNET_LANG_CAP_PPM = 200_000  # stage-2 share ceiling; mirrors
+# curation.LANG_CAP_PPM so the fixture exercises BOTH cap branches
+# (en ~43% of survivors is thinned, the other langs kept whole)
+CCNET_KEEP_BUCKET = "head"  # CCNet trains on the most-target-like
+# tercile; 'middle' consumers recompose from the ppl_bucket column
+
+
+def corpus_ccnet_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED CCNet selection a data team actually ships
+    (VERDICT r9 item 2) — until now the three stages were each
+    registered and green but the end-to-end keep verdict lived only
+    in examples/data_selection.py. One frame, full-corpus anchored,
+    with per-stage attrition columns so the funnel audits from the
+    output alone:
+
+      stage 1  lang gate   (text_lang_lines, textstats.py): a doc
+               passes iff it has >= 1 language-identified non-empty
+               line and is NOT mixed-language — the CCNet move of
+               refusing docs whose paragraph-level langid disagrees
+               with itself. Column: lang_ok.
+      stage 2  share cap   (corpus_lang_cap's _key_cap_frame core,
+               curation.py): survivors of stage 1 are capped per
+               language at CCNET_LANG_CAP_PPM of the survivor corpus
+               (ceil-share ceiling, 'ccnetcap'-salted deterministic
+               acceptance, NULL-safe key probe-back). Columns:
+               accept_ppm (NULL for stage-1 rejects), cap_ok.
+      stage 3  LM head cut (corpus_perplexity_buckets): the per-lang
+               Stupid-Backoff tercile; keep = CCNET_KEEP_BUCKET.
+               Column: ppl_bucket.
+
+      kept = lang_ok AND cap_ok AND ppl_bucket = 'head'.
+
+    Composition notes: the cap share is computed over the STAGE-1
+    SURVIVORS (capping what later stages see, not the raw crawl), and
+    the tercile partition key is the metadata lang — the same key the
+    registered bucket row uses; a deployment swaps in its fastText
+    guess at both sites. The per-stage columns mean downstream can
+    recompose (e.g. keep head+middle) without re-running anything.
+
+    Plan: the lang-lines fold (a per-line higher-order tokenize — the
+    expensive scan) is plan-barriered because THREE consumers read it
+    (cap sizes, cap probe-back, the final join); the LM-scored frame
+    inside corpus_perplexity_buckets keeps its own measured barrier.
+    Beyond the subtrees' own plans the composition adds one
+    |survivor-langs|-row hash-agg + broadcast total + probe-back (the
+    cap core) and two doc_id equi-joins — nothing corpus-sorted.
+
+    Fixture honesty: the parquet corpora are single-line, so `mixed`
+    is constructively false and stage 1 passes every non-empty doc;
+    the multi-line gate behavior is pinned where text_lang_lines pins
+    it (constructed corpora + the golden lane). Cite:
+    /root/reference has no curation pipeline — this composes Wenzek
+    et al. 2020 (CCNet) stages 2/4/5 from this repo's own green
+    operators."""
+    tune(spark)
+    from projetbigdata_spark.operators.curation import _key_cap_frame
+    from projetbigdata_spark.operators.textstats import text_lang_lines
+
+    gate = (
+        text_lang_lines(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            "mixed",
+            (
+                ((F.col("n_en_lines") + F.col("n_other_lines")) > 0)
+                & ~F.col("mixed")
+            ).alias("lang_ok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cap = _key_cap_frame(
+        gate.where("lang_ok").select("doc_id", "lang"),
+        "lang",
+        CCNET_LANG_CAP_PPM,
+        "ccnetcap",
+    ).select("doc_id", "accept_ppm", F.col("selected").alias("cap_ok"))
+    buckets = corpus_perplexity_buckets(spark, sf_dir).select(
+        "doc_id", "ppl_bucket"
+    )
+    return (
+        gate.join(cap, "doc_id", "left")
+        .join(buckets, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mixed",
+            "lang_ok",
+            "accept_ppm",
+            F.coalesce("cap_ok", F.lit(False)).alias("cap_ok"),
+            "ppl_bucket",
+            (
+                F.col("lang_ok")
+                & F.coalesce("cap_ok", F.lit(False))
+                & (F.col("ppl_bucket") == CCNET_KEEP_BUCKET)
+            ).alias("kept"),
+        )
+    )
+
+
+def _ccnet_select_sql() -> str:
+    from projetbigdata_spark.operators.textstats import LANG_LINES_SQL
+
+    return f"""
+WITH bk AS ({PPL_BUCKETS_SQL}),
+ll AS ({LANG_LINES_SQL}),
+gate AS (
+    SELECT doc_id, lang, mixed,
+           (n_en_lines + n_other_lines > 0) AND NOT mixed AS lang_ok
+    FROM ll
+),
+sizes AS (
+    SELECT lang AS k, CAST(count(*) AS BIGINT) AS key_n
+    FROM gate WHERE lang_ok GROUP BY 1
+),
+tot AS (SELECT CAST(sum(key_n) AS BIGINT) AS n_total FROM sizes),
+capx AS (
+    SELECT g.doc_id,
+           CAST(LEAST(1000000,
+                      (1000000 * (({CCNET_LANG_CAP_PPM} * tot.n_total
+                                   + 999999) // 1000000)) // s.key_n)
+                AS BIGINT) AS accept_ppm,
+           CAST(CAST('0x' || substr(md5('ccnetcap'
+                                        || CAST(g.doc_id AS VARCHAR)),
+                                    1, 8)
+                     AS BIGINT) % 1000000 AS BIGINT) AS bucket
+    FROM gate g
+    JOIN sizes s ON g.lang IS NOT DISTINCT FROM s.k, tot
+    WHERE g.lang_ok
+),
+cap AS (
+    SELECT doc_id, accept_ppm, bucket < accept_ppm AS cap_ok FROM capx
+)
+SELECT g.doc_id, g.lang, g.mixed, g.lang_ok,
+       c.accept_ppm,
+       coalesce(c.cap_ok, FALSE) AS cap_ok,
+       bk.ppl_bucket,
+       (g.lang_ok AND coalesce(c.cap_ok, FALSE)
+        AND bk.ppl_bucket = '{CCNET_KEEP_BUCKET}') AS kept
+FROM gate g
+LEFT JOIN cap c ON g.doc_id = c.doc_id
+JOIN bk ON g.doc_id = bk.doc_id
+"""
+
+
+QUERIES["corpus_ccnet_select"] = corpus_ccnet_select
+ORACLE_SQL["corpus_ccnet_select"] = _ccnet_select_sql()
+
+
+# --- approx-percentile tercile relief tier (r10, VERDICT r9 item 3) --
+
+PPL_APPROX_ACCURACY = 10_000  # Greenwald-Khanna accuracy dial. Below
+# this many scored docs PER LANGUAGE the sketch never compresses and
+# the result is EXACTLY the ascending order statistic at rank
+# ceil(p*n) (measured on 4.1.2 across multi-partition merges up to
+# n=5000) — which is what makes the fixture-scale oracle below a
+# FULL value oracle, not a tolerance check. Past that cardinality the
+# answer is approximate within 1/accuracy relative rank error — the
+# designed behavior at 100 TB, priced by the agreement contract in
+# test_selection_ops.py and the skew soak in SCALE.md.
+
+
+def corpus_perplexity_buckets_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_perplexity_buckets' SKEW RELIEF tier made executable
+    (VERDICT r9 item 3 — until now the `approx_percentile` valve was
+    documented prose, not a registered surface): the per-language
+    tercile THRESHOLDS come from a grouped `percentile_approx` sketch
+    instead of the exact tier's per-lang `row_number` window, so the
+    plan has NO per-lang sort at all — the skew point vanishes
+    structurally rather than being mitigated. Same output contract:
+    (doc_id, lang, sb_score_ppm, ppl_bucket) with 'unscored'
+    anchoring and NULL-safe lang probe-back.
+
+    Why a deployment wants this tier: at 100 TB with one dominant
+    language the exact tier's rank window sorts ~the whole corpus's
+    skinny rows inside ONE partition (the acknowledged skew point,
+    selection.py exact tier / curation.py calibrator note). The
+    sketch tier replaces that with a partial-aggregated
+    Greenwald-Khanna summary per language — map-side combined, one
+    |langs|-row result, no window, no sort — at the cost of rank
+    error ≤ n/PPL_APPROX_ACCURACY past the exact regime.
+
+    Threshold semantics vs the exact tier (documented, deliberate):
+    the sketch returns ASCENDING order statistics at rank ceil(p·n)
+    (p = 1/3, 2/3), while the exact tier reads DESCENDING rank
+    ceilings — at most one rank apart at any n, so bucket verdicts
+    agree except within one rank of each boundary (agreement ≥ 90%
+    pinned at the fixture; ~n/3 boundary docs can differ at most).
+    In the exact regime the sketch is deterministic and engine-exact,
+    so this row carries a FULL DuckDB oracle (the order statistic
+    spelled as a rank window in the oracle only — DuckDB has no GK
+    sketch; the fixture cardinalities sit far inside the exact
+    regime)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # same two-consumer barrier as the exact tier: the threshold agg
+    # and the final projection both read the 13-exchange scorer
+    base = docs.select("doc_id", "lang").join(
+        _sb_score_frame(docs).select("doc_id", "sb_score_ppm"),
+        "doc_id",
+        "left",
+    ).localCheckpoint(eager=False)
+    th = (
+        base.where(F.col("sb_score_ppm").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "sb_score_ppm",
+                F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
+                F.lit(PPL_APPROX_ACCURACY),
+            ).alias("q")
+        )
+        .select(
+            F.col("lang").alias("th_lang"),
+            F.col("q")[0].alias("t_mid"),
+            F.col("q")[1].alias("t_head"),
+        )
+    )
+    return (
+        base.join(
+            F.broadcast(th),
+            base["lang"].eqNullSafe(F.col("th_lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "sb_score_ppm",
+            F.when(F.col("sb_score_ppm").isNull(), F.lit("unscored"))
+            .when(F.col("sb_score_ppm") >= F.col("t_head"), F.lit("head"))
+            .when(F.col("sb_score_ppm") >= F.col("t_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+# exact-regime oracle: percentile_approx under the group cardinality
+# bound IS the ascending order statistic at rank ceil(p*n) — spelled
+# as integer rank ceilings so no float rank math enters either engine
+PPL_BUCKETS_APPROX_SQL = _sb_sql_core() + """,
+base AS (
+    SELECT d.doc_id, d.lang, s.sb_score_ppm
+    FROM documents d LEFT JOIN sb s ON d.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT lang, sb_score_ppm,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY sb_score_ppm ASC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM base WHERE sb_score_ppm IS NOT NULL
+),
+th AS (
+    SELECT lang,
+           max(CASE WHEN rn = (n + 2) // 3 THEN sb_score_ppm END) AS t_mid,
+           max(CASE WHEN rn = (2 * n + 2) // 3 THEN sb_score_ppm END)
+               AS t_head
+    FROM ranked GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.sb_score_ppm,
+       CASE WHEN b.sb_score_ppm IS NULL THEN 'unscored'
+            WHEN b.sb_score_ppm >= t.t_head THEN 'head'
+            WHEN b.sb_score_ppm >= t.t_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM base b LEFT JOIN th t ON b.lang IS NOT DISTINCT FROM t.lang
+"""
+
+
+QUERIES["corpus_perplexity_buckets_approx"] = corpus_perplexity_buckets_approx
+ORACLE_SQL["corpus_perplexity_buckets_approx"] = PPL_BUCKETS_APPROX_SQL

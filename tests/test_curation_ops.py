@@ -905,3 +905,28 @@ def test_dedup_exact_normalized_collapses_punctuation_twins(
     assert sum(norm.values()) == sum(raw.values()) == len(rows)
     # refinement: normalized groups never split a raw group
     assert len(norm) <= len(raw)
+
+
+def test_quality_quantiles_approx_equals_exact_tier(spark):
+    """The sketch tier (corpus_quality_quantiles_approx) must be
+    BIT-IDENTICAL to the exact window tier in the sketch's exact
+    regime (per-lang n <= PPL_APPROX_ACCURACY — the fixture is far
+    inside it): percentile_approx's exact-regime result is the
+    ascending order statistic at the rational rank ceil(p*n), which
+    is precisely the exact tier's integer rank ceilings. The two
+    registered rows already share one DuckDB oracle; this pins the
+    Spark sides against each other directly."""
+    from projetbigdata_spark.operators.curation import (
+        corpus_quality_quantiles,
+        corpus_quality_quantiles_approx,
+    )
+
+    exact = {
+        r.lang: r.asDict()
+        for r in corpus_quality_quantiles(spark, SF_CHECK).collect()
+    }
+    approx = {
+        r.lang: r.asDict()
+        for r in corpus_quality_quantiles_approx(spark, SF_CHECK).collect()
+    }
+    assert exact == approx

@@ -121,6 +121,10 @@ REPRESENTATIVES = [
     "dedup_lines_within",                # in-row keep-first over 0 docs
     "text_normalize",                    # in-row folding over 0 docs
     "dedup_exact_normalized",            # hash-agg over 0 docs
+    # r10
+    "corpus_ccnet_select",               # 3-stage funnel over 0 docs
+    "corpus_perplexity_buckets_approx",  # sketch terciles over 0 docs
+    "corpus_quality_quantiles_approx",   # sketch p10/50/90 over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input

@@ -115,6 +115,13 @@ PER_DOC_KEEPERS = [
     # text_norm — both anchor every doc
     "dedup_lines_within",
     "text_normalize",
+    # r10: the composed CCNet verdict anchors every doc — null text
+    # fails the lang gate (no identified lines) but keeps its row
+    # (lang_ok=FALSE, NULL accept_ppm, kept=FALSE)
+    "corpus_ccnet_select",
+    # r10: sketch-tercile twin anchors like the exact tier (null text
+    # -> 'unscored')
+    "corpus_perplexity_buckets_approx",
 ]
 
 EXPLODE_DROPPERS = [
@@ -150,6 +157,8 @@ MISC_R4 = [
     "text_search_topk",          # null tokens never match the terms
     "corpus_domain_stats",       # per-source agg over null-text rows
     "corpus_quality_quantiles",  # 0-token docs excluded by definition
+    # r10: the sketch twin shares the exact tier's null posture
+    "corpus_quality_quantiles_approx",
 ]
 
 MISC_R5 = [

@@ -83,6 +83,9 @@ CARTESIAN_OK = {
     # the declared-broadcast totals class (cluster balance's shape)
     "corpus_source_cap",
     "corpus_lang_cap",
+    # r10: the composed CCNet verdict inherits the cap core's declared
+    # 1-row broadcast total AND the SB scorer's b_total fold
+    "corpus_ccnet_select",
     # r9 second wave: the Stupid-Backoff scorer crossJoins the
     # broadcast 1-row target bigram total (b_total); the cluster
     # labeler crossJoins the broadcast 1-row corpus token total —
@@ -426,6 +429,19 @@ EXCHANGE_BUDGET = {
     # r9 fourth wave: the zero-shuffle normalize projection + the
     # dedup_exact hash-agg (16-byte md5 + doc_id only)
     "dedup_exact_normalized": 1,
+    # r10: the composed CCNet keep verdict — post-barrier plan of the
+    # lang-lines gate (checkpointed for its three consumers): the cap
+    # core's |langs|-row agg + broadcast total + probe-back, the
+    # bucket subtree's tercile windows/threshold join past its own
+    # barrier, and the two doc_id anchor joins
+    "corpus_ccnet_select": 10,
+    # r10: the sketch tercile tier — post-barrier: the grouped GK
+    # partial/final agg + the broadcast |langs|-row threshold join;
+    # NO per-lang window sort anywhere (that is the point)
+    "corpus_perplexity_buckets_approx": 2,
+    # r10: the quantile sketch twin — ONE grouped partial/final agg,
+    # no windows at all (the exact tier needs its two rank windows)
+    "corpus_quality_quantiles_approx": 1,
 }
 
 

@@ -11,6 +11,7 @@ import math
 from collections import Counter, defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -1183,3 +1184,102 @@ def test_trigram_incremental_frozen_model(spark, tmp_path):
     }
     for d in (1, 2, 3):
         assert got2[d] == got1[d], d
+
+
+def test_ccnet_select_funnel_laws(spark):
+    """The composed CCNet keep verdict (r10): full-corpus anchor, the
+    kept law recomputes column-wise, stage flags are consistent
+    (stage-1 rejects carry NULL accept_ppm and cap_ok=False), the
+    funnel is monotone, and the bucket column agrees row-for-row with
+    the registered corpus_perplexity_buckets subtree."""
+    from projetbigdata_spark.operators.selection import (
+        CCNET_KEEP_BUCKET,
+        corpus_ccnet_select,
+        corpus_perplexity_buckets,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    out = corpus_ccnet_select(spark, SF_SMOKE).cache()
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+
+    # the kept law, recomputed
+    viol = out.where(
+        F.col("kept")
+        != (
+            F.col("lang_ok")
+            & F.col("cap_ok")
+            & (F.col("ppl_bucket") == CCNET_KEEP_BUCKET)
+        )
+    ).count()
+    assert viol == 0
+
+    # stage-1 rejects never reach the cap
+    assert (
+        out.where(~F.col("lang_ok"))
+        .where(F.col("accept_ppm").isNotNull() | F.col("cap_ok"))
+        .count()
+        == 0
+    )
+
+    # monotone funnel with live gates at the fixture
+    agg = out.agg(
+        F.sum(F.col("lang_ok").cast("int")).alias("a"),
+        F.sum((F.col("lang_ok") & F.col("cap_ok")).cast("int")).alias("b"),
+        F.sum(F.col("kept").cast("int")).alias("c"),
+    ).collect()[0]
+    assert n >= agg.a >= agg.b >= agg.c
+    assert 0 < agg.c < n  # head cut is live
+
+    # bucket column == the registered subtree, row for row
+    bk = corpus_perplexity_buckets(spark, SF_SMOKE).select(
+        "doc_id", F.col("ppl_bucket").alias("want")
+    )
+    assert (
+        out.join(bk, "doc_id")
+        .where(F.col("ppl_bucket") != F.col("want"))
+        .count()
+        == 0
+    )
+    out.unpersist()
+
+
+def test_perplexity_buckets_approx_agreement_contract(spark):
+    """The approx (sketch) tercile tier vs the exact (window) tier:
+    same doc set, identical 'unscored' anchoring, thresholds ordered
+    (head boundary >= middle boundary per lang), and bucket verdicts
+    agree on >= 90% of scored docs — the two tiers read order
+    statistics at most one rank apart, so only docs within one rank
+    of a boundary may differ (the ANN-recall-style contract that
+    prices the relief tier's drop before a deployment opts in)."""
+    from projetbigdata_spark.operators.selection import (
+        corpus_perplexity_buckets,
+        corpus_perplexity_buckets_approx,
+    )
+
+    exact = corpus_perplexity_buckets(spark, SF_SMOKE).select(
+        "doc_id", F.col("ppl_bucket").alias("b_exact")
+    )
+    approx = corpus_perplexity_buckets_approx(spark, SF_SMOKE).select(
+        "doc_id", "lang", "sb_score_ppm",
+        F.col("ppl_bucket").alias("b_approx"),
+    )
+    j = approx.join(exact, "doc_id").cache()
+    n = j.count()
+    assert n > 0
+    # identical anchor: unscored iff unscored
+    assert j.where(
+        (F.col("b_exact") == "unscored") != (F.col("b_approx") == "unscored")
+    ).count() == 0
+    agree = j.where(F.col("b_exact") == F.col("b_approx")).count()
+    assert agree / n >= 0.90, f"agreement {agree}/{n}"
+    # both tiers partition scored docs into nonempty head/middle/tail
+    # at the fixture (terciles are live, not degenerate)
+    got = {
+        r.b_approx
+        for r in j.where(F.col("b_approx") != "unscored")
+        .select("b_approx").distinct().collect()
+    }
+    assert got == {"head", "middle", "tail"}
+    j.unpersist()

@@ -53,6 +53,7 @@ def test_ccnet_report_partitions_corpus_and_agrees(spark):
     the full corpus; its agreement column matches the composed
     verdicts; every lang with scored docs surfaces a head bucket."""
     from examples.data_selection import ccnet_report, select_corpus
+    from projetbigdata_spark.operators.selection import corpus_ccnet_select
     from projetbigdata_spark.sources.catalog import load_table
 
     total = load_table(spark, SF_SMOKE, "documents").count()
@@ -62,6 +63,11 @@ def test_ccnet_report_partitions_corpus_and_agrees(spark):
         r.selected for r in select_corpus(spark, SF_SMOKE).collect()
     )
     assert sum(r.n_also_selected for r in rep) == n_sel
+    # delegation: the report's kept column IS the registered verdict
+    n_kept = (
+        corpus_ccnet_select(spark, SF_SMOKE).where("kept").count()
+    )
+    assert sum(r.n_ccnet_kept for r in rep) == n_kept
     langs_with_buckets = {r.lang for r in rep if r.ppl_bucket == "head"}
     all_langs = {r.lang for r in rep}
     assert langs_with_buckets == all_langs  # every lang has a head
