@@ -82,7 +82,12 @@ QC_COEF_MICROS = {
 }
 
 
-def quality_scores_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def quality_scores_of(
+    spark: SparkSession,
+    docs: DataFrame,
+    coef_micros: dict[int, int] | None = None,
+    intercept_micros: int | None = None,
+) -> DataFrame:
     """Frame-level scoring core — any (doc_id, lang, text) frame in,
     the verdict frame out — shared by the registered corpus query and
     the streaming ingest twin (quality_scores_stream), so batch and
@@ -93,12 +98,21 @@ def quality_scores_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
     The width repartition rides ONLY the tokenize/hash branch (the
     compute-heavy explode, load_documents_parallel's rationale); the
     anchor branch reads the frame as-is — a round-robin exchange buys
-    the skinny (doc_id, lang) projection nothing."""
+    the skinny (doc_id, lang) projection nothing.
+
+    coef_micros/intercept_micros default to the frozen registered
+    model; the quality-lane artifacts (tests/golden/quality_lane —
+    r10, VERDICT r9 item 4) pass their own committed fit so the lane
+    test exercises the IDENTICAL scoring expressions."""
     from projetbigdata_spark.operators.features import hashed_features_of
 
+    if coef_micros is None:
+        coef_micros = QC_COEF_MICROS
+    if intercept_micros is None:
+        intercept_micros = QC_INTERCEPT_MICROS
     coef = F.broadcast(
         spark.createDataFrame(
-            sorted(QC_COEF_MICROS.items()),
+            sorted(coef_micros.items()),
             "bucket int, coef_micros bigint",
         )
     )
@@ -120,13 +134,13 @@ def quality_scores_of(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         (
-            F.lit(QC_INTERCEPT_MICROS)
+            F.lit(intercept_micros)
             + F.coalesce(F.col("dot"), F.lit(0).cast("decimal(38,0)"))
         )
         .cast("bigint")
         .alias("logit_micros"),
         (
-            F.lit(QC_INTERCEPT_MICROS)
+            F.lit(intercept_micros)
             + F.coalesce(F.col("dot"), F.lit(0).cast("decimal(38,0)"))
             >= 0
         ).alias("keep"),
@@ -252,7 +266,12 @@ def corpus_quality_calibration_report(
     means the classifier is majority-class guessing (exactly what the
     HASH_BUCKETS dial study documents at fixture scale — this report
     is that finding as a standing, oracle-checked surface a deployment
-    re-reads after every re-fit).
+    re-reads after every re-fit). The fixture-honesty note is
+    FALSIFIED, not just stated, since r10: the committed quality lane
+    (tests/golden/quality_lane + tools/gen_quality_lane.py) plants a
+    graded signal, fits on it, and pins a sloped monotone curve
+    through this exact binning (calibration_curve_of) — so a flat
+    fixture curve and a broken binning are now distinguishable.
 
     Columns: (bin, bin_lo_micros, n_docs, n_target, target_ppm) —
     bin_lo_micros = bin·QS_BIN − QS_BIAS is the bin's inclusive lower
@@ -261,11 +280,21 @@ def corpus_quality_calibration_report(
     tune(spark)
     from projetbigdata_spark.operators.selection import DSIR_TARGET_LANG
 
-    scores = corpus_quality_classifier_scores(spark, sf_dir)
+    return calibration_curve_of(
+        corpus_quality_classifier_scores(spark, sf_dir), DSIR_TARGET_LANG
+    )
+
+
+def calibration_curve_of(scores: DataFrame, target_lang: str) -> DataFrame:
+    """Frame-level calibration binning — any (lang, logit_micros)
+    verdict frame in, the (bin, bin_lo_micros, n_docs, n_target,
+    target_ppm) curve out — factored (the quality_scores_of
+    convention) so the registered report and the committed
+    quality-lane test share one binning implementation."""
     return (
         scores.select(
             F.expr(f"(logit_micros + {QS_BIAS}) div {QS_BIN}").alias("bin"),
-            (F.col("lang") == DSIR_TARGET_LANG)
+            (F.col("lang") == target_lang)
             .cast("int")
             .alias("is_target"),
         )
