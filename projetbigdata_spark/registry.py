@@ -16,120 +16,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r9, VERDICT r8 item 1). Tier B (10, leading): the r4-latest
-# rows — oldest in the ledger (parked past slot 50 since r5 as the
-# declared lowest-risk set; VERDICT r8 says rotate onto them now).
-# Tier A (7): the r9 additions — dedup_lines +
-# dedup_lines_incremental (NEW — line-granularity dedup and its
-# ingest twin), corpus_source_cap / corpus_lang_cap (NEW —
-# RefinedWeb-style share caps), dedup_bucket_cap_report (NEW —
-# pair-emission cap telemetry) — plus the two r9-MODIFIED surfaces:
-# corpus_quality_select (QS_BIAS 2^40 -> 2^60 changes
-# bin/threshold_bin values) and ml_quality_classifier_fit (NULL-safe
-# labels; rows-only). Tier C (33): the r5-era tail per the slot
-# policy — all of it except the seven parked past slot 50 as
-# next-in-line for r10 (scalar/datetime/array_functions, agg_maxby,
-# agg_histogram_bins, topk_customers — the lowest-risk single-table
-# shapes — plus chunk_documents_expr, whose udtf sibling over the
-# same kernel went green in r8). No compositions this round (rule
-# c: corpus_curate / corpus_curate_calibrated / sim_ivf_incremental
-# went green in r8, so they re-enter at r11, not before).
-# 10 + 7 + 9 (second wave) + 3 (third wave) + 3 (fourth wave) + 18
-# = 50; after this block every registered query's latest green row is
-# r6+ except the sixteen parked r5 rows (seven from the first wave +
-# nine from the second + dedup_simhash / corpus_shingle_stats /
-# dedup_contamination from the third + corpus_bpe_merges_batched /
-# sim_ivf_sampled_topk / dedup_levenshtein_candidates from the
-# fourth — every parked row shares its core kernel with an r9-green
-# in-block sibling). collect()
-# raises if a priority name is not registered.
+# round (r10, VERDICT r9 item 1: rotate onto the parked r5-era rows +
+# the r6-era tail). Freshness derives from merging CORRECTNESS_r01-r09
+# (latest green round per query):
+#   tier B (22, leading) = EVERY r5-latest row — the whole parked set
+#     (the verdict's named 16 plus the six low-risk single-table
+#     shapes that had waited with them);
+#   tier A (5) = the r10 additions (corpus_ccnet_select — the
+#     composed CCNet keep verdict; corpus_perplexity_buckets_approx /
+#     corpus_quality_quantiles_approx — the sketch-calibrator relief
+#     tiers) + the two r10-MODIFIED surfaces (text_normalize /
+#     dedup_exact_normalized: the fold map grew to the full Zs
+#     category + ZWSP/BOM stripping — fixture values are unchanged on
+#     the ASCII corpora, but the semantics changed, so they re-check);
+#   tier C (23) = the oldest r6-latest rows: the full windows family
+#     (8), the text tf/idf/tokenize family (8), the r6 events rows
+#     (3), and the core dedup ladder (4).
+# 22 + 5 + 23 = 50. The remaining 26 r6-latest rows park past slot 50
+# as next-in-line (named below). Rule c: the three shielded
+# compositions (corpus_curate, corpus_curate_calibrated,
+# sim_ivf_incremental — latest green r8) become 3 rounds old at r11
+# and MUST re-enter the r11 block with the r6/r7 remainder (VERDICT
+# r9 schedules them explicitly so they are not squeezed out again).
+# collect() raises if a priority name is not registered.
 _PRIORITY = (
-    # --- tier B (10): the r4-latest rows, oldest in the ledger —
-    # VERDICT r8 item 1 says lead with them (parked past slot 50
-    # since r5 as the declared lowest-risk set) ---
-    "vocab_topk",
-    "label_index",
-    "embed_l2norm",
-    "agg_cube",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stats_exact",
-    "set_ops",
-    "join_left_outer",
-    "join_full_outer",
-    # --- tier A (6): new or behaviorally modified in r9 ---
-    "dedup_lines",  # NEW: CCNet line-granularity dedup
-    "corpus_source_cap",  # NEW: per-source share cap
-    "corpus_lang_cap",  # NEW: the lang-keyed twin (both branches)
-    "dedup_bucket_cap_report",  # NEW: pair-emission cap telemetry
-    "corpus_quality_select",  # MODIFIED: QS_BIAS 2^40 -> 2^60
-    # (bin/threshold_bin column values change — ADVICE r8)
-    "ml_quality_classifier_fit",  # MODIFIED: NULL-safe labels
-    "dedup_lines_incremental",  # NEW: the line-dedup ingest twin
-    # --- tier A, second r9 wave (9): rule a forces every new query
-    # into the block; nine tier-C rows yield (see below) ---
-    "text_trigram_backoff_score",  # NEW: Stupid-Backoff trigram LM
-    "corpus_perplexity_buckets",  # NEW: CCNet head/middle/tail
-    "corpus_cluster_top_terms",  # NEW: c-TF-IDF cluster labeling
-    "text_trigram_backoff_score_incremental",  # NEW: frozen-LM ingest twin
-    "dedup_incremental_bloom",  # NEW: Bloom-filter ingest membership
-    "dedup_bloom_fp_report",  # NEW: its false-positive price tag
-    "corpus_c4_clean",  # NEW: the C4 line/doc rule recipe
-    "corpus_quality_calibration_report",  # NEW: calibration curve
-    "text_lang_lines",  # NEW: per-line language ID (mixed-doc flag)
-    # --- tier A, third r9 wave (3): rule a again; three more tier-C
-    # rows (dedup_simhash, corpus_shingle_stats, dedup_contamination —
-    # all sharing their shingle/hash cores with r9-green siblings)
-    # yield their slots ---
-    "corpus_gopher_clean",  # NEW: the Gopher A1.1 quality verdict
-    "text_gopher_repetition",  # NEW: the full table-A1 repetition set
-    "corpus_gopher_repetition_clean",  # NEW: the A1 ceiling verdict
-    # --- tier A, fourth r9 wave (2): rule a once more; two more
-    # tier-C rows (corpus_bpe_merges_batched — B=1 reduces exactly to
-    # corpus_bpe_merges which stays in-block; sim_ivf_sampled_topk —
-    # shares the IVF core with in-block sim_ivfpq_topk) yield ---
-    "text_normalize",  # NEW: the pre-dedup unicode folding pass
-    "dedup_lines_within",  # NEW: within-doc keep-first line dedup
-    "dedup_exact_normalized",  # NEW: the normalize->dedup composition
-    # (dedup_levenshtein_candidates yields — its shingle candidate
-    # core is shared with the in-block jaccard/minhash tiers)
-    # --- tier C (24 of the 40 r5-latest rows; the rest park past
-    # slot 50 as next-in-line). Compositions stay shielded under
-    # rule c: corpus_curate / corpus_curate_calibrated /
-    # sim_ivf_incremental went green in r8 and re-enter at r11. ---
-    "dedup_components_minhash",
-    "dedup_components_prefiltered",
-    "dedup_minhash_estimate",
-    "dedup_incremental",
-    "dedup_jaccard_verified",
-    "dedup_span_profile",
-    "corpus_bpe_encode",
-    "corpus_bpe_fertility",
-    "corpus_bpe_merges",
-    "corpus_bpe_vocab",
-    "sim_ann_lsh_topk",
-    "sim_ivfpq_topk",
-    "sim_neardup_pairs",
-    "sim_pq_topk",
-    "text_bigram_prob_score",
-    "text_quality_scores",
-    "events_anomaly_mad",
-    "contamination_ngram_overlap",
-    # --- next-in-line past slot 50: the parked r5-era rows. The
-    # second r9 wave's nine new queries displaced nine more low-risk
-    # shapes (q6_forecast_revenue — single-scan fully-pushed agg, its
-    # pushdown CI-gated in test_plans; the semi/anti join pair —
-    # two-table single-exchange shapes; events_funnel_conversion — a
-    # window chain whose family is covered by the r7-green events
-    # twins; text_lang_guess / text_redact_pii — zero-exchange per-doc
-    # map shapes, the latter's plan CI-gated in test_plans;
-    # corpus_ngram_diversity — another zero-exchange in-row shape;
-    # corpus_domain_stats — a |sources|-row metadata rollup;
-    # dedup_containment_pairs — its shingle core is shared with the
-    # r9-green jaccard/minhash tiers);
-    # chunk_documents_expr yielded its slot to the line-dedup ingest
-    # twin in the first wave (its udtf sibling over the same kernel
-    # went green r8) ---
+    # --- tier B (22): the r5-latest rows, oldest in the ledger ---
     "q6_forecast_revenue",
     "dedup_simhash",
     "corpus_shingle_stats",
@@ -152,6 +63,64 @@ _PRIORITY = (
     "agg_maxby",
     "agg_histogram_bins",
     "topk_customers",
+    # --- tier A (5): new or behaviorally modified in r10 ---
+    "corpus_ccnet_select",  # NEW: lang-gate -> lang cap -> LM head cut
+    "corpus_perplexity_buckets_approx",  # NEW: sketch terciles
+    "corpus_quality_quantiles_approx",  # NEW: sketch p10/p50/p90
+    "text_normalize",  # MODIFIED: full-Zs fold map + ZWSP/BOM strip
+    "dedup_exact_normalized",  # MODIFIED: keys on the new fold map
+    # --- tier C (23): the oldest r6-latest rows ---
+    "window_rank_orders",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_lag_lead",
+    "window_first_last",
+    "window_ntile",
+    "window_distribution",
+    "window_range_time",
+    "text_tf",
+    "text_idf",
+    "text_tfidf_top",
+    "text_ngram_counts",
+    "text_token_counts",
+    "text_clean_lower",
+    "text_wordpunct_tokens",
+    "text_pos_universal",
+    "events_gaps_islands",
+    "events_retention_cohorts",
+    "events_spine_fill",
+    "dedup_exact",
+    "dedup_components",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_buckets",
+    # --- next-in-line past slot 50: the 26 remaining r6-latest rows,
+    # for the r11 block alongside the rule-c compositions ---
+    "agg_geomean_expr",
+    "agg_geomean_udaf",
+    "ann_recall_report",
+    "ann_recall_report_ivfpq",
+    "corpus_dsir_sample",
+    "corpus_dsir_weights",
+    "corpus_dsir_weights_smoothed",
+    "corpus_mix_plan",
+    "corpus_sample_assign",
+    "corpus_source_divergence",
+    "corpus_temperature_mix",
+    "dedup_semantic",
+    "dedup_span_removal",
+    "docs_pack_greedy",
+    "embed_quantize_int8",
+    "merge_cdc_snapshot",
+    "sample_hash_documents",
+    "sample_stratified_by_lang",
+    "sim_ivf_topk",
+    "sim_lsh_buckets",
+    "sim_topk_bruteforce",
+    "split_assign_documents",
+    "text_fingerprints",
+    "text_repetition_scores",
+    "text_search_bm25",
+    "text_winnow_fingerprints",
 )
 
 # Ordered so the driver's correctness budget reaches every family:
