@@ -142,6 +142,11 @@ QUERIES = [
     "dedup_lines_within",
     "text_normalize",
     "dedup_exact_normalized",
+    # r10 additions (the composed verdict + the sketch calibrators;
+    # the sketch tiers' point is LESS shuffle than their exact twins)
+    "corpus_ccnet_select",
+    "corpus_perplexity_buckets_approx",
+    "corpus_quality_quantiles_approx",
 ]
 
 
@@ -213,6 +218,10 @@ BYTE_BUDGET_MB = {
     # on top (both measured ~5.6 MB at sf0.1)
     "text_trigram_backoff_score": 11.2,
     "corpus_perplexity_buckets": 11.3,
+    # r10: both dominated by the same (doc, trigram) pre-agg as the
+    # trigram pair; the composed verdict adds the cap/anchor joins
+    "corpus_ccnet_select": 11.6,
+    "corpus_perplexity_buckets_approx": 11.3,
     # r9 third wave: the full Gopher profile's two skinny gram
     # streams — 9 sizes' counts + 6 sizes' positions (measured
     # 34.6 MB at sf0.1; ~3 MB per profile column; the two fatter
