@@ -947,12 +947,21 @@ def text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sb_score_frame(load_table(spark, sf_dir, "documents"))
 
 
-def _sb_sql_core(model_extra: str = "", scope_where: str = "TRUE") -> str:
+def _sb_sql_core(
+    model_extra: str = "",
+    scope_where: str = "TRUE",
+    min_count: int = 1,
+) -> str:
     """The Stupid-Backoff score frame as DuckDB CTE text ending in a
     `sb` relation (doc_id, n_trigrams, n_backoff, sb_score_ppm), shared
-    verbatim by the scorer, bucket, and ingest-twin oracles.
-    `model_extra` narrows the training slice beyond the target-lang
-    predicate; `scope_where` narrows which docs are scored/anchored."""
+    verbatim by the scorer, bucket, ingest-twin, and pruned-tier
+    oracles. `model_extra` narrows the training slice beyond the
+    target-lang predicate; `scope_where` narrows which docs are
+    scored/anchored; `min_count` > 1 prunes trigram/bigram entries
+    below the threshold AT THE COUNT TABLES, with contexts and totals
+    re-derived from the survivors (the KenLM count-prune semantics
+    the sb_prune_study measures — the ctx/tot CTEs already derive
+    from cnt2/cnt3, so the HAVING is the whole prune)."""
     return f"""
 WITH tw AS (
     SELECT list_filter(string_split_regex(lower(text), '\\s+'),
@@ -963,7 +972,8 @@ tbg AS (
     SELECT w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
     FROM tw, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
 ),
-cnt2 AS (SELECT bg, min(w1) AS w1, count(*) AS c2 FROM tbg GROUP BY bg),
+cnt2 AS (SELECT bg, min(w1) AS w1, count(*) AS c2 FROM tbg GROUP BY bg
+         HAVING count(*) >= {min_count}),
 ctx2 AS (SELECT w1 AS w, sum(c2) AS cw FROM cnt2 GROUP BY w1),
 tot2 AS (SELECT sum(c2) AS b_total FROM cnt2),
 ttg AS (
@@ -971,7 +981,8 @@ ttg AS (
            w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tg
     FROM tw, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
 ),
-cnt3 AS (SELECT tg, min(bg12) AS bg12, count(*) AS c3 FROM ttg GROUP BY tg),
+cnt3 AS (SELECT tg, min(bg12) AS bg12, count(*) AS c3 FROM ttg GROUP BY tg
+         HAVING count(*) >= {min_count}),
 ctx3 AS (SELECT bg12, sum(c3) AS cbg12 FROM cnt3 GROUP BY bg12),
 aw AS (
     SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
@@ -1470,3 +1481,335 @@ FROM base b LEFT JOIN th t ON b.lang IS NOT DISTINCT FROM t.lang
 
 QUERIES["corpus_perplexity_buckets_approx"] = corpus_perplexity_buckets_approx
 ORACLE_SQL["corpus_perplexity_buckets_approx"] = PPL_BUCKETS_APPROX_SQL
+
+
+# --- pruned frozen-model scorer (r10) --------------------------------
+
+SB_PRUNE_MIN_COUNT = 2  # registered dial: at sf0.01 T=2 prunes 79% of
+# trigram entries (flat synthetic counts — hapax-heavy), so the
+# registered row exercises REAL extra backoff pressure; deployments
+# size T from tools/sb_prune_study.py's drift table.
+
+
+def text_trigram_backoff_score_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = SB_PRUNE_MIN_COUNT,
+) -> DataFrame:
+    """text_trigram_backoff_score with the DEPLOYMENT model — the
+    'frozen model is pruned to fit' claim (the KenLM count-prune
+    move) as a registered, full-oracle surface instead of a
+    tools/sb_prune_study.py table: trigram/bigram count entries below
+    `min_count` are dropped from the model and the context rollups /
+    totals re-derive from the SURVIVORS (probabilities stay
+    normalized over what the model still knows; a pruned trigram
+    degrades to its bigram, a pruned bigram to the unigram level —
+    never an error, the study's smooth-in-T property). Same output
+    contract and anchor as the unpruned scorer.
+
+    Scale posture: identical plan to the unpruned scorer plus two
+    cheap filters on the (already vocabulary-sized) count tables —
+    the model side SHRINKS (that is the point: at deployment the five
+    probe joins carry the pruned model's rows only), the corpus side
+    is unchanged. Monotone law pinned in test_selection_ops.py:
+    per-doc n_backoff under the pruned model >= the unpruned
+    scorer's (pruning can only push positions DOWN the backoff
+    ladder)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    cnt2, ctx2, tot2, cnt3, ctx3 = _sb_model(target)
+    p3 = cnt3.where(F.col("c3") >= min_count).localCheckpoint(eager=False)
+    p2 = cnt2.where(F.col("c2") >= min_count).localCheckpoint(eager=False)
+    pctx3 = p3.groupBy(
+        F.concat_ws(
+            " ", F.split("tg", " ").getItem(0), F.split("tg", " ").getItem(1)
+        ).alias("bg12")
+    ).agg(F.sum("c3").alias("cbg12"))
+    pctx2 = p2.groupBy(F.split("bg", " ").getItem(0).alias("w")).agg(
+        F.sum("c2").alias("cw")
+    )
+    ptot2 = p2.agg(F.sum("c2").alias("b_total"))
+    return _sb_score_with_model(docs, (p2, pctx2, ptot2, p3, pctx3))
+
+
+SB_TRIGRAM_PRUNED_SQL = _sb_sql_core(min_count=SB_PRUNE_MIN_COUNT) + """
+SELECT doc_id, n_trigrams, n_backoff, sb_score_ppm FROM sb
+"""
+
+
+QUERIES["text_trigram_backoff_score_pruned"] = text_trigram_backoff_score_pruned
+ORACLE_SQL["text_trigram_backoff_score_pruned"] = SB_TRIGRAM_PRUNED_SQL
+
+
+# --- the CCNet composition's ingest twin (r10) ------------------------
+
+
+def corpus_ccnet_select_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_ccnet_select's INGEST twin — the dedup_incremental /
+    frozen-LM contract applied to the WHOLE composition: gate, cap,
+    and bucket an incoming batch (source = 'src0') against the
+    STANDING corpus's frozen policy, which is exactly how the
+    selection runs at a crawl frontier (per-epoch policy build, per-
+    batch application — never a corpus rescan per batch):
+
+      stage 1  the lang gate is STATELESS (in-row rules on the batch
+               doc's own lines) — identical expressions via
+               lang_lines_frame.
+      stage 2  the share policy is FROZEN: accept_ppm per language
+               derives from the STANDING survivors' shares only; the
+               batch doc probes it by lang ('ccnetcap' salt on its
+               own doc_id, so its verdict is stable under fold-in). A
+               language with NO standing survivors carries a NULL
+               accept_ppm and is ACCEPTED (no standing mass = no
+               over-representation pressure; the next epoch's policy
+               build sees it) — cap_ok = bucket < coalesce(accept,
+               1e6).
+      stage 3  the LM is the FROZEN standing model
+               (text_trigram_backoff_score_incremental's contract: a
+               batch doc's novel trigrams back off, never retrain)
+               and the tercile THRESHOLDS are frozen too — computed
+               over the standing corpus's scores per language. A
+               scored batch doc whose language has no standing
+               threshold falls through the NULL comparisons to
+               'tail' (conservative: not kept until a policy build
+               calibrates that language — documented, both engines
+               agree because NULL comparisons fall through the CASE
+               identically).
+
+    Output anchored on the batch slice, mirroring the batch tier's
+    columns: (doc_id, lang, mixed, lang_ok, accept_ppm, cap_ok,
+    ppl_bucket, kept); kept = lang_ok AND cap_ok AND 'head'.
+
+    No self-influence (the twin family's law): the batch contributes
+    nothing to the model, the thresholds, or the share policy it is
+    judged by — re-running a batch yields identical verdicts."""
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.textstats import lang_lines_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+
+    def gate_cols(frame):
+        ll = lang_lines_frame(frame)
+        return ll.select(
+            "doc_id",
+            "lang",
+            "mixed",
+            (
+                ((F.col("n_en_lines") + F.col("n_other_lines")) > 0)
+                & ~F.col("mixed")
+            ).alias("lang_ok"),
+        )
+
+    gate = gate_cols(batch).localCheckpoint(eager=False)
+
+    # frozen share policy: |langs|-row accept table from the standing
+    # survivors (one agg + broadcast total — the per-epoch build)
+    sizes = (
+        gate_cols(standing)
+        .where("lang_ok")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("key_n"))
+    )
+    tot = sizes.agg(F.sum("key_n").cast("bigint").alias("n_total"))
+    acc = (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lang").alias("acc_lang"),
+            F.expr(
+                "CAST(LEAST(CAST(1000000 AS BIGINT),"
+                f" (1000000 * (({CCNET_LANG_CAP_PPM} * n_total + 999999)"
+                " div 1000000)) div key_n) AS BIGINT)"
+            ).alias("accept_ppm"),
+        )
+    )
+    cap = (
+        gate.where("lang_ok")
+        .join(
+            F.broadcast(acc),
+            F.col("lang").eqNullSafe(F.col("acc_lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "accept_ppm",
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(concat('ccnetcap',"
+                    " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+                    " AS BIGINT) % 1000000"
+                )
+                < F.coalesce(
+                    F.col("accept_ppm"), F.lit(1_000_000).cast("bigint")
+                )
+            ).alias("cap_ok"),
+        )
+    )
+
+    # frozen LM + frozen per-lang tercile thresholds from STANDING
+    model = _sb_model(standing.where(F.col("lang") == DSIR_TARGET_LANG))
+    st_base = standing.select("doc_id", "lang").join(
+        _sb_score_with_model(standing, model).select(
+            "doc_id", "sb_score_ppm"
+        ),
+        "doc_id",
+        "left",
+    )
+    ranked = st_base.where(F.col("sb_score_ppm").isNotNull()).select(
+        "lang",
+        "sb_score_ppm",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("sb_score_ppm"), "doc_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    th = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("sb_score_ppm"))
+        ).alias("t_head"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("sb_score_ppm")
+            )
+        ).alias("t_mid"),
+    )
+    scored = _sb_score_with_model(batch, model).select(
+        "doc_id", "sb_score_ppm"
+    )
+    bucket = (
+        gate.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .join(
+            F.broadcast(th.withColumnRenamed("lang", "th_lang")),
+            F.col("lang").eqNullSafe(F.col("th_lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("sb_score_ppm").isNull(), F.lit("unscored"))
+            .when(F.col("sb_score_ppm") >= F.col("t_head"), F.lit("head"))
+            .when(F.col("sb_score_ppm") >= F.col("t_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+    return (
+        gate.join(cap, "doc_id", "left")
+        .join(bucket, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mixed",
+            "lang_ok",
+            "accept_ppm",
+            F.coalesce("cap_ok", F.lit(False)).alias("cap_ok"),
+            "ppl_bucket",
+            (
+                F.col("lang_ok")
+                & F.coalesce("cap_ok", F.lit(False))
+                & (F.col("ppl_bucket") == CCNET_KEEP_BUCKET)
+            ).alias("kept"),
+        )
+    )
+
+
+def _ccnet_select_incr_sql() -> str:
+    from projetbigdata_spark.operators.textstats import LANG_LINES_SQL
+
+    std_core = _sb_sql_core(
+        model_extra=" AND source <> 'src0'",
+        scope_where="source <> 'src0'",
+    )
+    new_core = _sb_sql_core(
+        model_extra=" AND source <> 'src0'", scope_where="source = 'src0'"
+    )
+    return f"""
+WITH std AS ({std_core} SELECT doc_id, sb_score_ppm FROM sb),
+stdl AS (
+    SELECT s.doc_id, d.lang, s.sb_score_ppm
+    FROM std s JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT lang, sb_score_ppm,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY sb_score_ppm DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM stdl WHERE sb_score_ppm IS NOT NULL
+),
+th AS (
+    SELECT lang,
+           max(CASE WHEN rn = (n + 2) // 3 THEN sb_score_ppm END) AS t_head,
+           max(CASE WHEN rn = (2 * n + 2) // 3 THEN sb_score_ppm END)
+               AS t_mid
+    FROM ranked GROUP BY lang
+),
+newsc AS ({new_core} SELECT doc_id, sb_score_ppm FROM sb),
+ll AS ({LANG_LINES_SQL}),
+gateb AS (
+    SELECT l.doc_id, l.lang, l.mixed,
+           (l.n_en_lines + l.n_other_lines > 0) AND NOT l.mixed AS lang_ok
+    FROM ll l JOIN documents d USING (doc_id)
+    WHERE d.source = 'src0'
+),
+sizes AS (
+    SELECT l.lang, CAST(count(*) AS BIGINT) AS key_n
+    FROM ll l JOIN documents d USING (doc_id)
+    WHERE d.source <> 'src0'
+      AND (l.n_en_lines + l.n_other_lines > 0) AND NOT l.mixed
+    GROUP BY 1
+),
+tot AS (SELECT CAST(sum(key_n) AS BIGINT) AS n_total FROM sizes),
+acc AS (
+    SELECT lang AS acc_lang,
+           CAST(LEAST(1000000,
+                      (1000000 * (({CCNET_LANG_CAP_PPM} * tot.n_total
+                                   + 999999) // 1000000)) // key_n)
+                AS BIGINT) AS accept_ppm
+    FROM sizes, tot
+),
+capb AS (
+    SELECT g.doc_id, a.accept_ppm,
+           CAST(CAST('0x' || substr(md5('ccnetcap'
+                                        || CAST(g.doc_id AS VARCHAR)),
+                                    1, 8)
+                     AS BIGINT) % 1000000
+                < coalesce(a.accept_ppm, 1000000) AS BOOLEAN) AS cap_ok
+    FROM gateb g
+    LEFT JOIN acc a ON g.lang IS NOT DISTINCT FROM a.acc_lang
+    WHERE g.lang_ok
+),
+bkt AS (
+    SELECT g.doc_id,
+           CASE WHEN s.sb_score_ppm IS NULL THEN 'unscored'
+                WHEN s.sb_score_ppm >= t.t_head THEN 'head'
+                WHEN s.sb_score_ppm >= t.t_mid THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM gateb g
+    LEFT JOIN newsc s ON g.doc_id = s.doc_id
+    LEFT JOIN th t ON g.lang IS NOT DISTINCT FROM t.lang
+)
+SELECT g.doc_id, g.lang, g.mixed, g.lang_ok,
+       c.accept_ppm,
+       coalesce(c.cap_ok, FALSE) AS cap_ok,
+       b.ppl_bucket,
+       (g.lang_ok AND coalesce(c.cap_ok, FALSE)
+        AND b.ppl_bucket = '{CCNET_KEEP_BUCKET}') AS kept
+FROM gateb g
+LEFT JOIN capb c ON g.doc_id = c.doc_id
+JOIN bkt b ON g.doc_id = b.doc_id
+"""
+
+
+QUERIES["corpus_ccnet_select_incremental"] = corpus_ccnet_select_incremental
+ORACLE_SQL["corpus_ccnet_select_incremental"] = _ccnet_select_incr_sql()

@@ -1142,7 +1142,14 @@ def text_lang_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single-line, so `mixed` is constructively FALSE there and the
     mixed-path laws are pinned on constructed multi-line corpora."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    return lang_lines_frame(load_table(spark, sf_dir, "documents"))
+
+
+def lang_lines_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of text_lang_lines over any (doc_id, lang,
+    text) frame — factored (the normalize_frame convention, r10) so
+    the CCNet composition's ingest twin can gate a batch slice
+    through the identical expressions."""
     lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n", -1)
 
     def toks(line):

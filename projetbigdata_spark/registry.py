@@ -29,10 +29,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     dedup_exact_normalized: the fold map grew to the full Zs
 #     category + ZWSP/BOM stripping — fixture values are unchanged on
 #     the ASCII corpora, but the semantics changed, so they re-check);
-#   tier C (23) = the oldest r6-latest rows: the full windows family
+#   tier C (21) = the oldest r6-latest rows: the full windows family
 #     (8), the text tf/idf/tokenize family (8), the r6 events rows
-#     (3), and the core dedup ladder (4).
-# 22 + 5 + 23 = 50. The remaining 26 r6-latest rows park past slot 50
+#     (3), and dedup_exact + dedup_components. The second r10 wave
+#     (text_trigram_backoff_score_pruned, corpus_ccnet_select_
+#     incremental) forced two more tier-A slots under rule a;
+#     dedup_jaccard_pairs and dedup_minhash_buckets yielded — both
+#     are bench-headline queries measured every round with CI-gated
+#     exchange/byte budgets, and their shingle/minhash kernels have
+#     r9-green in-block siblings.
+# 22 + 7 + 21 = 50. The remaining 28 r6-latest rows park past slot 50
 # as next-in-line (named below). Rule c: the three shielded
 # compositions (corpus_curate, corpus_curate_calibrated,
 # sim_ivf_incremental — latest green r8) become 3 rounds old at r11
@@ -69,7 +75,10 @@ _PRIORITY = (
     "corpus_quality_quantiles_approx",  # NEW: sketch p10/p50/p90
     "text_normalize",  # MODIFIED: full-Zs fold map + ZWSP/BOM strip
     "dedup_exact_normalized",  # MODIFIED: keys on the new fold map
-    # --- tier C (23): the oldest r6-latest rows ---
+    # --- tier A, second r10 wave (2) ---
+    "text_trigram_backoff_score_pruned",  # NEW: the KenLM-prune tier
+    "corpus_ccnet_select_incremental",  # NEW: the frozen-policy twin
+    # --- tier C (21): the oldest r6-latest rows ---
     "window_rank_orders",
     "window_running_sum",
     "window_moving_avg",
@@ -91,10 +100,10 @@ _PRIORITY = (
     "events_spine_fill",
     "dedup_exact",
     "dedup_components",
+    # --- next-in-line past slot 50: the 28 remaining r6-latest rows,
+    # for the r11 block alongside the rule-c compositions ---
     "dedup_jaccard_pairs",
     "dedup_minhash_buckets",
-    # --- next-in-line past slot 50: the 26 remaining r6-latest rows,
-    # for the r11 block alongside the rule-c compositions ---
     "agg_geomean_expr",
     "agg_geomean_udaf",
     "ann_recall_report",

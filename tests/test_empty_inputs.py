@@ -106,6 +106,7 @@ REPRESENTATIVES = [
     "corpus_quality_select",             # histogram over 0 docs
     # r9 second wave
     "text_trigram_backoff_score",        # LM model/scoring over 0 docs
+    "text_trigram_backoff_score_pruned",  # pruned model over 0 docs
     "text_trigram_backoff_score_incremental",  # frozen model, 0 batch
     "corpus_perplexity_buckets",         # terciles over 0 scored docs
     "corpus_cluster_top_terms",          # lift/top-k over 0 vectors
@@ -125,6 +126,7 @@ REPRESENTATIVES = [
     "corpus_ccnet_select",               # 3-stage funnel over 0 docs
     "corpus_perplexity_buckets_approx",  # sketch terciles over 0 docs
     "corpus_quality_quantiles_approx",   # sketch p10/50/90 over 0 docs
+    "corpus_ccnet_select_incremental",   # frozen policy over 0 docs
 ]
 
 # these legitimately return constant-row reports even on empty input

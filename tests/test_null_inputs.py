@@ -95,6 +95,7 @@ PER_DOC_KEEPERS = [
     # r9 second wave: both anchor the full doc set (null/short text ->
     # n_trigrams=0 with a NULL score / the 'unscored' bucket)
     "text_trigram_backoff_score",
+    "text_trigram_backoff_score_pruned",  # r10: same anchor contract
     "corpus_perplexity_buckets",
     # r9 second wave: zero-join per-doc projection — null text is one
     # empty line, all rules fail, row kept with kept=FALSE
@@ -187,6 +188,9 @@ MISC_R5 = [
     # r9 second wave: anchors on the src0 slice only (null batch text
     # -> 0 trigrams, unscored)
     "text_trigram_backoff_score_incremental",
+    # r10 second wave: the frozen-policy CCNet twin anchors the src0
+    # slice (null text fails the lang gate but keeps its row)
+    "corpus_ccnet_select_incremental",
     # r9 second wave: Bloom verdicts anchor the src0 slice (NULL text
     # is unhashable -> possibly_dup FALSE, the exact tier's NULL
     # grouping owns those); the report is one accounting row

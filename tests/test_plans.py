@@ -86,11 +86,13 @@ CARTESIAN_OK = {
     # r10: the composed CCNet verdict inherits the cap core's declared
     # 1-row broadcast total AND the SB scorer's b_total fold
     "corpus_ccnet_select",
+    "corpus_ccnet_select_incremental",
     # r9 second wave: the Stupid-Backoff scorer crossJoins the
     # broadcast 1-row target bigram total (b_total); the cluster
     # labeler crossJoins the broadcast 1-row corpus token total —
     # both the declared-broadcast totals class
     "text_trigram_backoff_score",
+    "text_trigram_backoff_score_pruned",
     "text_trigram_backoff_score_incremental",
     "corpus_cluster_top_terms",
 }
@@ -409,6 +411,9 @@ EXCHANGE_BUDGET = {
     # for its two consumers — a new exchange still trips)
     "text_trigram_backoff_score": 13,
     "text_trigram_backoff_score_incremental": 13,
+    # r10: the pruned-model tier — same scorer plan, two extra
+    # filters on the vocabulary-sized count tables (no new shuffle)
+    "text_trigram_backoff_score_pruned": 13,
     "corpus_perplexity_buckets": 2,
     # one corpus token explode + vocab-sized rollups + the top-k
     # window (counts the post-barrier plan of the (cid, term) table)
@@ -442,6 +447,13 @@ EXCHANGE_BUDGET = {
     # r10: the quantile sketch twin — ONE grouped partial/final agg,
     # no windows at all (the exact tier needs its two rank windows)
     "corpus_quality_quantiles_approx": 1,
+    # r10 second wave: the frozen-policy ingest twin builds the model,
+    # scores standing (thresholds) AND batch, plus the gate/cap joins
+    # — no shared barrier hides lineage here, so the TEXT count is the
+    # honest full-plan figure (each subtree executes once: gate and
+    # the model count tables are checkpointed, every other frame has
+    # one consumer)
+    "corpus_ccnet_select_incremental": 37,
 }
 
 

@@ -1283,3 +1283,110 @@ def test_perplexity_buckets_approx_agreement_contract(spark):
     }
     assert got == {"head", "middle", "tail"}
     j.unpersist()
+
+
+def test_pruned_trigram_scorer_monotone_backoff(spark):
+    """The pruned-model tier (r10): pruning trigram/bigram entries
+    can only push positions DOWN the backoff ladder — per doc,
+    n_backoff under the pruned model >= the unpruned scorer's, with
+    identical n_trigrams (the corpus side is untouched) and identical
+    anchoring; and at the fixture T=2 genuinely bites (some doc's
+    backoff count strictly increases)."""
+    from projetbigdata_spark.operators.selection import (
+        text_trigram_backoff_score,
+        text_trigram_backoff_score_pruned,
+    )
+
+    full = {
+        r.doc_id: r
+        for r in text_trigram_backoff_score(spark, SF_SMOKE).collect()
+    }
+    pruned = {
+        r.doc_id: r
+        for r in text_trigram_backoff_score_pruned(spark, SF_SMOKE).collect()
+    }
+    assert set(full) == set(pruned)
+    assert all(
+        pruned[d].n_trigrams == full[d].n_trigrams for d in full
+    )
+    assert all(pruned[d].n_backoff >= full[d].n_backoff for d in full)
+    assert any(pruned[d].n_backoff > full[d].n_backoff for d in full)
+
+
+def _write_ccnet_corpus(spark, path, extra_batch):
+    """Constructed corpus for the CCNet ingest twin: a standing slice
+    (sources 'a'/'b') that defines the frozen policy, one probe batch
+    doc, and `extra_batch` additional src0 docs that skew the batch's
+    own shares/scores — which must NOT move the probe's verdict."""
+    en = "the quick brown fox jumps over the lazy dog and the cat"
+    standing = [
+        (i, f"{en} day {i % 7}.", "en", "a") for i in range(30)
+    ] + [
+        (100 + i, f"palabra numero {i} sin marcadores.", "es", "b")
+        for i in range(12)
+    ]
+    probe = [(500, f"{en} again and again.", "en", "src0")]
+    extra = [
+        (600 + i, f"zz{i} qq{i} vv{i} kk{i} ww{i}.", "en", "src0")
+        for i in range(extra_batch)
+    ]
+    rows = standing + probe + extra
+    import pyspark.sql.functions as SF
+
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).withColumn("n_chars", SF.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+
+
+def test_ccnet_incremental_frozen_policy(spark, tmp_path):
+    """The twin family's law applied to the whole composition: the
+    probe batch doc's verdict row (gate, accept_ppm, cap_ok, bucket,
+    kept) is IDENTICAL whether it arrives alone or alongside 25 more
+    batch docs — the model, the tercile thresholds, and the share
+    policy all derive from the standing slice only. Plus the
+    unseen-language contracts: a batch lang with no standing
+    survivors carries NULL accept_ppm and is accepted; its scored
+    docs fall through the NULL threshold comparisons to 'tail'."""
+    from projetbigdata_spark.operators.selection import (
+        corpus_ccnet_select_incremental,
+    )
+
+    d1, d2 = str(tmp_path / "one"), str(tmp_path / "many")
+    _write_ccnet_corpus(spark, d1, extra_batch=0)
+    _write_ccnet_corpus(spark, d2, extra_batch=25)
+    one = {
+        r.doc_id: r.asDict()
+        for r in corpus_ccnet_select_incremental(spark, d1).collect()
+    }
+    many = {
+        r.doc_id: r.asDict()
+        for r in corpus_ccnet_select_incremental(spark, d2).collect()
+    }
+    assert set(one) == {500}
+    assert len(many) == 26
+    assert many[500] == one[500]  # frozen policy: no self-influence
+    assert one[500]["lang_ok"] and one[500]["accept_ppm"] is not None
+
+    # unseen lang: no standing 'fr' survivors -> NULL accept, accepted,
+    # scored docs land 'tail' (no frozen threshold to compare against)
+    d3 = str(tmp_path / "unseen")
+    import pyspark.sql.functions as SF
+
+    base = spark.read.parquet(f"{d1}/documents.parquet")
+    fr = spark.createDataFrame(
+        [(700, "le chat le chien le chat et le chien dorment.", "fr",
+          "src0", 46)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    base.unionByName(fr).coalesce(1).write.mode("overwrite").parquet(
+        f"{d3}/documents.parquet"
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in corpus_ccnet_select_incremental(spark, d3).collect()
+    }
+    assert out[700]["accept_ppm"] is None and out[700]["cap_ok"]
+    assert out[700]["ppl_bucket"] in ("tail", "unscored")
+    assert out[700]["kept"] is False

@@ -107,6 +107,13 @@ def corpus_rows():
         # CRLF, NBSP, double spaces (text_normalize's live paths)
         (15, "“Smart” quotes — and spaces…\r\n"
              "second  line  here.", "en", "web"),
+        # 16 (r10): the REST of the Zs category + zero-width junk --
+        # en/thin/hair/math/ogham spaces fold to ' ', ZWSP and BOM
+        # strip, ZWNJ survives (the ADVICE-r9 fold-map extension
+        # pinned on the committed lane, not just constructed rows)
+        (16, "en\u2002space\u2009thin\u200aand\u205fhair\u1680og"
+             "ham\u200bzwsp\ufeff\nkept\u200cjoiner line.", "en",
+         "web"),
     ]
     return rows
 

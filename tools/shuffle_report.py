@@ -147,6 +147,9 @@ QUERIES = [
     "corpus_ccnet_select",
     "corpus_perplexity_buckets_approx",
     "corpus_quality_quantiles_approx",
+    # r10 second wave
+    "text_trigram_backoff_score_pruned",
+    "corpus_ccnet_select_incremental",
 ]
 
 
