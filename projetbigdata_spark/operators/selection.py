@@ -1587,33 +1587,40 @@ def corpus_ccnet_select_incremental(
     nothing to the model, the thresholds, or the share policy it is
     judged by — re-running a batch yields identical verdicts."""
     tune(spark)
-    from pyspark.sql.window import Window
-
     from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
-    from projetbigdata_spark.operators.textstats import lang_lines_frame
 
     docs = load_table(spark, sf_dir, "documents")
     standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
     batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+    return ccnet_apply_policy(batch, ccnet_frozen_policy(standing))
 
-    def gate_cols(frame):
-        ll = lang_lines_frame(frame)
-        return ll.select(
-            "doc_id",
-            "lang",
-            "mixed",
-            (
-                ((F.col("n_en_lines") + F.col("n_other_lines")) > 0)
-                & ~F.col("mixed")
-            ).alias("lang_ok"),
-        )
 
-    gate = gate_cols(batch).localCheckpoint(eager=False)
+def _ccnet_gate_cols(frame: DataFrame) -> DataFrame:
+    from projetbigdata_spark.operators.textstats import lang_lines_frame
 
-    # frozen share policy: |langs|-row accept table from the standing
-    # survivors (one agg + broadcast total — the per-epoch build)
+    ll = lang_lines_frame(frame)
+    return ll.select(
+        "doc_id",
+        "lang",
+        "mixed",
+        (
+            ((F.col("n_en_lines") + F.col("n_other_lines")) > 0)
+            & ~F.col("mixed")
+        ).alias("lang_ok"),
+    )
+
+
+def ccnet_frozen_policy(standing: DataFrame) -> tuple:
+    """The per-epoch policy build: (accept table, LM model tuple,
+    tercile threshold frame), all derived from the STANDING corpus
+    only — closure-captured by the streaming twin
+    (streaming/jobs.ccnet_select_stream) exactly like _sb_model is
+    for the LM twin, so batch and streaming verdicts can never
+    drift."""
+    from pyspark.sql.window import Window
+
     sizes = (
-        gate_cols(standing)
+        _ccnet_gate_cols(standing)
         .where("lang_ok")
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("key_n"))
@@ -1630,30 +1637,6 @@ def corpus_ccnet_select_incremental(
             ).alias("accept_ppm"),
         )
     )
-    cap = (
-        gate.where("lang_ok")
-        .join(
-            F.broadcast(acc),
-            F.col("lang").eqNullSafe(F.col("acc_lang")),
-            "left",
-        )
-        .select(
-            "doc_id",
-            "accept_ppm",
-            (
-                F.expr(
-                    "CAST(conv(substring(md5(concat('ccnetcap',"
-                    " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
-                    " AS BIGINT) % 1000000"
-                )
-                < F.coalesce(
-                    F.col("accept_ppm"), F.lit(1_000_000).cast("bigint")
-                )
-            ).alias("cap_ok"),
-        )
-    )
-
-    # frozen LM + frozen per-lang tercile thresholds from STANDING
     model = _sb_model(standing.where(F.col("lang") == DSIR_TARGET_LANG))
     st_base = standing.select("doc_id", "lang").join(
         _sb_score_with_model(standing, model).select(
@@ -1683,6 +1666,37 @@ def corpus_ccnet_select_incremental(
                 F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("sb_score_ppm")
             )
         ).alias("t_mid"),
+    )
+    return acc, model, th
+
+
+def ccnet_apply_policy(batch: DataFrame, policy: tuple) -> DataFrame:
+    """Apply a frozen (acc, model, th) policy to a batch slice — the
+    per-batch work of the ingest twin, shared verbatim with the
+    streaming twin."""
+    acc, model, th = policy
+    gate = _ccnet_gate_cols(batch).localCheckpoint(eager=False)
+    cap = (
+        gate.where("lang_ok")
+        .join(
+            F.broadcast(acc),
+            F.col("lang").eqNullSafe(F.col("acc_lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "accept_ppm",
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(concat('ccnetcap',"
+                    " CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+                    " AS BIGINT) % 1000000"
+                )
+                < F.coalesce(
+                    F.col("accept_ppm"), F.lit(1_000_000).cast("bigint")
+                )
+            ).alias("cap_ok"),
+        )
     )
     scored = _sb_score_with_model(batch, model).select(
         "doc_id", "sb_score_ppm"

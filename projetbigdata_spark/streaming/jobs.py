@@ -728,3 +728,41 @@ def run_to_memory_sink(df: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination(300)
     return q
+
+
+def ccnet_select_stream(docs_stream, standing_sf_dir: str, out_dir: str):
+    """Streaming CCNet selection: each micro-batch of incoming
+    documents is gated, share-capped, and perplexity-bucketed against
+    the standing corpus's FROZEN policy via foreachBatch — the
+    composed keep verdict at a crawl frontier. The whole policy
+    (accept table, LM model, tercile thresholds) is built ONCE from
+    the standing slice (ccnet_frozen_policy — closure-captured frames,
+    the trigram/ANN twins' pattern) and applied per batch through the
+    shared ccnet_apply_policy core; the gate is stateless in-row
+    rules, the cap probe and bucket assignment are broadcast joins
+    against frozen |langs|-row tables — no state store, no ordering
+    sensitivity, and verdicting a micro-batch IS the batch twin
+    (corpus_ccnet_select_incremental) on that slice, which is the
+    tested property (tests/test_streaming.py)."""
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.selection import (
+        ccnet_apply_policy,
+        ccnet_frozen_policy,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    spark = docs_stream.sparkSession
+    standing = load_table(spark, standing_sf_dir, "documents").where(
+        F.col("source") != INCR_NEW_SOURCE
+    )
+    policy = ccnet_frozen_policy(standing)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = ccnet_apply_policy(batch_df, policy)
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )

@@ -983,3 +983,51 @@ def test_normalize_stream_equals_batch(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_ccnet_select_stream_equals_batch(spark, tmp_path):
+    """Streaming CCNet selection == the batch ingest twin on the same
+    docs: the src0 batch arrives as two parquet micro-batches; each is
+    verdicted against the frozen standing policy (gate + share cap +
+    LM tercile bucket) and together the per-batch outputs must
+    reproduce corpus_ccnet_select_incremental exactly (stateless
+    frozen policy — no state store, no ordering sensitivity)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.selection import (
+        corpus_ccnet_select_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import ccnet_select_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") == "src0"
+    ).select("doc_id", "lang", "source", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    half = docs.where(F.col("doc_id") % 40 == 0)
+    other = docs.subtract(half)
+    assert half.count() > 0 and other.count() > 0
+    half.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    other.coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = ccnet_select_stream(stream, SF_SMOKE, out_dir).start()
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 2
+    batch = corpus_ccnet_select_incremental(spark, SF_SMOKE)
+    cols = [
+        "doc_id", "lang", "mixed", "lang_ok", "accept_ppm", "cap_ok",
+        "ppl_bucket", "kept",
+    ]
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0

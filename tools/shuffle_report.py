@@ -225,6 +225,8 @@ BYTE_BUDGET_MB = {
     # trigram pair; the composed verdict adds the cap/anchor joins
     "corpus_ccnet_select": 11.6,
     "corpus_perplexity_buckets_approx": 11.3,
+    "text_trigram_backoff_score_pruned": 11.3,
+    "corpus_ccnet_select_incremental": 11.2,
     # r9 third wave: the full Gopher profile's two skinny gram
     # streams — 9 sizes' counts + 6 sizes' positions (measured
     # 34.6 MB at sf0.1; ~3 MB per profile column; the two fatter
