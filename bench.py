@@ -77,6 +77,11 @@ EXTENDED = [
     # streams; ~2s at sf0.1), the rule-filter cost a Gopher-style
     # curation run pays before anything learned
     "text_gopher_repetition",
+    # r11 (VERDICT r10 item 8): the two r10 compositions are stable
+    # registered surfaces with soak rows — give them a round-over-round
+    # bench series (headline stays the r1 21-query list, r6 convention)
+    "corpus_ccnet_select",
+    "text_trigram_backoff_score_pruned",
 ]
 
 
@@ -124,6 +129,43 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # r11 fix (VERDICT r10 item 2): the driver tail-captures stdout and
+    # the single all-detail JSON line outgrew its window at r9/r10
+    # (BENCH_r09/10.json carry "parsed": null with the tail starting
+    # mid-line). Emit the FULL detail record FIRST (plus a copy on
+    # disk), then the compact machine-readable summary as the LAST
+    # line, so the tail window always holds one complete JSON object.
+    detail = {
+        "metric": "headline_queries_total_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "first_call": first_call,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "extended_first_call": extended_first,
+        "iters": n_iters,
+        # load evidence (VERDICT r8 item 6): three rounds of
+        # driver-shot jitter (r4 +24%, r7 phantom ×4, r8 +19%)
+        # were machine load, not code — loadavg_before above
+        # ~a few on this 32-thread box means the shot ran
+        # contended and the totals should be read against the
+        # same-round n=7 steady-state reference in SCALE.md.
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cpu_count": len(os.sched_getaffinity(0)),
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass  # detail file is a convenience; stdout already has it
     print(
         json.dumps(
             {
@@ -131,21 +173,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "first_call": first_call,
-                "extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
-                "extended_first_call": extended_first,
+                "loadavg_before": round(load_before[0], 2),
                 "iters": n_iters,
-                # load evidence (VERDICT r8 item 6): three rounds of
-                # driver-shot jitter (r4 +24%, r7 phantom ×4, r8 +19%)
-                # were machine load, not code — loadavg_before above
-                # ~a few on this 32-thread box means the shot ran
-                # contended and the totals should be read against the
-                # same-round n=7 steady-state reference in SCALE.md.
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "cpu_count": len(os.sched_getaffinity(0)),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
