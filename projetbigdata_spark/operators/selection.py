@@ -1078,8 +1078,6 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks and a broadcast |langs|-row threshold join — the same
     calibrator spelling (and the same approx_percentile relief valve
     at extreme per-lang cardinality) as corpus_quality_quantiles."""
-    from pyspark.sql.window import Window
-
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     # two consumers read the scored frame (the tercile ranking and the
@@ -1092,19 +1090,34 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left",
     ).localCheckpoint(eager=False)
+    return _tercile_buckets(base, "lang")
+
+
+def _tercile_buckets(base: DataFrame, key: str) -> DataFrame:
+    """Per-`key` tercile bucketing of a BARRIERED (doc_id, <key>,
+    sb_score_ppm) frame — factored r11 so the guessed-key CCNet
+    composition partitions on the per-doc guess with the IDENTICAL
+    rank/threshold expressions the r9-green exact tier uses (the
+    lang_lines_frame / normalize_frame convention: twins share the
+    core so they cannot drift). Callers own the plan barrier: the
+    frame is read by two diverging consumers (the tercile ranking and
+    the final projection) and would re-execute its 13-exchange scorer
+    lineage unbarriered."""
+    from pyspark.sql.window import Window
+
     ranked = base.where(F.col("sb_score_ppm").isNotNull()).select(
-        "lang",
+        key,
         "sb_score_ppm",
         F.row_number()
         .over(
-            Window.partitionBy("lang").orderBy(
+            Window.partitionBy(key).orderBy(
                 F.desc("sb_score_ppm"), "doc_id"
             )
         )
         .alias("rn"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+        F.count("*").over(Window.partitionBy(key)).alias("n"),
     )
-    th = ranked.groupBy("lang").agg(
+    th = ranked.groupBy(key).agg(
         F.max(
             F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("sb_score_ppm"))
         ).alias("t_head"),
@@ -1116,13 +1129,13 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.join(
-            F.broadcast(th.withColumnRenamed("lang", "th_lang")),
-            base["lang"].eqNullSafe(F.col("th_lang")),
+            F.broadcast(th.withColumnRenamed(key, "_th_k")),
+            base[key].eqNullSafe(F.col("_th_k")),
             "left",
         )
         .select(
             "doc_id",
-            "lang",
+            key,
             "sb_score_ppm",
             F.when(F.col("sb_score_ppm").isNull(), F.lit("unscored"))
             .when(F.col("sb_score_ppm") >= F.col("t_head"), F.lit("head"))
@@ -1358,6 +1371,199 @@ QUERIES["corpus_ccnet_select"] = corpus_ccnet_select
 ORACLE_SQL["corpus_ccnet_select"] = _ccnet_select_sql()
 
 
+def corpus_ccnet_select_guessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_ccnet_select keyed on the GUESSED language (VERDICT r10
+    item 3) — the deployment-shaped variant: a real crawl has no
+    metadata `lang`, so the per-language share cap AND the per-language
+    LM tercile partition both key on the per-doc langid guess
+    (text_lang_guess's marker-ratio rule standing in for CCNet's
+    fastText slot, Wenzek et al. 2020 §3). Same three-stage funnel and
+    per-stage attrition columns as the metadata-key row, plus the
+    guessed-vs-metadata audit the verdict asked for:
+
+      lang_guess   the per-doc guess ('en'/'other' — the guesser's
+                   granularity; a deployment swaps in a multi-class
+                   model and nothing else changes).
+      guess_agrees metadata-vs-guess agreement AT THE GUESSER'S
+                   GRANULARITY: (lang <=> 'en') = (lang_guess <=> 'en')
+                   — comparing 'fr' to 'other' literally would mark
+                   every non-en doc a disagreement by construction.
+
+    Stage 1 (the line-level gate) is unchanged: it tests the doc's
+    per-LINE langid self-agreement, which is orthogonal to which
+    doc-level key downstream stages partition on. The LM still trains
+    on the metadata target slice — it stands in for CCNet's
+    OUT-OF-BAND reference corpus (Wikipedia), which a deployment has
+    regardless of crawl metadata.
+
+    Salt note: the cap keeps the 'ccnetcap' salt, so a doc's
+    acceptance bucket is IDENTICAL across the two variants and any
+    verdict diff is attributable to the key change (accept_ppm per
+    key), never to resampling.
+
+    Plan: one extra zero-shuffle guess projection folded into the
+    barriered gate (the guess and the line fold read the same scan);
+    the cap core and tercile windows are the metadata row's shapes
+    keyed on lang_guess — |guessed-langs| is 2 at the fixture and
+    small at any scale, so the broadcast sides stay tiny. Fixture
+    honesty: with a binary guesser both key groups can exceed the
+    200k-ppm share ceiling, so BOTH may thin (the metadata row's
+    kept-whole branch is exercised there; here the oracle still
+    value-checks every accept_ppm)."""
+    tune(spark)
+    from projetbigdata_spark.operators.curation import _key_cap_frame
+    from projetbigdata_spark.operators.textstats import (
+        lang_guess_frame,
+        lang_lines_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ll = lang_lines_frame(docs)
+    gate = (
+        ll.select(
+            "doc_id",
+            "lang",
+            "mixed",
+            (
+                ((F.col("n_en_lines") + F.col("n_other_lines")) > 0)
+                & ~F.col("mixed")
+            ).alias("lang_ok"),
+        )
+        .join(
+            lang_guess_frame(docs).select("doc_id", "lang_guess"), "doc_id"
+        )
+        .localCheckpoint(eager=False)
+    )
+    cap = _key_cap_frame(
+        gate.where("lang_ok").select("doc_id", "lang_guess"),
+        "lang_guess",
+        CCNET_LANG_CAP_PPM,
+        "ccnetcap",
+    ).select("doc_id", "accept_ppm", F.col("selected").alias("cap_ok"))
+    base = (
+        gate.select("doc_id", "lang_guess")
+        .join(
+            _sb_score_frame(docs).select("doc_id", "sb_score_ppm"),
+            "doc_id",
+            "left",
+        )
+        .localCheckpoint(eager=False)
+    )
+    buckets = _tercile_buckets(base, "lang_guess").select(
+        "doc_id", "ppl_bucket"
+    )
+    return (
+        gate.join(cap, "doc_id", "left")
+        .join(buckets, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "lang_guess",
+            F.expr("(lang <=> 'en') = (lang_guess <=> 'en')").alias(
+                "guess_agrees"
+            ),
+            "mixed",
+            "lang_ok",
+            "accept_ppm",
+            F.coalesce("cap_ok", F.lit(False)).alias("cap_ok"),
+            "ppl_bucket",
+            (
+                F.col("lang_ok")
+                & F.coalesce("cap_ok", F.lit(False))
+                & (F.col("ppl_bucket") == CCNET_KEEP_BUCKET)
+            ).alias("kept"),
+        )
+    )
+
+
+def _ccnet_select_guessed_sql() -> str:
+    from projetbigdata_spark.operators.textstats import (
+        LANG_LINES_SQL,
+        LANG_SQL,
+    )
+
+    # the guessed-key tercile bucket query, nested whole as bk below —
+    # PPL_BUCKETS_SQL with the partition key swapped to the per-doc
+    # guess (the guess CTE nests LANG_SQL verbatim, the oracle-
+    # composition convention)
+    buckets_guessed = _sb_sql_core() + f""",
+lg AS (SELECT doc_id, lang_guess FROM ({LANG_SQL})),
+base AS (
+    SELECT d.doc_id, g.lang_guess, s.sb_score_ppm
+    FROM documents d
+    JOIN lg g ON d.doc_id = g.doc_id
+    LEFT JOIN sb s ON d.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT lang_guess, sb_score_ppm,
+           row_number() OVER (PARTITION BY lang_guess
+                              ORDER BY sb_score_ppm DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang_guess) AS n
+    FROM base WHERE sb_score_ppm IS NOT NULL
+),
+th AS (
+    SELECT lang_guess,
+           max(CASE WHEN rn = (n + 2) // 3 THEN sb_score_ppm END) AS t_head,
+           max(CASE WHEN rn = (2 * n + 2) // 3 THEN sb_score_ppm END) AS t_mid
+    FROM ranked GROUP BY lang_guess
+)
+SELECT b.doc_id, b.lang_guess, b.sb_score_ppm,
+       CASE WHEN b.sb_score_ppm IS NULL THEN 'unscored'
+            WHEN b.sb_score_ppm >= t.t_head THEN 'head'
+            WHEN b.sb_score_ppm >= t.t_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM base b LEFT JOIN th t ON b.lang_guess IS NOT DISTINCT FROM t.lang_guess
+"""
+    return f"""
+WITH bk AS ({buckets_guessed}),
+lg AS (SELECT doc_id, lang_guess FROM ({LANG_SQL})),
+ll AS ({LANG_LINES_SQL}),
+gate AS (
+    SELECT l.doc_id, l.lang, g.lang_guess, l.mixed,
+           (l.n_en_lines + l.n_other_lines > 0) AND NOT l.mixed AS lang_ok
+    FROM ll l JOIN lg g ON l.doc_id = g.doc_id
+),
+sizes AS (
+    SELECT lang_guess AS k, CAST(count(*) AS BIGINT) AS key_n
+    FROM gate WHERE lang_ok GROUP BY 1
+),
+tot AS (SELECT CAST(sum(key_n) AS BIGINT) AS n_total FROM sizes),
+capx AS (
+    SELECT g.doc_id,
+           CAST(LEAST(1000000,
+                      (1000000 * (({CCNET_LANG_CAP_PPM} * tot.n_total
+                                   + 999999) // 1000000)) // s.key_n)
+                AS BIGINT) AS accept_ppm,
+           CAST(CAST('0x' || substr(md5('ccnetcap'
+                                        || CAST(g.doc_id AS VARCHAR)),
+                                    1, 8)
+                     AS BIGINT) % 1000000 AS BIGINT) AS bucket
+    FROM gate g
+    JOIN sizes s ON g.lang_guess IS NOT DISTINCT FROM s.k, tot
+    WHERE g.lang_ok
+),
+cap AS (
+    SELECT doc_id, accept_ppm, bucket < accept_ppm AS cap_ok FROM capx
+)
+SELECT g.doc_id, g.lang, g.lang_guess,
+       ((g.lang IS NOT DISTINCT FROM 'en')
+        = (g.lang_guess IS NOT DISTINCT FROM 'en')) AS guess_agrees,
+       g.mixed, g.lang_ok,
+       c.accept_ppm,
+       coalesce(c.cap_ok, FALSE) AS cap_ok,
+       bk.ppl_bucket,
+       (g.lang_ok AND coalesce(c.cap_ok, FALSE)
+        AND bk.ppl_bucket = '{CCNET_KEEP_BUCKET}') AS kept
+FROM gate g
+LEFT JOIN cap c ON g.doc_id = c.doc_id
+JOIN bk ON g.doc_id = bk.doc_id
+"""
+
+
+QUERIES["corpus_ccnet_select_guessed"] = corpus_ccnet_select_guessed
+ORACLE_SQL["corpus_ccnet_select_guessed"] = _ccnet_select_guessed_sql()
+
+
 # --- approx-percentile tercile relief tier (r10, VERDICT r9 item 3) --
 
 PPL_APPROX_ACCURACY = 10_000  # Greenwald-Khanna accuracy dial. Below
@@ -1518,7 +1724,19 @@ def text_trigram_backoff_score_pruned(
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
-    cnt2, ctx2, tot2, cnt3, ctx3 = _sb_model(target)
+    return _sb_score_with_model(
+        docs, prune_sb_model(_sb_model(target), min_count)
+    )
+
+
+def prune_sb_model(model: tuple, min_count: int) -> tuple:
+    """The KenLM count-prune applied to a frozen model tuple —
+    factored r11 (from the r10-green inline spelling, plan-identical)
+    so the persisted-policy path (save_ccnet_policy) can write the
+    DEPLOYMENT form of the LM with the identical semantics the
+    registered pruned scorer carries: count entries below `min_count`
+    drop, context rollups and totals re-derive from the survivors."""
+    cnt2, ctx2, tot2, cnt3, ctx3 = model
     p3 = cnt3.where(F.col("c3") >= min_count).localCheckpoint(eager=False)
     p2 = cnt2.where(F.col("c2") >= min_count).localCheckpoint(eager=False)
     pctx3 = p3.groupBy(
@@ -1530,7 +1748,7 @@ def text_trigram_backoff_score_pruned(
         F.sum("c2").alias("cw")
     )
     ptot2 = p2.agg(F.sum("c2").alias("b_total"))
-    return _sb_score_with_model(docs, (p2, pctx2, ptot2, p3, pctx3))
+    return (p2, pctx2, ptot2, p3, pctx3)
 
 
 SB_TRIGRAM_PRUNED_SQL = _sb_sql_core(min_count=SB_PRUNE_MIN_COUNT) + """
@@ -1736,6 +1954,67 @@ def ccnet_apply_policy(batch: DataFrame, policy: tuple) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+# --- persisted CCNet policy artifacts (r11, VERDICT r10 item 4) ------
+
+# one parquet directory per policy table; a policy epoch is a plain
+# directory tree a scheduler can version/roll back
+_CCNET_POLICY_PARTS = ("acc", "cnt2", "ctx2", "tot2", "cnt3", "ctx3", "th")
+
+
+def save_ccnet_policy(
+    policy: tuple, path: str, min_count: int = 1
+) -> None:
+    """Persist a ccnet_frozen_policy tuple as parquet — the 'built
+    once per epoch' posture made EXECUTABLE (VERDICT r10 item 4: the
+    twins rebuilt their policy in-session; only the quality classifier
+    had a committed on-disk artifact). Writes the accept table, the
+    five frozen Stupid-Backoff model tables, and the tercile
+    thresholds, each to `{path}/{part}`.
+
+    `min_count` > 1 persists the DEPLOYMENT form of the LM — the
+    KenLM count-prune via prune_sb_model (the registered pruned
+    scorer's semantics): the on-disk model shrinks and every later
+    load pays the pruned probe-side only. The accept table and
+    thresholds are never pruned (they are |langs|-row).
+
+    Scale posture: each table is vocabulary-sized or |langs|-row —
+    the write is the cheap end of the epoch build (the scorer's two
+    target-slice explodes dominate); re-loading skips the build
+    entirely, which is the point: at a crawl frontier the policy is
+    built/persisted once per epoch and every ingest worker
+    load_ccnet_policy's it at startup."""
+    acc, model, th = policy
+    if min_count > 1:
+        model = prune_sb_model(model, min_count)
+    cnt2, ctx2, tot2, cnt3, ctx3 = model
+    frames = dict(
+        zip(_CCNET_POLICY_PARTS, (acc, cnt2, ctx2, tot2, cnt3, ctx3, th))
+    )
+    for part, frame in frames.items():
+        frame.write.mode("overwrite").parquet(f"{path}/{part}")
+
+
+def load_ccnet_policy(spark: SparkSession, path: str) -> tuple:
+    """Load a persisted CCNet policy — the exact tuple shape
+    ccnet_frozen_policy builds, so ccnet_apply_policy (and therefore
+    the ingest and streaming twins) consume it unchanged.
+    load-then-apply ≡ build-then-apply is pinned in
+    test_selection_ops.py; the streaming twin reading a persisted
+    policy is pinned in test_streaming.py."""
+    frames = {
+        part: spark.read.parquet(f"{path}/{part}")
+        for part in _CCNET_POLICY_PARTS
+    }
+    model = (
+        frames["cnt2"],
+        frames["ctx2"],
+        frames["tot2"],
+        frames["cnt3"],
+        frames["ctx3"],
+    )
+    return frames["acc"], model, frames["th"]
 
 
 def _ccnet_select_incr_sql() -> str:

@@ -97,7 +97,16 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     point. Compared against the `lang` column for an accuracy-style
     breakdown."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    return lang_guess_frame(load_table(spark, sf_dir, "documents"))
+
+
+def lang_guess_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of text_lang_guess over any (doc_id, lang,
+    text) frame — factored (the lang_lines_frame convention, r11) so
+    the guessed-key CCNet composition (selection.py
+    corpus_ccnet_select_guessed) threads the identical per-doc guess
+    through its cap and tercile keys. Plan-identical to the r6..r10
+    registered inline spelling."""
     toks = tokenize("text")
     d = docs.select(
         "doc_id",

@@ -124,6 +124,7 @@ REPRESENTATIVES = [
     "dedup_exact_normalized",            # hash-agg over 0 docs
     # r10
     "corpus_ccnet_select",               # 3-stage funnel over 0 docs
+    "corpus_ccnet_select_guessed",       # r11: guessed-key funnel, 0 docs
     "corpus_perplexity_buckets_approx",  # sketch terciles over 0 docs
     "corpus_quality_quantiles_approx",   # sketch p10/50/90 over 0 docs
     "corpus_ccnet_select_incremental",   # frozen policy over 0 docs

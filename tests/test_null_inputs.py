@@ -120,6 +120,9 @@ PER_DOC_KEEPERS = [
     # fails the lang gate (no identified lines) but keeps its row
     # (lang_ok=FALSE, NULL accept_ppm, kept=FALSE)
     "corpus_ccnet_select",
+    # r11: the guessed-key variant anchors identically (null text ->
+    # NULL marker ratio -> lang_guess 'other'; gate still fails)
+    "corpus_ccnet_select_guessed",
     # r10: sketch-tercile twin anchors like the exact tier (null text
     # -> 'unscored')
     "corpus_perplexity_buckets_approx",

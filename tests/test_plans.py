@@ -87,6 +87,9 @@ CARTESIAN_OK = {
     # 1-row broadcast total AND the SB scorer's b_total fold
     "corpus_ccnet_select",
     "corpus_ccnet_select_incremental",
+    # r11: the guessed-key variant inherits the same declared 1-row
+    # broadcast totals (cap core + SB scorer b_total)
+    "corpus_ccnet_select_guessed",
     # r9 second wave: the Stupid-Backoff scorer crossJoins the
     # broadcast 1-row target bigram total (b_total); the cluster
     # labeler crossJoins the broadcast 1-row corpus token total —
@@ -440,6 +443,10 @@ EXCHANGE_BUDGET = {
     # bucket subtree's tercile windows/threshold join past its own
     # barrier, and the two doc_id anchor joins
     "corpus_ccnet_select": 10,
+    # r11: the guessed-key variant — the guess is a zero-shuffle
+    # projection folded into the barriered gate scan, so the budget
+    # is the metadata row's 10 unchanged (measured 10 at sf0.01)
+    "corpus_ccnet_select_guessed": 10,
     # r10: the sketch tercile tier — post-barrier: the grouped GK
     # partial/final agg + the broadcast |langs|-row threshold join;
     # NO per-lang window sort anywhere (that is the point)

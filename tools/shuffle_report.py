@@ -150,6 +150,8 @@ QUERIES = [
     # r10 second wave
     "text_trigram_backoff_score_pruned",
     "corpus_ccnet_select_incremental",
+    # r11: the guessed-key CCNet variant (guess itself is zero-shuffle)
+    "corpus_ccnet_select_guessed",
 ]
 
 
@@ -224,6 +226,9 @@ BYTE_BUDGET_MB = {
     # r10: both dominated by the same (doc, trigram) pre-agg as the
     # trigram pair; the composed verdict adds the cap/anchor joins
     "corpus_ccnet_select": 11.6,
+    # r11: guessed-key variant — same scorer-dominated streams; the
+    # guess adds zero shuffle (measured 5.8 MB at sf0.1, ceiling 2x)
+    "corpus_ccnet_select_guessed": 11.6,
     "corpus_perplexity_buckets_approx": 11.3,
     "text_trigram_backoff_score_pruned": 11.3,
     "corpus_ccnet_select_incremental": 11.2,
