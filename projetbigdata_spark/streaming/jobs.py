@@ -730,7 +730,12 @@ def run_to_memory_sink(df: DataFrame, name: str, mode: str = "append"):
     return q
 
 
-def ccnet_select_stream(docs_stream, standing_sf_dir: str, out_dir: str):
+def ccnet_select_stream(
+    docs_stream,
+    standing_sf_dir: str,
+    out_dir: str,
+    policy_path: str | None = None,
+):
     """Streaming CCNet selection: each micro-batch of incoming
     documents is gated, share-capped, and perplexity-bucketed against
     the standing corpus's FROZEN policy via foreachBatch — the
@@ -748,14 +753,23 @@ def ccnet_select_stream(docs_stream, standing_sf_dir: str, out_dir: str):
     from projetbigdata_spark.operators.selection import (
         ccnet_apply_policy,
         ccnet_frozen_policy,
+        load_ccnet_policy,
     )
     from projetbigdata_spark.sources.catalog import load_table
 
     spark = docs_stream.sparkSession
-    standing = load_table(spark, standing_sf_dir, "documents").where(
-        F.col("source") != INCR_NEW_SOURCE
-    )
-    policy = ccnet_frozen_policy(standing)
+    if policy_path is not None:
+        # r11 (VERDICT r10 item 4): the deployment form — the policy
+        # was built and persisted once per epoch (save_ccnet_policy);
+        # ingest workers load the parquet tables instead of re-running
+        # the epoch build. load-then-apply ≡ build-then-apply is
+        # pinned in test_selection_ops.py.
+        policy = load_ccnet_policy(spark, policy_path)
+    else:
+        standing = load_table(spark, standing_sf_dir, "documents").where(
+            F.col("source") != INCR_NEW_SOURCE
+        )
+        policy = ccnet_frozen_policy(standing)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         verdicts = ccnet_apply_policy(batch_df, policy)

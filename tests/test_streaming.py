@@ -1031,3 +1031,57 @@ def test_ccnet_select_stream_equals_batch(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_ccnet_select_stream_reads_persisted_policy(spark, tmp_path):
+    """r11 (VERDICT r10 item 4): the streaming twin consuming a
+    PERSISTED policy — save_ccnet_policy writes the epoch's parquet
+    artifacts, ccnet_select_stream(policy_path=...) loads them instead
+    of rebuilding, and the verdicts must equal the batch ingest twin
+    exactly (load-then-apply ≡ build-then-apply, end to end at the
+    streaming surface)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.selection import (
+        ccnet_frozen_policy,
+        corpus_ccnet_select_incremental,
+        save_ccnet_policy,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import ccnet_select_stream
+
+    standing = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") != INCR_NEW_SOURCE
+    )
+    pol_dir = str(tmp_path / "policy")
+    save_ccnet_policy(ccnet_frozen_policy(standing), pol_dir)
+
+    docs = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") == INCR_NEW_SOURCE
+    ).select("doc_id", "lang", "source", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = ccnet_select_stream(
+        stream, SF_SMOKE, out_dir, policy_path=pol_dir
+    ).start()
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = corpus_ccnet_select_incremental(spark, SF_SMOKE)
+    cols = [
+        "doc_id", "lang", "mixed", "lang_ok", "accept_ppm", "cap_ok",
+        "ppl_bucket", "kept",
+    ]
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
