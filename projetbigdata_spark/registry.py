@@ -16,92 +16,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r10, VERDICT r9 item 1: rotate onto the parked r5-era rows +
-# the r6-era tail). Freshness derives from merging CORRECTNESS_r01-r09
-# (latest green round per query):
-#   tier B (22, leading) = EVERY r5-latest row — the whole parked set
-#     (the verdict's named 16 plus the six low-risk single-table
-#     shapes that had waited with them);
-#   tier A (5) = the r10 additions (corpus_ccnet_select — the
-#     composed CCNet keep verdict; corpus_perplexity_buckets_approx /
-#     corpus_quality_quantiles_approx — the sketch-calibrator relief
-#     tiers) + the two r10-MODIFIED surfaces (text_normalize /
-#     dedup_exact_normalized: the fold map grew to the full Zs
-#     category + ZWSP/BOM stripping — fixture values are unchanged on
-#     the ASCII corpora, but the semantics changed, so they re-check);
-#   tier C (21) = the oldest r6-latest rows: the full windows family
-#     (8), the text tf/idf/tokenize family (8), the r6 events rows
-#     (3), and dedup_exact + dedup_components. The second r10 wave
-#     (text_trigram_backoff_score_pruned, corpus_ccnet_select_
-#     incremental) forced two more tier-A slots under rule a;
-#     dedup_jaccard_pairs and dedup_minhash_buckets yielded — both
-#     are bench-headline queries measured every round with CI-gated
-#     exchange/byte budgets, and their shingle/minhash kernels have
-#     r9-green in-block siblings.
-# 22 + 7 + 21 = 50. The remaining 28 r6-latest rows park past slot 50
-# as next-in-line (named below). Rule c: the three shielded
-# compositions (corpus_curate, corpus_curate_calibrated,
-# sim_ivf_incremental — latest green r8) become 3 rounds old at r11
-# and MUST re-enter the r11 block with the r6/r7 remainder (VERDICT
-# r9 schedules them explicitly so they are not squeezed out again).
+# round (r11, VERDICT r10 item 1: the three rule-c compositions MUST
+# re-enter, plus the whole r6-latest tail and the oldest r7 rows).
+# Freshness derives from merging CORRECTNESS_r01-r10 — now executable:
+# tools/freshness_report.py + tests/test_freshness_floor.py assert
+# every registered query's latest green driver row is <= 5 rounds old,
+# so a rotation slip fails the build instead of surviving as comments.
+#   tier B (28, leading) = EVERY r6-latest row — the complete named
+#     next-in-line set from the r10 ledger (5 rounds old at r11, the
+#     freshness floor's boundary);
+#   rule c (3) = the shielded compositions (corpus_curate,
+#     corpus_curate_calibrated, sim_ivf_incremental — latest green
+#     r8, 3 rounds old): mandated re-entry, scheduled twice;
+#   tier A (3) = corpus_ccnet_select_guessed (NEW r11: the CCNet
+#     composition keyed on the per-doc GUESSED language — VERDICT r10
+#     item 3) + the two surfaces whose cores were factored for it
+#     (corpus_perplexity_buckets -> _tercile_buckets, text_lang_guess
+#     -> lang_guess_frame — plan-identical delegations, re-checked
+#     out of caution, both locally dtype-strict green post-refactor);
+#   tier C (16) = the oldest r7-latest rows: the 7-row rows-only ml
+#     family + ml_chisq_tokens (their only independent check IS the
+#     driver row), the two-stage retrieval compositions
+#     (search_hybrid_rrf/_ivf, sim_mmr_rerank/_ivf/_pq), the heavy
+#     cross-tier audit (dedup_tier_overlap_report), the Arrow packing
+#     fold (docs_pack_nextfit), and the hashed-DSIR pair.
+# 28 + 3 + 3 + 16 = 50. The remaining 34 r7-latest rows park past
+# slot 50 as next-in-line and MUST lead the r12 block (they hit the
+# 5-round floor there; the floor test will enforce it).
 # collect() raises if a priority name is not registered.
 _PRIORITY = (
-    # --- tier B (22): the r5-latest rows, oldest in the ledger ---
-    "q6_forecast_revenue",
-    "dedup_simhash",
-    "corpus_shingle_stats",
-    "dedup_contamination",
-    "corpus_bpe_merges_batched",
-    "sim_ivf_sampled_topk",
-    "dedup_levenshtein_candidates",
-    "dedup_containment_pairs",
-    "corpus_domain_stats",
-    "corpus_ngram_diversity",
-    "text_lang_guess",
-    "text_redact_pii",
-    "join_anti_no_urgent",
-    "join_semi_urgent",
-    "events_funnel_conversion",
-    "chunk_documents_expr",
-    "scalar_functions",
-    "datetime_functions",
-    "array_functions",
-    "agg_maxby",
-    "agg_histogram_bins",
-    "topk_customers",
-    # --- tier A (5): new or behaviorally modified in r10 ---
-    "corpus_ccnet_select",  # NEW: lang-gate -> lang cap -> LM head cut
-    "corpus_perplexity_buckets_approx",  # NEW: sketch terciles
-    "corpus_quality_quantiles_approx",  # NEW: sketch p10/p50/p90
-    "text_normalize",  # MODIFIED: full-Zs fold map + ZWSP/BOM strip
-    "dedup_exact_normalized",  # MODIFIED: keys on the new fold map
-    # --- tier A, second r10 wave (2) ---
-    "text_trigram_backoff_score_pruned",  # NEW: the KenLM-prune tier
-    "corpus_ccnet_select_incremental",  # NEW: the frozen-policy twin
-    # --- tier C (21): the oldest r6-latest rows ---
-    "window_rank_orders",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_lag_lead",
-    "window_first_last",
-    "window_ntile",
-    "window_distribution",
-    "window_range_time",
-    "text_tf",
-    "text_idf",
-    "text_tfidf_top",
-    "text_ngram_counts",
-    "text_token_counts",
-    "text_clean_lower",
-    "text_wordpunct_tokens",
-    "text_pos_universal",
-    "events_gaps_islands",
-    "events_retention_cohorts",
-    "events_spine_fill",
-    "dedup_exact",
-    "dedup_components",
-    # --- next-in-line past slot 50: the 28 remaining r6-latest rows,
-    # for the r11 block alongside the rule-c compositions ---
+    # --- tier B (28): every r6-latest row, oldest in the ledger ---
     "dedup_jaccard_pairs",
     "dedup_minhash_buckets",
     "agg_geomean_expr",
@@ -130,6 +74,67 @@ _PRIORITY = (
     "text_repetition_scores",
     "text_search_bm25",
     "text_winnow_fingerprints",
+    # --- rule c (3): the shielded compositions, latest green r8 ---
+    "corpus_curate",
+    "corpus_curate_calibrated",
+    "sim_ivf_incremental",
+    # --- tier A (3): new or core-factored in r11 ---
+    "corpus_ccnet_select_guessed",  # NEW: guessed-lang cap + terciles
+    "corpus_perplexity_buckets",  # core factored (_tercile_buckets)
+    "text_lang_guess",  # core factored (lang_guess_frame)
+    # --- tier C (16): the oldest r7-latest rows ---
+    "ml_chisq_tokens",
+    "ml_chisq_select_vectors",
+    "ml_crossval_metrics",
+    "ml_crossval_dt_metrics",
+    "ml_kmeans_clusters",
+    "ml_minhash_pairs",
+    "ml_sentiment_predictions",
+    "search_hybrid_rrf",
+    "search_hybrid_rrf_ivf",
+    "sim_mmr_rerank",
+    "sim_mmr_rerank_ivf",
+    "sim_mmr_rerank_pq",
+    "dedup_tier_overlap_report",
+    "docs_pack_nextfit",
+    "corpus_dsir_weights_hashed",
+    "corpus_dsir_weights_hashed_incremental",
+    # --- next-in-line past slot 50: the 34 remaining r7-latest rows,
+    # which MUST lead the r12 block (5-round floor) ---
+    "agg_distinct",
+    "agg_pivot",
+    "corpus_health_report",
+    "corpus_token_budget_sample",
+    "corpus_vocab_growth",
+    "dedup_span_decontaminate",
+    "dedup_span_removal_incremental",
+    "events_click_attribution",
+    "events_dedup_keyed",
+    "events_multi_rollup",
+    "events_session_30m",
+    "events_sliding_15m_5m",
+    "events_tumbling_1h",
+    "join_key_skew_report",
+    "json_extract",
+    "map_functions",
+    "multimodal_content_dedup",
+    "multimodal_fake_decode",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "quality_constraints",
+    "scd2_history",
+    "sim_neardup_allpairs_exact",
+    "table_stats",
+    "text_feature_hashing",
+    "text_search_phrase",
 )
 
 # Ordered so the driver's correctness budget reaches every family:
