@@ -1965,6 +1965,64 @@ def dedup_incremental_bloom(
     )
 
 
+def bloom_bits_frame(standing_docs: DataFrame, m: int = BLOOM_M) -> DataFrame:
+    """The standing corpus's Bloom bit set as a frame — the epoch
+    artifact (r11): <= min(m, K·n) DISTINCT (bit, set) rows built once
+    per epoch, persistable (save_bloom_bits) and MONOTONE (bits only
+    turn on), so a persisted epoch-N filter is a valid — merely
+    conservative-in-time — prefilter for every later batch: no false
+    negatives against epoch-N keys, ever. `standing_docs` is any
+    (text) frame; NULL-text rows set no bits (unhashable, the exact
+    tier's NULL grouping owns them)."""
+    return (
+        standing_docs.select(F.md5(F.lower("text")).alias("content_md5"))
+        .where(F.col("content_md5").isNotNull())
+        .select(F.explode(F.array(*_bloom_bit_exprs(m=m))).alias("bit"))
+        .distinct()
+        .withColumn("set", F.lit(1))
+    )
+
+
+def bloom_apply(batch_docs: DataFrame, bits: DataFrame) -> DataFrame:
+    """Probe a batch against a frozen bit set — the per-batch half of
+    the Bloom ingest tier, shared by the persisted-artifact path and
+    pinned equal to the registered dedup_incremental_bloom row
+    (test_dials.py). Anchored on the batch: NULL-text docs keep a row
+    with possibly_dup = FALSE."""
+    keyed = batch_docs.select(
+        "doc_id", F.md5(F.lower("text")).alias("content_md5")
+    )
+    probe = keyed.where(F.col("content_md5").isNotNull()).select(
+        "doc_id", F.explode(F.array(*_bloom_bit_exprs())).alias("bit")
+    )
+    hits = (
+        probe.join(bits, "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("set", F.lit(0))).alias("nhit"))
+    )
+    return keyed.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("nhit") == BLOOM_K, F.lit(False)).alias(
+            "possibly_dup"
+        ),
+    )
+
+
+def save_bloom_bits(bits: DataFrame, path: str) -> None:
+    """Persist a Bloom bit set as parquet — one skinny (bit, set)
+    table. At deployment this is the artifact every ingest worker
+    loads at startup instead of re-scanning the standing key set (the
+    filter is independent of key width and cacheable forever within an
+    epoch; monotonicity makes stale reads safe)."""
+    bits.write.mode("overwrite").parquet(f"{path}/bits")
+
+
+def load_bloom_bits(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted Bloom bit set — the frame bloom_apply (and
+    bloom_membership_stream via bits_path) consumes."""
+    return spark.read.parquet(f"{path}/bits")
+
+
 def _bloom_sql_core(m: int = BLOOM_M) -> str:
     """Filter + probe + verdict as DuckDB CTE text ending in a `bloom`
     relation (doc_id, possibly_dup), shared by the verdict oracle and

@@ -775,6 +775,138 @@ QUERIES["corpus_dsir_weights_hashed_incremental"] = (
 ORACLE_SQL["corpus_dsir_weights_hashed_incremental"] = DSIR_HASHED_INCR_SQL
 
 
+# --- persisted DSIR hashed profile (r11, the epoch-artifact family) --
+
+
+def dsir_hashed_profile(standing_docs: DataFrame) -> tuple:
+    """The frozen DSIR bucket profile of a standing corpus as an
+    explicit (ratios, totals) pair — the per-epoch build half of
+    corpus_dsir_weights_hashed_incremental, factored so it can be
+    PERSISTED (save_dsir_profile) and shipped to ingest workers:
+    ratios is exactly <= V = DSIR_HASH_BUCKETS rows (bucket, r_total,
+    t_total, ratio_ppm), totals the broadcast 1-row (r_total, t_total)
+    the unseen-bucket add-one floor needs. The registered incremental
+    row keeps its deliberate one-explode shape (standing and batch
+    share one barriered per-(doc,bucket) frame); build-profile +
+    apply ≡ the registered row is pinned in test_selection_ops.py, so
+    the two spellings cannot drift."""
+    nb = DSIR_HASH_BUCKETS
+    counts = (
+        standing_docs.select(
+            "lang", F.explode(ngrams(tokenize("text"), 2)).alias("bg")
+        )
+        .select(
+            "lang",
+            F.expr(
+                "CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
+                f" % {nb}"
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("c_t"),
+        )
+        .localCheckpoint(eager=False)  # consumed by totals AND ratios
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("r_total"), F.sum("c_t").alias("t_total")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "r_total",
+        "t_total",
+        F.expr(
+            "CAST(((CAST(c_t AS DECIMAL(38,0)) + 1)"
+            f" * (r_total + {nb}) * 1000000)"
+            " div ((CAST(c_r AS DECIMAL(38,0)) + 1)"
+            f" * (t_total + {nb})) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    return ratios, totals
+
+
+def dsir_apply_profile(batch_docs: DataFrame, profile: tuple) -> DataFrame:
+    """Score a batch against a frozen (ratios, totals) profile — the
+    per-batch half: one tokenize+hash pass over the batch's own rows,
+    a broadcast join against the <= V-row ratios, and the add-one
+    floor for buckets the standing corpus never occupied. Anchored on
+    the batch (< 2-token docs keep a row with n_bigrams = 0, NULL
+    weight) — the registered incremental's exact output contract."""
+    nb = DSIR_HASH_BUCKETS
+    ratios, totals = profile
+    per_db = (
+        batch_docs.select(
+            "doc_id", F.explode(ngrams(tokenize("text"), 2)).alias("bg")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
+                f" % {nb}"
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    scored = (
+        per_db.join(F.broadcast(ratios.select("bucket", "ratio_ppm")), "bucket", "left")
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("r_total").alias("rt"),
+                    F.col("t_total").alias("tt"),
+                )
+            )
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce(
+                "ratio_ppm",
+                F.expr(
+                    f"CAST(((rt + {nb}) * CAST(1000000 AS DECIMAL(38,0)))"
+                    f" div (tt + {nb}) AS BIGINT)"
+                ),
+            ).alias("ratio_ppm"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "sum(n * CAST(ratio_ppm AS DECIMAL(38,0))) div sum(n)"
+            ).alias("dsir_weight_ppm"),
+        )
+    )
+    return batch_docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("dsir_weight_ppm").cast("bigint").alias("dsir_weight_ppm"),
+    )
+
+
+def save_dsir_profile(profile: tuple, path: str) -> None:
+    """Persist a frozen DSIR profile as parquet ({path}/ratios +
+    {path}/totals). The totals live in their own 1-row table so the
+    unseen-bucket floor survives even a profile whose ratios are
+    empty, and so a loaded profile needs no re-aggregation."""
+    ratios, totals = profile
+    ratios.write.mode("overwrite").parquet(f"{path}/ratios")
+    totals.write.mode("overwrite").parquet(f"{path}/totals")
+
+
+def load_dsir_profile(spark: SparkSession, path: str) -> tuple:
+    """Load a persisted DSIR profile — the (ratios, totals) pair
+    dsir_apply_profile consumes. load-then-apply ≡ build-then-apply ≡
+    the registered incremental row, pinned in test_selection_ops.py."""
+    return (
+        spark.read.parquet(f"{path}/ratios"),
+        spark.read.parquet(f"{path}/totals"),
+    )
+
+
 # --- Stupid-Backoff trigram LM + CCNet-style perplexity buckets (r9) ---
 
 SB_ALPHA_PPM = 400_000   # the backoff factor 0.4 lands EXACTLY on the
@@ -1960,7 +2092,33 @@ def ccnet_apply_policy(batch: DataFrame, policy: tuple) -> DataFrame:
 
 # one parquet directory per policy table; a policy epoch is a plain
 # directory tree a scheduler can version/roll back
-_CCNET_POLICY_PARTS = ("acc", "cnt2", "ctx2", "tot2", "cnt3", "ctx3", "th")
+_SB_MODEL_PARTS = ("cnt2", "ctx2", "tot2", "cnt3", "ctx3")
+_CCNET_POLICY_PARTS = ("acc",) + _SB_MODEL_PARTS + ("th",)
+
+
+def save_sb_model(model: tuple, path: str, min_count: int = 1) -> None:
+    """Persist a frozen Stupid-Backoff model tuple (_sb_model's five
+    tables) as parquet — the standalone epoch artifact for the LM twins
+    (text_trigram_backoff_score_incremental / trigram_scores_stream),
+    and the model part of save_ccnet_policy. `min_count` > 1 writes the
+    count-pruned deployment form via prune_sb_model (the registered
+    pruned scorer's semantics). The tables are vocabulary-sized — at
+    deployment the prune is what keeps this artifact shippable to every
+    ingest worker."""
+    if min_count > 1:
+        model = prune_sb_model(model, min_count)
+    for part, frame in zip(_SB_MODEL_PARTS, model):
+        frame.write.mode("overwrite").parquet(f"{path}/{part}")
+
+
+def load_sb_model(spark: SparkSession, path: str) -> tuple:
+    """Load a persisted Stupid-Backoff model — the exact tuple shape
+    _sb_score_with_model consumes. load-then-score ≡ build-then-score
+    is pinned in test_selection_ops.py and at the streaming surface
+    (trigram_scores_stream(model_path=...), test_streaming.py)."""
+    return tuple(
+        spark.read.parquet(f"{path}/{part}") for part in _SB_MODEL_PARTS
+    )
 
 
 def save_ccnet_policy(
@@ -1986,14 +2144,9 @@ def save_ccnet_policy(
     built/persisted once per epoch and every ingest worker
     load_ccnet_policy's it at startup."""
     acc, model, th = policy
-    if min_count > 1:
-        model = prune_sb_model(model, min_count)
-    cnt2, ctx2, tot2, cnt3, ctx3 = model
-    frames = dict(
-        zip(_CCNET_POLICY_PARTS, (acc, cnt2, ctx2, tot2, cnt3, ctx3, th))
-    )
-    for part, frame in frames.items():
-        frame.write.mode("overwrite").parquet(f"{path}/{part}")
+    save_sb_model(model, path, min_count=min_count)
+    acc.write.mode("overwrite").parquet(f"{path}/acc")
+    th.write.mode("overwrite").parquet(f"{path}/th")
 
 
 def load_ccnet_policy(spark: SparkSession, path: str) -> tuple:

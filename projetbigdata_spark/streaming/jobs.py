@@ -382,7 +382,12 @@ def normalize_stream(docs_stream, out_dir: str):
     )
 
 
-def trigram_scores_stream(docs_stream, standing_sf_dir: str, out_dir: str):
+def trigram_scores_stream(
+    docs_stream,
+    standing_sf_dir: str,
+    out_dir: str,
+    model_path: str | None = None,
+):
     """Streaming LM scoring: each micro-batch of incoming documents
     (doc_id, lang, text) is scored by the FROZEN Stupid-Backoff trigram
     model via foreachBatch — 'CCNet-score today's crawl as it arrives',
@@ -398,18 +403,25 @@ def trigram_scores_stream(docs_stream, standing_sf_dir: str, out_dir: str):
         DSIR_TARGET_LANG,
         _sb_model,
         _sb_score_with_model,
+        load_sb_model,
     )
     from projetbigdata_spark.sources.catalog import load_table
 
     spark = docs_stream.sparkSession
-    # the standing slice (source <> 'src0') of the corpus dir — the
-    # exact model the batch twin trains, so batch == streaming holds
-    standing = load_table(spark, standing_sf_dir, "documents").where(
-        F.col("source") != INCR_NEW_SOURCE
-    )
-    model = _sb_model(
-        standing.where(F.col("lang") == DSIR_TARGET_LANG)
-    )
+    if model_path is not None:
+        # r11 epoch-artifact form: the frozen model was persisted once
+        # per epoch (save_sb_model, optionally count-pruned); workers
+        # load the parquet tables instead of re-training.
+        model = load_sb_model(spark, model_path)
+    else:
+        # the standing slice (source <> 'src0') of the corpus dir — the
+        # exact model the batch twin trains, so batch == streaming holds
+        standing = load_table(spark, standing_sf_dir, "documents").where(
+            F.col("source") != INCR_NEW_SOURCE
+        )
+        model = _sb_model(
+            standing.where(F.col("lang") == DSIR_TARGET_LANG)
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         scores = _sb_score_with_model(batch_df, model)
@@ -423,7 +435,12 @@ def trigram_scores_stream(docs_stream, standing_sf_dir: str, out_dir: str):
 
 
 
-def bloom_membership_stream(docs_stream, standing_sf_dir: str, out_dir: str):
+def bloom_membership_stream(
+    docs_stream,
+    standing_sf_dir: str,
+    out_dir: str,
+    bits_path: str | None = None,
+):
     """Streaming Bloom membership: each micro-batch of incoming
     documents is probed against the standing corpus's FROZEN bit set
     via foreachBatch — the at-ingest exact-membership prefilter as a
@@ -438,22 +455,22 @@ def bloom_membership_stream(docs_stream, standing_sf_dir: str, out_dir: str):
         BLOOM_K,
         INCR_NEW_SOURCE,
         _bloom_bit_exprs,
+        bloom_bits_frame,
+        load_bloom_bits,
     )
     from projetbigdata_spark.sources.catalog import load_table
 
     spark = docs_stream.sparkSession
-    standing = (
-        load_table(spark, standing_sf_dir, "documents")
-        .where(F.col("source") != INCR_NEW_SOURCE)
-        .select(F.md5(F.lower("text")).alias("content_md5"))
-        .where(F.col("content_md5").isNotNull())
-    )
-    bits = (
-        standing.select(F.explode(F.array(*_bloom_bit_exprs())).alias("bit"))
-        .distinct()
-        .withColumn("set", F.lit(1))
-        .persist()
-    )
+    if bits_path is not None:
+        # r11 epoch-artifact form: the monotone bit set was persisted
+        # once per epoch (save_bloom_bits); workers load the skinny
+        # (bit, set) parquet instead of re-scanning the standing keys.
+        bits = load_bloom_bits(spark, bits_path).persist()
+    else:
+        standing = load_table(spark, standing_sf_dir, "documents").where(
+            F.col("source") != INCR_NEW_SOURCE
+        )
+        bits = bloom_bits_frame(standing).persist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         keyed = batch_df.select(

@@ -253,3 +253,44 @@ def test_bloom_matches_python_model_and_laws(spark, bloom_docs_dir):
     assert rep.n_batch == 4
     assert rep.n_exact_dup == 1
     assert rep.n_flagged == rep.n_exact_dup + rep.n_false_pos
+
+
+def test_bloom_bits_roundtrip_and_apply_equals_registered(spark, tmp_path):
+    """r11 epoch artifacts: the persisted Bloom bit set drives
+    bloom_apply to the registered dedup_incremental_bloom verdicts
+    exactly (load-then-probe ≡ build-then-probe), and the bit set on
+    disk is the skinny distinct-row form (<= K·n rows)."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import (
+        BLOOM_K,
+        INCR_NEW_SOURCE,
+        bloom_apply,
+        bloom_bits_frame,
+        load_bloom_bits,
+        save_bloom_bits,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+
+    bits = bloom_bits_frame(standing)
+    path = str(tmp_path / "bloom")
+    save_bloom_bits(bits, path)
+    loaded = load_bloom_bits(spark, path)
+
+    n_bits = loaded.count()
+    n_keys = standing.where("text IS NOT NULL").count()
+    assert 0 < n_bits <= BLOOM_K * n_keys
+
+    from projetbigdata_spark import registry
+
+    queries, _ = registry.collect()
+    want = queries["dedup_incremental_bloom"](spark, sf)
+    got = bloom_apply(batch, loaded)
+    assert got.count() == want.count() > 0
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0

@@ -1521,3 +1521,89 @@ def test_ccnet_incremental_frozen_policy(spark, tmp_path):
     assert out[700]["accept_ppm"] is None and out[700]["cap_ok"]
     assert out[700]["ppl_bucket"] in ("tail", "unscored")
     assert out[700]["kept"] is False
+
+
+def test_sb_model_roundtrip_equals_frozen_scoring(spark, tmp_path):
+    """r11 epoch artifacts: the persisted Stupid-Backoff model drives
+    _sb_score_with_model to the registered frozen-LM ingest twin's
+    exact scores (load-then-score ≡ build-then-score), and the pruned
+    persist form equals pruning in-session."""
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.selection import (
+        DSIR_TARGET_LANG,
+        SB_PRUNE_MIN_COUNT,
+        _sb_model,
+        _sb_score_with_model,
+        load_sb_model,
+        prune_sb_model,
+        save_sb_model,
+        text_trigram_backoff_score_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+    model = _sb_model(standing.where(F.col("lang") == DSIR_TARGET_LANG))
+
+    path = str(tmp_path / "sb_model")
+    save_sb_model(model, path)
+    loaded = load_sb_model(spark, path)
+
+    want = text_trigram_backoff_score_incremental(spark, SF_SMOKE)
+    got = _sb_score_with_model(batch, loaded)
+    assert got.count() == want.count() > 0
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+    # pruned persist ≡ prune-in-session, and the artifact shrinks
+    pruned_path = str(tmp_path / "sb_model_pruned")
+    save_sb_model(model, pruned_path, min_count=SB_PRUNE_MIN_COUNT)
+    pruned_loaded = load_sb_model(spark, pruned_path)
+    n_full = spark.read.parquet(f"{path}/cnt3").count()
+    n_pruned = spark.read.parquet(f"{pruned_path}/cnt3").count()
+    assert 0 < n_pruned < n_full
+    in_session = _sb_score_with_model(
+        batch, prune_sb_model(model, SB_PRUNE_MIN_COUNT)
+    )
+    from_disk = _sb_score_with_model(batch, pruned_loaded)
+    assert in_session.subtract(from_disk).count() == 0
+    assert from_disk.subtract(in_session).count() == 0
+
+
+def test_dsir_profile_roundtrip_equals_registered_incremental(
+    spark, tmp_path
+):
+    """r11 epoch artifacts: build-profile + apply (the persistable
+    two-frame spelling) reproduces the registered one-explode
+    corpus_dsir_weights_hashed_incremental row exactly, and survives
+    the parquet round trip — so the deployment split (per-epoch
+    profile build, per-batch apply) cannot drift from the
+    oracle-checked surface."""
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.selection import (
+        corpus_dsir_weights_hashed_incremental,
+        dsir_apply_profile,
+        dsir_hashed_profile,
+        load_dsir_profile,
+        save_dsir_profile,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+
+    profile = dsir_hashed_profile(standing)
+    want = corpus_dsir_weights_hashed_incremental(spark, SF_SMOKE)
+    built = dsir_apply_profile(batch, profile)
+    assert built.count() == want.count() > 0
+    assert built.subtract(want).count() == 0
+    assert want.subtract(built).count() == 0
+
+    path = str(tmp_path / "dsir_profile")
+    save_dsir_profile(profile, path)
+    loaded = load_dsir_profile(spark, path)
+    replayed = dsir_apply_profile(batch, loaded)
+    assert replayed.subtract(want).count() == 0
+    assert want.subtract(replayed).count() == 0

@@ -1085,3 +1085,103 @@ def test_ccnet_select_stream_reads_persisted_policy(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_bloom_stream_reads_persisted_bits(spark, tmp_path):
+    """r11 epoch artifacts at the streaming surface: the Bloom twin
+    consuming a PERSISTED bit set (save_bloom_bits →
+    bloom_membership_stream(bits_path=...)) must reproduce the batch
+    twin exactly."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import (
+        INCR_NEW_SOURCE,
+        bloom_bits_frame,
+        dedup_incremental_bloom,
+        save_bloom_bits,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import bloom_membership_stream
+
+    standing = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") != INCR_NEW_SOURCE
+    )
+    bits_dir = str(tmp_path / "bloom")
+    save_bloom_bits(bloom_bits_frame(standing), bits_dir)
+
+    docs = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") == INCR_NEW_SOURCE
+    ).select("doc_id", "source", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = bloom_membership_stream(
+        stream, SF_SMOKE, out_dir, bits_path=bits_dir
+    ).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = dedup_incremental_bloom(spark, SF_SMOKE)
+    cols = ["doc_id", "possibly_dup"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_trigram_stream_reads_persisted_model(spark, tmp_path):
+    """r11 epoch artifacts at the streaming surface: the LM twin
+    consuming a PERSISTED frozen model (save_sb_model →
+    trigram_scores_stream(model_path=...)) must reproduce the batch
+    frozen-LM twin exactly."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.selection import (
+        DSIR_TARGET_LANG,
+        _sb_model,
+        save_sb_model,
+        text_trigram_backoff_score_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import trigram_scores_stream
+
+    standing = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") != INCR_NEW_SOURCE
+    )
+    model_dir = str(tmp_path / "sb_model")
+    save_sb_model(
+        _sb_model(standing.where(F.col("lang") == DSIR_TARGET_LANG)),
+        model_dir,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("source") == INCR_NEW_SOURCE
+    ).select("doc_id", "lang", "source", "text")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = trigram_scores_stream(
+        stream, SF_SMOKE, out_dir, model_path=model_dir
+    ).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = text_trigram_backoff_score_incremental(spark, SF_SMOKE)
+    cols = ["doc_id", "n_trigrams", "n_backoff", "sb_score_ppm"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
