@@ -116,6 +116,39 @@ def ccnet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_key_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-key vs guessed-key CCNet verdicts side by side (r11,
+    VERDICT r10 item 3's audit hook): per (lang, lang_guess) cell, how
+    many docs each variant keeps and how many verdicts flip — the
+    audit a data team reads BEFORE switching the pipeline to the
+    deployment key (a crawl with no metadata lang), because every flip
+    is a doc whose cap or tercile verdict depends on which key
+    partitioned it. Both variants anchor the full doc set, so the
+    join is 1:1 and the cells partition the corpus."""
+    from projetbigdata_spark.operators.selection import (
+        corpus_ccnet_select,
+        corpus_ccnet_select_guessed,
+    )
+
+    meta = corpus_ccnet_select(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("kept_meta")
+    )
+    guessed = corpus_ccnet_select_guessed(spark, sf_dir)
+    return (
+        guessed.join(meta, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept_meta").cast("int")).alias("n_kept_meta"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept_guessed"),
+            F.sum(
+                (F.col("kept") != F.col("kept_meta")).cast("int")
+            ).alias("n_flipped"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
 def main() -> int:
     from projetbigdata_spark.operators.packing import corpus_temperature_mix
     from projetbigdata_spark.session import get_spark
@@ -130,6 +163,7 @@ def main() -> int:
     report = selection_report(spark, sf_dir)
     report.show(truncate=False)
     ccnet_report(spark, sf_dir).show(truncate=False)
+    ccnet_key_diff_report(spark, sf_dir).show(truncate=False)
     mix = corpus_temperature_mix(spark, sf_dir)
     mix.show(truncate=False)
 

@@ -71,3 +71,27 @@ def test_ccnet_report_partitions_corpus_and_agrees(spark):
     langs_with_buckets = {r.lang for r in rep if r.ppl_bucket == "head"}
     all_langs = {r.lang for r in rep}
     assert langs_with_buckets == all_langs  # every lang has a head
+
+
+def test_ccnet_key_diff_report_partitions_and_ties_out(spark):
+    """r11: the guessed-vs-metadata key audit partitions the corpus,
+    its kept totals tie out to both registered variants, and the flip
+    count is live at the fixture (the two keys genuinely partition
+    differently, which is why the variant exists)."""
+    from examples.data_selection import ccnet_key_diff_report
+    from projetbigdata_spark.operators.selection import (
+        corpus_ccnet_select,
+        corpus_ccnet_select_guessed,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    rep = ccnet_key_diff_report(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rep) == total
+    assert sum(r.n_kept_meta for r in rep) == (
+        corpus_ccnet_select(spark, SF_SMOKE).where("kept").count()
+    )
+    assert sum(r.n_kept_guessed for r in rep) == (
+        corpus_ccnet_select_guessed(spark, SF_SMOKE).where("kept").count()
+    )
+    assert sum(r.n_flipped for r in rep) > 0
