@@ -779,6 +779,36 @@ def build_ivf_base_index(
     return cents, posting, base_norm
 
 
+_IVF_INDEX_PARTS = ("cents", "posting", "base_norm")
+
+
+def save_ivf_index(index: tuple, path: str) -> None:
+    """Persist a build_ivf_base_index trio as parquet — the faiss
+    write_index analogue (r11 epoch-artifact family): the k-row
+    centroid codebook, the base posting lists, and the normed base
+    embeddings for exact rerank, one directory per table. This is the
+    'parquet-materialized index refreshed on retrain cadence' the
+    build docstring promises, now executable: ingest workers load the
+    index at startup instead of re-running sampled training + Lloyd
+    steps per session. The posting/base_norm tables scale with the
+    base corpus but are written once per retrain; the probe side
+    (new vectors) never touches training cost."""
+    for part, frame in zip(_IVF_INDEX_PARTS, index):
+        frame.write.mode("overwrite").parquet(f"{path}/{part}")
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> tuple:
+    """Load a persisted IVF index — the exact (cents, posting,
+    base_norm) trio incremental_ann_match and ann_ingest_stream
+    consume. load-then-match ≡ build-then-match ≡ the registered
+    sim_ivf_incremental row is pinned in test_similarity_recall.py;
+    the streaming twin probing a loaded index is pinned in
+    test_streaming.py."""
+    return tuple(
+        spark.read.parquet(f"{path}/{part}") for part in _IVF_INDEX_PARTS
+    )
+
+
 def incremental_ann_match(
     new_micro: DataFrame,
     new_norm: DataFrame,

@@ -652,3 +652,46 @@ def test_hybrid_rrf_pq_swaps_vector_tier(spark):
         assert s == expect, d
     # the vector side actually contributes (PQ hits present)
     assert any(rv is not None for _, _, rv, _ in got)
+
+
+def test_ivf_index_roundtrip_equals_registered_incremental(spark, tmp_path):
+    """r11 epoch artifacts, ANN tier (the faiss write_index analogue):
+    the persisted (cents, posting, base_norm) trio drives
+    incremental_ann_match to the registered sim_ivf_incremental rows
+    exactly — load-then-match ≡ build-then-match, so a retrain-cadence
+    index on disk is interchangeable with an in-session build."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        _cached_micro_arr,
+        _is_new_col,
+        _with_norm,
+        build_ivf_base_index,
+        incremental_ann_match,
+        load_ivf_index,
+        save_ivf_index,
+        sim_ivf_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    index = build_ivf_base_index(spark, sf)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(index, path)
+    loaded = load_ivf_index(spark, path)
+
+    # the on-disk codebook is the k-row table; posting covers the base
+    cents, posting, _ = loaded
+    assert 0 < cents.count() <= 16
+    assert posting.select("vec_id").distinct().count() == posting.count()
+
+    vec = _cached_micro_arr(spark, sf)
+    new_micro = vec.where(_is_new_col())
+    new_norm = _with_norm(
+        load_table(spark, sf, "embeddings").where(_is_new_col())
+    )
+    got = incremental_ann_match(new_micro, new_norm, *loaded)
+    want = sim_ivf_incremental(spark, sf)
+    assert got.count() == want.count() > 0
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0

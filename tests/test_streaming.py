@@ -1185,3 +1185,49 @@ def test_trigram_stream_reads_persisted_model(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
     assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
+
+
+def test_ann_ingest_stream_reads_persisted_index(spark, tmp_path):
+    """r11 epoch artifacts at the ANN streaming surface: the ingest
+    twin probing a PERSISTED IVF index (save_ivf_index →
+    load_ivf_index → ann_ingest_stream) must reproduce the batch twin
+    exactly — the retrain-cadence deployment shape, end to end."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        _is_new_col,
+        build_ivf_base_index,
+        load_ivf_index,
+        save_ivf_index,
+        sim_ivf_incremental,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+    from projetbigdata_spark.streaming.jobs import ann_ingest_stream
+
+    idx_dir = str(tmp_path / "ivf_index")
+    save_ivf_index(build_ivf_base_index(spark, SF_SMOKE), idx_dir)
+    cents, posting, base_norm = load_ivf_index(spark, idx_dir)
+
+    new_vecs = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .where(_is_new_col())
+        .select("vec_id", "embedding")
+    )
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    new_vecs.coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = ann_ingest_stream(stream, cents, posting, base_norm, out_dir).start()
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = sim_ivf_incremental(spark, SF_SMOKE)
+    cols = ["query_id", "neighbor_id", "cosine", "rnk"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(*cols).subtract(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).subtract(streamed.select(*cols)).count() == 0
