@@ -1027,7 +1027,11 @@ a{tag} AS (
 )"""
 
 
-IVF_SQL = f"""
+# the full-corpus-trained Lloyd tier (seeded codebook, 2 unrolled
+# iterations, final assignment a3) as a reusable oracle prefix —
+# factored r11 so the posting-stats audit shares it byte-identically
+# with IVF_SQL (which nests, unchanged, into the MMR/RRF oracles)
+IVF_LLOYD_PREFIX = f"""
 WITH v AS (
     SELECT vec_id, dim - 1 AS dim,
            CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
@@ -1051,7 +1055,9 @@ c2 AS (
            CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
     FROM v JOIN a2 USING (vec_id) GROUP BY 1, 2
 ),
-{_ivf_assign_cte("3", "c2")},
+{_ivf_assign_cte("3", "c2")}"""
+
+IVF_SQL = IVF_LLOYD_PREFIX + f""",
 qp AS (
     SELECT vec_id AS query_id, cid FROM (
         SELECT v.vec_id, c.cid,
@@ -1086,6 +1092,93 @@ SELECT query_id, neighbor_id, cosine,
            AS rnk
 FROM scored
 QUALIFY rnk <= {TOP_K}
+"""
+
+
+def sim_ivf_posting_stats(
+    spark: SparkSession, sf_dir: str, k: int = K_CENTROIDS
+) -> DataFrame:
+    """IVF index-health audit — faiss's `imbalance_factor` as a
+    registered full-oracle row (r11, completing the persisted-index
+    story: the index you just wrote to disk — is it balanced enough
+    to probe?). Per occupied centroid of sim_ivf_topk's index (the
+    seeded, 2-step full-corpus Lloyd tier, byte-identical oracle
+    prefix):
+
+      (cid, n_vecs, share_ppm, imbalance_ppm)
+
+    where share_ppm = the posting list's corpus share on the exact
+    ppm grid, and imbalance_ppm = k_occupied · Σ sz² · 1e6 div n² —
+    the relative variance of probe cost repeated on every row
+    (1e6 = perfectly balanced; faiss prints the same statistic after
+    training, over nominal nlist; this row-set spelling uses OCCUPIED
+    cells because empty cells emit no rows — documented, and at
+    k ≈ √n/2 dials the distinction is cells with zero mass a probe
+    never visits).
+
+    Why a 100 TB deployment reads this before probing: IVF probe cost
+    is Σ over probed lists of |list| — a hot centroid (imbalance >> 1)
+    means every nprobe query that ranks it pays the mega-list scan,
+    the exact analogue of the dedup hot-bucket tail (bucket_cap dial).
+    The remedy ladder is the documented one: raise k, re-seed, or
+    split the hot cell — all visible from THIS frame alone.
+
+    Plan: the shared Lloyd tier (broadcast k-row centroid folds, 2
+    unrolled steps) + one |k|-row hash-agg + a broadcast 1-row totals
+    fold — nothing new shuffles; the integer sum-of-squares widens
+    through DECIMAL(38,0) (sz² reaches 1e20 at 1e10-vector lists)."""
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    cents = _seed_centroids(vec, k)
+    for _ in range(2):
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    sizes = (
+        _argmin_cid(_dists_to_centroids(vec, cents))
+        .groupBy("cid")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .localCheckpoint(eager=False)  # consumed by totals AND rows
+    )
+    tot = sizes.agg(
+        F.sum("n_vecs").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("k_occupied"),
+        F.expr(
+            "CAST(sum(CAST(n_vecs AS DECIMAL(38,0)) * n_vecs)"
+            " AS DECIMAL(38,0))"
+        ).alias("sq_total"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.expr(
+            "CAST((CAST(n_vecs AS DECIMAL(38,0)) * 1000000)"
+            " div n_total AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST((k_occupied * sq_total * 1000000)"
+            " div (CAST(n_total AS DECIMAL(38,0)) * n_total) AS BIGINT)"
+        ).alias("imbalance_ppm"),
+    )
+
+
+IVF_POSTING_STATS_SQL = IVF_LLOYD_PREFIX + """,
+sizes AS (
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a3 GROUP BY cid
+),
+tot AS (
+    SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS k_occupied,
+           sum(n_vecs::HUGEINT * n_vecs) AS sq_total
+    FROM sizes
+)
+SELECT s.cid, s.n_vecs,
+       CAST((s.n_vecs::HUGEINT * 1000000) // t.n_total AS BIGINT)
+           AS share_ppm,
+       CAST((t.k_occupied::HUGEINT * t.sq_total * 1000000)
+            // (t.n_total::HUGEINT * t.n_total) AS BIGINT)
+           AS imbalance_ppm
+FROM sizes s, tot t
 """
 
 
@@ -2621,6 +2714,7 @@ QUERIES = {
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_posting_stats": sim_ivf_posting_stats,
     "sim_ivf_sampled_topk": sim_ivf_sampled_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
@@ -2644,6 +2738,7 @@ ORACLE_SQL = {
     "sim_neardup_pairs": NEARDUP_SQL,
     "sim_ann_lsh_topk": ANN_SQL,
     "sim_ivf_topk": IVF_SQL,
+    "sim_ivf_posting_stats": IVF_POSTING_STATS_SQL,
     "sim_ivf_sampled_topk": IVF_SAMPLED_SQL,
     "sim_pq_topk": PQ_SQL,
     "sim_ivfpq_topk": IVFPQ_SQL,

@@ -28,19 +28,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   rule c (3) = the shielded compositions (corpus_curate,
 #     corpus_curate_calibrated, sim_ivf_incremental — latest green
 #     r8, 3 rounds old): mandated re-entry, scheduled twice;
-#   tier A (3) = corpus_ccnet_select_guessed (NEW r11: the CCNet
+#   tier A (4) = corpus_ccnet_select_guessed (NEW r11: the CCNet
 #     composition keyed on the per-doc GUESSED language — VERDICT r10
 #     item 3) + the two surfaces whose cores were factored for it
 #     (corpus_perplexity_buckets -> _tercile_buckets, text_lang_guess
 #     -> lang_guess_frame — plan-identical delegations, re-checked
-#     out of caution, both locally dtype-strict green post-refactor);
-#   tier C (16) = the oldest r7-latest rows: the 7-row rows-only ml
+#     out of caution, both locally dtype-strict green post-refactor)
+#     + sim_ivf_posting_stats (NEW, third wave: the faiss
+#     imbalance_factor audit over the persisted-index tier);
+#   tier C (15) = the oldest r7-latest rows: the 7-row rows-only ml
 #     family + ml_chisq_tokens (their only independent check IS the
 #     driver row), the two-stage retrieval compositions
 #     (search_hybrid_rrf/_ivf, sim_mmr_rerank/_ivf/_pq), the heavy
 #     cross-tier audit (dedup_tier_overlap_report), the Arrow packing
 #     fold (docs_pack_nextfit), and the hashed-DSIR pair.
-# 28 + 3 + 3 + 16 = 50. The remaining 34 r7-latest rows park past
+# 28 + 3 + 4 + 15 = 50. The remaining 35 r7-latest rows park past
 # slot 50 as next-in-line and MUST lead the r12 block (they hit the
 # 5-round floor there; the floor test will enforce it).
 # collect() raises if a priority name is not registered.
@@ -78,11 +80,12 @@ _PRIORITY = (
     "corpus_curate",
     "corpus_curate_calibrated",
     "sim_ivf_incremental",
-    # --- tier A (3): new or core-factored in r11 ---
+    # --- tier A (4): new or core-factored in r11 ---
     "corpus_ccnet_select_guessed",  # NEW: guessed-lang cap + terciles
+    "sim_ivf_posting_stats",  # NEW (3rd wave): index imbalance audit
     "corpus_perplexity_buckets",  # core factored (_tercile_buckets)
     "text_lang_guess",  # core factored (lang_guess_frame)
-    # --- tier C (16): the oldest r7-latest rows ---
+    # --- tier C (15): the oldest r7-latest rows ---
     "ml_chisq_tokens",
     "ml_chisq_select_vectors",
     "ml_crossval_metrics",
@@ -98,9 +101,13 @@ _PRIORITY = (
     "dedup_tier_overlap_report",
     "docs_pack_nextfit",
     "corpus_dsir_weights_hashed",
+    # --- next-in-line past slot 50: corpus_dsir_weights_hashed_
+    # incremental yielded its tier-C slot to the rule-a entry of
+    # sim_ivf_posting_stats (its profile core is pinned equal to the
+    # r11 dsir_hashed_profile build+apply path, and its hashed sibling
+    # stays in-block); it leads the 35 r7-latest rows that MUST lead
+    # the r12 block (5-round floor) ---
     "corpus_dsir_weights_hashed_incremental",
-    # --- next-in-line past slot 50: the 34 remaining r7-latest rows,
-    # which MUST lead the r12 block (5-round floor) ---
     "agg_distinct",
     "agg_pivot",
     "corpus_health_report",

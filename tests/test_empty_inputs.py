@@ -65,6 +65,7 @@ REPRESENTATIVES = [
     "corpus_quality_quantiles",  # explicit percentile_disc windows
     "dedup_component_sizes",     # cluster-size histogram
     "sim_ivf_incremental",       # frozen-codebook new x old probe
+    "sim_ivf_posting_stats",     # r11: k-row stats over 0 vectors
     "corpus_sample_assign",      # mixture-realizing repeat counts
     # r5 additions
     "corpus_curate_calibrated",  # audit + per-lang quantile thresholds

@@ -90,6 +90,9 @@ CARTESIAN_OK = {
     # r11: the guessed-key variant inherits the same declared 1-row
     # broadcast totals (cap core + SB scorer b_total)
     "corpus_ccnet_select_guessed",
+    # r11: the posting-stats audit is the Lloyd tier's broadcast
+    # k-row centroid folds + a declared broadcast 1-row totals fold
+    "sim_ivf_posting_stats",
     # r9 second wave: the Stupid-Backoff scorer crossJoins the
     # broadcast 1-row target bigram total (b_total); the cluster
     # labeler crossJoins the broadcast 1-row corpus token total —
@@ -298,6 +301,10 @@ EXCHANGE_BUDGET = {
     "sim_topk_bruteforce": 2,
     "sim_ann_lsh_topk": 5,
     "sim_ivf_topk": 8,
+    # r11: the posting-stats audit — the Lloyd folds are in-row over
+    # the broadcast centroid table; only the k-row sizes agg and its
+    # barrier exchange remain (measured 2 at sf0.01)
+    "sim_ivf_posting_stats": 2,
     "events_session_30m": 1,
     "events_multi_rollup": 1,
     "events_gaps_islands": 1,

@@ -695,3 +695,28 @@ def test_ivf_index_roundtrip_equals_registered_incremental(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
+
+
+def test_ivf_posting_stats_laws(spark):
+    """r11 index-health audit: the stats frame partitions the corpus
+    (sizes sum to the vector count), shares sit on the exact ppm
+    floor grid, and imbalance_ppm equals the Cauchy-Schwarz-bounded
+    k·Σsz²·1e6 div n² recomputed from the very sizes it reports
+    (>= 1e6 exactly — 1e6 iff perfectly balanced; constant across
+    rows)."""
+    from projetbigdata_spark.operators.similarity import (
+        sim_ivf_posting_stats,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = sim_ivf_posting_stats(spark, sf).collect()
+    n_total = load_table(spark, sf, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_total
+    for r in rows:
+        assert r.share_ppm == (r.n_vecs * 1_000_000) // n_total
+    k = len(rows)
+    sq = sum(r.n_vecs ** 2 for r in rows)
+    want = (k * sq * 1_000_000) // (n_total * n_total)
+    assert {r.imbalance_ppm for r in rows} == {want}
+    assert want >= 1_000_000

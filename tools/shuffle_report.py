@@ -152,6 +152,8 @@ QUERIES = [
     "corpus_ccnet_select_incremental",
     # r11: the guessed-key CCNet variant (guess itself is zero-shuffle)
     "corpus_ccnet_select_guessed",
+    # r11 third wave: the index-health audit (Lloyd folds + k-row agg)
+    "sim_ivf_posting_stats",
 ]
 
 
