@@ -16,8 +16,13 @@ green driver check is at most MAX_STALE_ROUNDS old.
     (the driver ran the query and it produced a stable frame).
 
 Usage:
-  python tools/freshness_report.py            # table + histogram
-  python tools/freshness_report.py --check    # exit 1 on violation
+  python tools/freshness_report.py                  # table + histogram
+  python tools/freshness_report.py --check          # exit 1 on violation
+  python tools/freshness_report.py --simulate-next  # pretend the
+      current _PRIORITY block goes green in the NEXT round's ledger
+      and report which queries would then violate the floor — run
+      this BEFORE committing a rotation (the r11 workflow, made a
+      flag)
 
 The pytest wrapper (tests/test_freshness_floor.py) imports
 merged_freshness()/current_round() so the invariant runs in CI.
@@ -107,8 +112,49 @@ def violations(max_stale: int = MAX_STALE_ROUNDS) -> list[tuple[str, int | None]
     return bad
 
 
+def simulate_next_violations(
+    max_stale: int = MAX_STALE_ROUNDS,
+) -> list[tuple[str, int | None]]:
+    """Pretend the next round's ledger lands with the current
+    _PRIORITY block's first 50 queries green, and return the queries
+    that would THEN violate the floor — the pre-commit check for a
+    registry rotation (empty result = the rotation holds the floor
+    through the next round)."""
+    sys.path.insert(0, REPO)
+    from projetbigdata_spark import registry
+
+    queries, _ = registry.collect()
+    nxt = current_round() + 1
+    latest = merged_freshness()
+    for name in list(queries)[:50]:
+        latest[name] = nxt
+    ever_seen: set[str] = set()
+    for path in ledger_paths():
+        with open(path) as fh:
+            ever_seen.update(json.load(fh))
+    bad: list[tuple[str, int | None]] = []
+    for name in queries:
+        if name not in ever_seen and name not in list(queries)[:50]:
+            continue  # brand-new and unchecked either way
+        green = latest.get(name)
+        if green is None or nxt - green > max_stale:
+            bad.append((name, green))
+    return bad
+
+
 def main() -> None:
     check = "--check" in sys.argv
+    if "--simulate-next" in sys.argv:
+        bad = simulate_next_violations()
+        if bad:
+            print(f"rotation would leave {len(bad)} floor violations "
+                  f"after the next ledger:")
+            for name, green in bad:
+                print(f"  {name}: latest green "
+                      f"{'never' if green is None else f'r{green}'}")
+            sys.exit(1)
+        print("rotation OK: zero floor violations after the next ledger")
+        return
     latest = merged_freshness()
     cur = current_round()
     hist: dict[int, int] = {}
