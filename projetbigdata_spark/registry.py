@@ -16,97 +16,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r11, VERDICT r10 item 1: the three rule-c compositions MUST
-# re-enter, plus the whole r6-latest tail and the oldest r7 rows).
-# Freshness derives from merging CORRECTNESS_r01-r10 — now executable:
-# tools/freshness_report.py + tests/test_freshness_floor.py assert
-# every registered query's latest green driver row is <= 5 rounds old,
-# so a rotation slip fails the build instead of surviving as comments.
-#   tier B (28, leading) = EVERY r6-latest row — the complete named
-#     next-in-line set from the r10 ledger (5 rounds old at r11, the
-#     freshness floor's boundary);
-#   rule c (3) = the shielded compositions (corpus_curate,
-#     corpus_curate_calibrated, sim_ivf_incremental — latest green
-#     r8, 3 rounds old): mandated re-entry, scheduled twice;
-#   tier A (4) = corpus_ccnet_select_guessed (NEW r11: the CCNet
-#     composition keyed on the per-doc GUESSED language — VERDICT r10
-#     item 3) + the two surfaces whose cores were factored for it
-#     (corpus_perplexity_buckets -> _tercile_buckets, text_lang_guess
-#     -> lang_guess_frame — plan-identical delegations, re-checked
-#     out of caution, both locally dtype-strict green post-refactor)
-#     + sim_ivf_posting_stats (NEW, third wave: the faiss
-#     imbalance_factor audit over the persisted-index tier);
-#   tier C (15) = the oldest r7-latest rows: the 7-row rows-only ml
-#     family + ml_chisq_tokens (their only independent check IS the
-#     driver row), the two-stage retrieval compositions
-#     (search_hybrid_rrf/_ivf, sim_mmr_rerank/_ivf/_pq), the heavy
-#     cross-tier audit (dedup_tier_overlap_report), the Arrow packing
-#     fold (docs_pack_nextfit), and the hashed-DSIR pair.
-# 28 + 3 + 4 + 15 = 50. The remaining 35 r7-latest rows park past
-# slot 50 as next-in-line and MUST lead the r12 block (they hit the
-# 5-round floor there; the floor test will enforce it).
+# round (r12, VERDICT r11 item 1: ALL 35 r7-latest rows MUST lead —
+# they hit the 5-round freshness floor at r12; the floor is machine-
+# enforced by tools/freshness_report.py + tests/test_freshness_floor.py,
+# and the rotation below was pre-flighted with --simulate-next).
+#   tier B (35, leading) = EVERY r7-latest row from the merged ledger
+#     (tools/freshness_report.py counts 35, the authoritative number —
+#     the r11 NEXT.md hand-count of 34 was off by one);
+#   tier A = new r12 queries (rule a) — inserted here as they land,
+#     displacing tier-C fills to keep the block at 50;
+#   tier C (fills to 50) = the oldest r8-latest rows, alphabetical
+#     head of the 45-row r8 set (all tie on age; the deterministic
+#     prefix keeps the remaining 30-odd nameable as next-in-line for
+#     r13, where the whole r8 set hits the floor).
+# Rule b/c compositions (corpus_curate, corpus_curate_calibrated,
+# sim_ivf_incremental) are r11-green — shielded, no re-entry due.
 # collect() raises if a priority name is not registered.
 _PRIORITY = (
-    # --- tier B (28): every r6-latest row, oldest in the ledger ---
-    "dedup_jaccard_pairs",
-    "dedup_minhash_buckets",
-    "agg_geomean_expr",
-    "agg_geomean_udaf",
-    "ann_recall_report",
-    "ann_recall_report_ivfpq",
-    "corpus_dsir_sample",
-    "corpus_dsir_weights",
-    "corpus_dsir_weights_smoothed",
-    "corpus_mix_plan",
-    "corpus_sample_assign",
-    "corpus_source_divergence",
-    "corpus_temperature_mix",
-    "dedup_semantic",
-    "dedup_span_removal",
-    "docs_pack_greedy",
-    "embed_quantize_int8",
-    "merge_cdc_snapshot",
-    "sample_hash_documents",
-    "sample_stratified_by_lang",
-    "sim_ivf_topk",
-    "sim_lsh_buckets",
-    "sim_topk_bruteforce",
-    "split_assign_documents",
-    "text_fingerprints",
-    "text_repetition_scores",
-    "text_search_bm25",
-    "text_winnow_fingerprints",
-    # --- rule c (3): the shielded compositions, latest green r8 ---
-    "corpus_curate",
-    "corpus_curate_calibrated",
-    "sim_ivf_incremental",
-    # --- tier A (4): new or core-factored in r11 ---
-    "corpus_ccnet_select_guessed",  # NEW: guessed-lang cap + terciles
-    "sim_ivf_posting_stats",  # NEW (3rd wave): index imbalance audit
-    "corpus_perplexity_buckets",  # core factored (_tercile_buckets)
-    "text_lang_guess",  # core factored (lang_guess_frame)
-    # --- tier C (15): the oldest r7-latest rows ---
-    "ml_chisq_tokens",
-    "ml_chisq_select_vectors",
-    "ml_crossval_metrics",
-    "ml_crossval_dt_metrics",
-    "ml_kmeans_clusters",
-    "ml_minhash_pairs",
-    "ml_sentiment_predictions",
-    "search_hybrid_rrf",
-    "search_hybrid_rrf_ivf",
-    "sim_mmr_rerank",
-    "sim_mmr_rerank_ivf",
-    "sim_mmr_rerank_pq",
-    "dedup_tier_overlap_report",
-    "docs_pack_nextfit",
-    "corpus_dsir_weights_hashed",
-    # --- next-in-line past slot 50: corpus_dsir_weights_hashed_
-    # incremental yielded its tier-C slot to the rule-a entry of
-    # sim_ivf_posting_stats (its profile core is pinned equal to the
-    # r11 dsir_hashed_profile build+apply path, and its hashed sibling
-    # stays in-block); it leads the 35 r7-latest rows that MUST lead
-    # the r12 block (5-round floor) ---
+    # --- tier B (35): every r7-latest row — the 5-round floor hits
+    # them this round; freshness_report --simulate-next verified ---
     "corpus_dsir_weights_hashed_incremental",
     "agg_distinct",
     "agg_pivot",
@@ -142,7 +70,25 @@ _PRIORITY = (
     "table_stats",
     "text_feature_hashing",
     "text_search_phrase",
+    # --- tier A: new r12 rows enter here (rule a) ---
+    # --- tier C (15): oldest r8-latest rows, alpha prefix of 45 ---
+    "agg_grouping_sets",
+    "agg_salted_user_totals",
+    "bow_vectorize",
+    "chunk_documents_udtf",
+    "corpus_bpe_pair_counts",
+    "corpus_cluster_balance_sample",
+    "corpus_quality_classifier_report",
+    "corpus_quality_classifier_scores",
+    "corpus_quality_quantiles",
+    "corpus_softdedup_sample",
+    "corpus_softdedup_weights",
+    "dedup_component_sizes",
+    "dedup_components_verified_prefiltered",
+    "dedup_embedding_cosine",
+    "dedup_keep_best_quality",
 )
+
 
 # Ordered so the driver's correctness budget reaches every family:
 # round 1 verified the relational/vocabulary/features modules but ran
