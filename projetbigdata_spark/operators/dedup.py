@@ -1983,17 +1983,26 @@ def bloom_bits_frame(standing_docs: DataFrame, m: int = BLOOM_M) -> DataFrame:
     )
 
 
-def bloom_apply(batch_docs: DataFrame, bits: DataFrame) -> DataFrame:
+def bloom_apply(
+    batch_docs: DataFrame, bits: DataFrame, m: int = BLOOM_M
+) -> DataFrame:
     """Probe a batch against a frozen bit set — the per-batch half of
     the Bloom ingest tier, shared by the persisted-artifact path and
     pinned equal to the registered dedup_incremental_bloom row
     (test_dials.py). Anchored on the batch: NULL-text docs keep a row
-    with possibly_dup = FALSE."""
+    with possibly_dup = FALSE.
+
+    `m` MUST be the filter size the bit set was BUILT with
+    (bloom_bits_frame's m): probing at a different m hashes to the
+    wrong positions and silently breaks the no-false-negative
+    contract drop verdicts are built on (ADVICE r11). The persisted
+    artifact carries its m (save_bloom_bits meta); load_bloom_bits
+    returns it precisely so callers can thread it here."""
     keyed = batch_docs.select(
         "doc_id", F.md5(F.lower("text")).alias("content_md5")
     )
     probe = keyed.where(F.col("content_md5").isNotNull()).select(
-        "doc_id", F.explode(F.array(*_bloom_bit_exprs())).alias("bit")
+        "doc_id", F.explode(F.array(*_bloom_bit_exprs(m=m))).alias("bit")
     )
     hits = (
         probe.join(bits, "bit", "left")
@@ -2008,19 +2017,36 @@ def bloom_apply(batch_docs: DataFrame, bits: DataFrame) -> DataFrame:
     )
 
 
-def save_bloom_bits(bits: DataFrame, path: str) -> None:
+def save_bloom_bits(bits: DataFrame, path: str, m: int = BLOOM_M) -> None:
     """Persist a Bloom bit set as parquet — one skinny (bit, set)
-    table. At deployment this is the artifact every ingest worker
-    loads at startup instead of re-scanning the standing key set (the
-    filter is independent of key width and cacheable forever within an
-    epoch; monotonicity makes stale reads safe)."""
+    table PLUS a 1-row meta table recording the filter geometry
+    (m, k) the bits were hashed with (ADVICE r11: a bit set built at
+    a non-default m used to be silently probed at BLOOM_M positions,
+    producing false negatives). `m` must be the value passed to
+    bloom_bits_frame when building `bits`. At deployment this is the
+    artifact every ingest worker loads at startup instead of
+    re-scanning the standing key set (the filter is independent of
+    key width and cacheable forever within an epoch; monotonicity
+    makes stale reads safe)."""
     bits.write.mode("overwrite").parquet(f"{path}/bits")
+    spark = bits.sparkSession
+    spark.createDataFrame(
+        [(int(m), int(BLOOM_K))], "m BIGINT, k BIGINT"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def load_bloom_bits(spark: SparkSession, path: str) -> DataFrame:
-    """Load a persisted Bloom bit set — the frame bloom_apply (and
-    bloom_membership_stream via bits_path) consumes."""
-    return spark.read.parquet(f"{path}/bits")
+def load_bloom_bits(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Load a persisted Bloom bit set — returns (bits, m) so the
+    probe side can never diverge from the build geometry: thread the
+    returned m into bloom_apply (bloom_membership_stream(bits_path=)
+    does). Pre-meta artifacts (r11) were always built at BLOOM_M, the
+    documented fallback when the meta table is absent."""
+    bits = spark.read.parquet(f"{path}/bits")
+    try:
+        m = int(spark.read.parquet(f"{path}/meta").head()["m"])
+    except Exception:  # pre-r12 artifact: no meta table on disk
+        m = BLOOM_M
+    return bits, m
 
 
 def _bloom_sql_core(m: int = BLOOM_M) -> str:

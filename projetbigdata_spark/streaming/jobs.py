@@ -440,6 +440,7 @@ def bloom_membership_stream(
     standing_sf_dir: str,
     out_dir: str,
     bits_path: str | None = None,
+    m: int | None = None,
 ):
     """Streaming Bloom membership: each micro-batch of incoming
     documents is probed against the standing corpus's FROZEN bit set
@@ -450,11 +451,18 @@ def bloom_membership_stream(
     conservative-in-time — prefilter for later batches; there is no
     state store and no ordering sensitivity, and probing a micro-batch
     IS the batch twin (dedup_incremental_bloom) on that slice — the
-    tested property (tests/test_streaming.py)."""
+    tested property (tests/test_streaming.py).
+
+    Geometry (ADVICE r11): the probe must hash at the m the bit set
+    was BUILT with. With bits_path the persisted meta's m wins (the
+    artifact knows its own geometry); otherwise `m` (default BLOOM_M)
+    sizes both the in-session build and the probe, so they cannot
+    diverge. The per-batch probe is bloom_apply itself — one spelling,
+    no inline drift."""
     from projetbigdata_spark.operators.dedup import (
-        BLOOM_K,
+        BLOOM_M,
         INCR_NEW_SOURCE,
-        _bloom_bit_exprs,
+        bloom_apply,
         bloom_bits_frame,
         load_bloom_bits,
     )
@@ -465,34 +473,21 @@ def bloom_membership_stream(
         # r11 epoch-artifact form: the monotone bit set was persisted
         # once per epoch (save_bloom_bits); workers load the skinny
         # (bit, set) parquet instead of re-scanning the standing keys.
-        bits = load_bloom_bits(spark, bits_path).persist()
+        # The meta table's m overrides — the artifact's geometry is
+        # authoritative over any caller guess.
+        bits, m = load_bloom_bits(spark, bits_path)
+        bits = bits.persist()
     else:
+        m = BLOOM_M if m is None else m
         standing = load_table(spark, standing_sf_dir, "documents").where(
             F.col("source") != INCR_NEW_SOURCE
         )
-        bits = bloom_bits_frame(standing).persist()
+        bits = bloom_bits_frame(standing, m=m).persist()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        keyed = batch_df.select(
-            "doc_id", F.md5(F.lower("text")).alias("content_md5")
-        )
-        probe = keyed.where(F.col("content_md5").isNotNull()).select(
-            "doc_id", F.explode(F.array(*_bloom_bit_exprs())).alias("bit")
-        )
-        hits = (
-            probe.join(bits, "bit", "left")
-            .groupBy("doc_id")
-            .agg(F.sum(F.coalesce("set", F.lit(0))).alias("nhit"))
-        )
-        verdicts = keyed.select("doc_id").join(hits, "doc_id", "left").select(
-            "doc_id",
-            F.coalesce(F.col("nhit") == BLOOM_K, F.lit(False)).alias(
-                "possibly_dup"
-            ),
-        )
-        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        bloom_apply(batch_df, bits, m=m).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_dir)
 
     return docs_stream.writeStream.foreachBatch(process).trigger(
         availableNow=True

@@ -280,8 +280,11 @@ def test_bloom_bits_roundtrip_and_apply_equals_registered(spark, tmp_path):
     bits = bloom_bits_frame(standing)
     path = str(tmp_path / "bloom")
     save_bloom_bits(bits, path)
-    loaded = load_bloom_bits(spark, path)
+    loaded, m = load_bloom_bits(spark, path)
 
+    from projetbigdata_spark.operators.dedup import BLOOM_M
+
+    assert m == BLOOM_M  # default-geometry artifact round-trips its m
     n_bits = loaded.count()
     n_keys = standing.where("text IS NOT NULL").count()
     assert 0 < n_bits <= BLOOM_K * n_keys
@@ -290,7 +293,56 @@ def test_bloom_bits_roundtrip_and_apply_equals_registered(spark, tmp_path):
 
     queries, _ = registry.collect()
     want = queries["dedup_incremental_bloom"](spark, sf)
-    got = bloom_apply(batch, loaded)
+    got = bloom_apply(batch, loaded, m=m)
     assert got.count() == want.count() > 0
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
+
+
+def test_bloom_custom_m_roundtrip_no_false_negatives(spark, tmp_path):
+    """ADVICE r11 (medium): a bit set built and persisted at a
+    NON-default m must probe at that m after load — the meta table
+    carries the geometry, and the no-false-negative contract holds
+    (every exact duplicate in the batch is flagged). Before the fix,
+    bloom_apply silently hashed at BLOOM_M and could miss true dups."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.dedup import (
+        INCR_NEW_SOURCE,
+        bloom_apply,
+        bloom_bits_frame,
+        load_bloom_bits,
+        save_bloom_bits,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+
+    m_small = 1 << 10  # collision-study size, very much not BLOOM_M
+    path = str(tmp_path / "bloom_small")
+    save_bloom_bits(bloom_bits_frame(standing, m=m_small), path, m=m_small)
+    loaded, m = load_bloom_bits(spark, path)
+    assert m == m_small
+
+    # exact duplicates of standing content present in the batch:
+    exact = (
+        batch.alias("b")
+        .join(
+            standing.alias("s"),
+            F.md5(F.lower(F.col("b.text")))
+            == F.md5(F.lower(F.col("s.text"))),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    verdicts = bloom_apply(batch, loaded, m=m)
+    missed = exact.join(
+        verdicts.where(~F.col("possibly_dup")), "doc_id"
+    ).count()
+    assert missed == 0  # one-sided: no false negatives at the built m
+    # and the tiny filter actually fires (everything collides toward
+    # possibly_dup=True far more often than at BLOOM_M):
+    assert verdicts.where("possibly_dup").count() >= exact.count()
