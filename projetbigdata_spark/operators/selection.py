@@ -1960,15 +1960,55 @@ def _ccnet_gate_cols(frame: DataFrame) -> DataFrame:
     )
 
 
-def ccnet_frozen_policy(standing: DataFrame) -> tuple:
+def _tercile_thresholds(st_base: DataFrame) -> DataFrame:
+    """Per-language tercile thresholds (lang, t_head, t_mid) from a
+    (doc_id, lang, sb_score_ppm) frame — the ranked-window fold of
+    ccnet_frozen_policy, factored (r12) so the pruned-persist path
+    (save_ccnet_policy(min_count>1, standing=...)) recomputes th from
+    the PRUNED model's score distribution with the identical spelling
+    the in-session build uses (ADVICE r11: th calibrated on the
+    unpruned scores systematically under-fills the head bucket once
+    the model is pruned — pruned scores fall to the backoff path)."""
+    from pyspark.sql.window import Window
+
+    ranked = st_base.where(F.col("sb_score_ppm").isNotNull()).select(
+        "lang",
+        "sb_score_ppm",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("sb_score_ppm"), "doc_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("sb_score_ppm"))
+        ).alias("t_head"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("sb_score_ppm")
+            )
+        ).alias("t_mid"),
+    )
+
+
+def ccnet_frozen_policy(standing: DataFrame, min_count: int = 1) -> tuple:
     """The per-epoch policy build: (accept table, LM model tuple,
     tercile threshold frame), all derived from the STANDING corpus
     only — closure-captured by the streaming twin
     (streaming/jobs.ccnet_select_stream) exactly like _sb_model is
     for the LM twin, so batch and streaming verdicts can never
-    drift."""
-    from pyspark.sql.window import Window
+    drift.
 
+    `min_count` > 1 builds the policy around the KenLM count-PRUNED
+    model (prune_sb_model) — and, crucially, scores the standing
+    corpus and derives the tercile thresholds FROM the pruned model,
+    so th stays calibrated to the score distribution the deployed
+    scorer actually produces (the self-consistent form the pruned
+    persist path writes; ADVICE r11)."""
     sizes = (
         _ccnet_gate_cols(standing)
         .where("lang_ok")
@@ -1988,6 +2028,8 @@ def ccnet_frozen_policy(standing: DataFrame) -> tuple:
         )
     )
     model = _sb_model(standing.where(F.col("lang") == DSIR_TARGET_LANG))
+    if min_count > 1:
+        model = prune_sb_model(model, min_count)
     st_base = standing.select("doc_id", "lang").join(
         _sb_score_with_model(standing, model).select(
             "doc_id", "sb_score_ppm"
@@ -1995,28 +2037,7 @@ def ccnet_frozen_policy(standing: DataFrame) -> tuple:
         "doc_id",
         "left",
     )
-    ranked = st_base.where(F.col("sb_score_ppm").isNotNull()).select(
-        "lang",
-        "sb_score_ppm",
-        F.row_number()
-        .over(
-            Window.partitionBy("lang").orderBy(
-                F.desc("sb_score_ppm"), "doc_id"
-            )
-        )
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
-    )
-    th = ranked.groupBy("lang").agg(
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("sb_score_ppm"))
-        ).alias("t_head"),
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("sb_score_ppm")
-            )
-        ).alias("t_mid"),
-    )
+    th = _tercile_thresholds(st_base)
     return acc, model, th
 
 
@@ -2122,7 +2143,10 @@ def load_sb_model(spark: SparkSession, path: str) -> tuple:
 
 
 def save_ccnet_policy(
-    policy: tuple, path: str, min_count: int = 1
+    policy: tuple,
+    path: str,
+    min_count: int = 1,
+    standing: DataFrame | None = None,
 ) -> None:
     """Persist a ccnet_frozen_policy tuple as parquet — the 'built
     once per epoch' posture made EXECUTABLE (VERDICT r10 item 4: the
@@ -2134,16 +2158,41 @@ def save_ccnet_policy(
     `min_count` > 1 persists the DEPLOYMENT form of the LM — the
     KenLM count-prune via prune_sb_model (the registered pruned
     scorer's semantics): the on-disk model shrinks and every later
-    load pays the pruned probe-side only. The accept table and
-    thresholds are never pruned (they are |langs|-row).
+    load pays the pruned probe-side only. The accept table is never
+    pruned (it is |langs|-row).
+
+    Tercile calibration (ADVICE r11): pruned scores FALL (trigram
+    hits drop to the backoff path), so thresholds calibrated on the
+    unpruned model's distribution under-fill the head bucket once the
+    pruned model scores. When `standing` (the corpus the policy was
+    built from) is supplied together with min_count > 1, th is
+    RECOMPUTED from the pruned model's standing scores — terciles
+    remain terciles, the self-consistent form ccnet_frozen_policy
+    (standing, min_count) builds directly. Without `standing` the
+    incoming th is written as-is and the persisted policy's bucket
+    shares SHIFT relative to their calibration (head thins) — accept
+    that only when reproducing the exact unpruned thresholds is the
+    goal.
 
     Scale posture: each table is vocabulary-sized or |langs|-row —
     the write is the cheap end of the epoch build (the scorer's two
-    target-slice explodes dominate); re-loading skips the build
-    entirely, which is the point: at a crawl frontier the policy is
-    built/persisted once per epoch and every ingest worker
+    target-slice explodes dominate; the th recompute is one more
+    standing scoring pass, still per-epoch); re-loading skips the
+    build entirely, which is the point: at a crawl frontier the
+    policy is built/persisted once per epoch and every ingest worker
     load_ccnet_policy's it at startup."""
     acc, model, th = policy
+    if min_count > 1 and standing is not None:
+        pruned = prune_sb_model(model, min_count)
+        th = _tercile_thresholds(
+            standing.select("doc_id", "lang").join(
+                _sb_score_with_model(standing, pruned).select(
+                    "doc_id", "sb_score_ppm"
+                ),
+                "doc_id",
+                "left",
+            )
+        )
     save_sb_model(model, path, min_count=min_count)
     acc.write.mode("overwrite").parquet(f"{path}/acc")
     th.write.mode("overwrite").parquet(f"{path}/th")

@@ -1376,7 +1376,66 @@ def test_ccnet_policy_roundtrip(spark, tmp_path):
     assert from_disk.subtract(pruned_in_session).count() == 0
 
 
-def test_perplexity_buckets_approx_agreement_contract(spark):
+def test_pruned_policy_recalibrated_terciles(spark, tmp_path):
+    """ADVICE r11 (low): persisting a count-pruned policy with the
+    standing corpus supplied recomputes th from the PRUNED model's
+    score distribution — terciles remain terciles. Pins:
+    (a) the recalibrated persist ≡ ccnet_frozen_policy(standing,
+        min_count) built self-consistently in-session;
+    (b) applying the recalibrated policy to the standing slice fills
+        each scored bucket to a genuine tercile share (the unpruned-th
+        persist form measurably under-fills head — the skew the
+        recalibration exists to remove)."""
+    from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
+    from projetbigdata_spark.operators.selection import (
+        SB_PRUNE_MIN_COUNT,
+        ccnet_apply_policy,
+        ccnet_frozen_policy,
+        load_ccnet_policy,
+        save_ccnet_policy,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
+    batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
+    mc = SB_PRUNE_MIN_COUNT
+
+    recal_dir = str(tmp_path / "policy_recal")
+    save_ccnet_policy(
+        ccnet_frozen_policy(standing), recal_dir, min_count=mc,
+        standing=standing,
+    )
+    recal = load_ccnet_policy(spark, recal_dir)
+
+    # (a) ≡ the self-consistent in-session build
+    consistent = ccnet_frozen_policy(standing, min_count=mc)
+    want = ccnet_apply_policy(batch, consistent)
+    got = ccnet_apply_policy(batch, recal)
+    assert got.count() == want.count() > 0
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+    # (b) terciles remain terciles on the standing slice: each scored
+    # bucket within the integer-boundary band of n/3 per language
+    buckets = (
+        ccnet_apply_policy(standing, recal)
+        .where("ppl_bucket <> 'unscored'")
+        .groupBy("lang", "ppl_bucket")
+        .count()
+        .collect()
+    )
+    per_lang: dict = {}
+    for r in buckets:
+        per_lang.setdefault(r["lang"], {})[r["ppl_bucket"]] = r["count"]
+    assert per_lang
+    for lang, shares in per_lang.items():
+        n = sum(shares.values())
+        for b in ("head", "middle", "tail"):
+            # ties can shift a boundary by a few docs, never a skew
+            assert abs(shares.get(b, 0) - n / 3) <= max(3, 0.1 * n), (
+                lang, shares,
+            )
     """The approx (sketch) tercile tier vs the exact (window) tier:
     same doc set, identical 'unscored' anchoring, thresholds ordered
     (head boundary >= middle boundary per lang), and bucket verdicts
