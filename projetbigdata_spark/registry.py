@@ -71,7 +71,9 @@ _PRIORITY = (
     "text_feature_hashing",
     "text_search_phrase",
     # --- tier A: new r12 rows enter here (rule a) ---
-    # --- tier C (15): oldest r8-latest rows, alpha prefix of 45 ---
+    "sim_ivf_incremental_deleted",  # NEW: tombstoned-index probe
+    "sim_ivf_posting_stats_base",  # NEW: persisted-artifact audit
+    # --- tier C (13): oldest r8-latest rows, alpha prefix of 45 ---
     "agg_grouping_sets",
     "agg_salted_user_totals",
     "bow_vectorize",
@@ -85,8 +87,6 @@ _PRIORITY = (
     "corpus_softdedup_weights",
     "dedup_component_sizes",
     "dedup_components_verified_prefiltered",
-    "dedup_embedding_cosine",
-    "dedup_keep_best_quality",
 )
 
 

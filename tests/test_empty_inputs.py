@@ -66,6 +66,8 @@ REPRESENTATIVES = [
     "dedup_component_sizes",     # cluster-size histogram
     "sim_ivf_incremental",       # frozen-codebook new x old probe
     "sim_ivf_posting_stats",     # r11: k-row stats over 0 vectors
+    "sim_ivf_incremental_deleted",  # r12: remove_ids over 0 vectors
+    "sim_ivf_posting_stats_base",   # r12: artifact audit on 0 vectors
     "corpus_sample_assign",      # mixture-realizing repeat counts
     # r5 additions
     "corpus_curate_calibrated",  # audit + per-lang quantile thresholds

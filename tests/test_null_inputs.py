@@ -329,6 +329,7 @@ def nulled_events_emb_dir(spark, tmp_path_factory):
         "map_functions",   # null event_type must coalesce, not crash
         "scd2_history",    # pinned NULLS LAST ordering
         "sim_ivf_incremental",  # null embeddings: no signature, no row
+        "sim_ivf_incremental_deleted",  # r12: same drop law post-delete
         "events_anomaly_mad",   # null event_type is its own group key
         "sim_pq_topk",          # null embeddings: no subvectors, no codes
         "sim_ivfpq_topk",

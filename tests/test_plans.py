@@ -73,6 +73,12 @@ CARTESIAN_OK = {
     # localCheckpoint that hides the siblings' folds from the final
     # plan. Candidate generation itself is the equi-join probe.
     "sim_ivf_incremental",
+    # r12: the tombstoned probe is sim_ivf_incremental + one anti-join
+    # (no new folds); the base-artifact audit is the base-index build's
+    # broadcast k-row centroid folds + the stats core's declared
+    # broadcast 1-row totals fold
+    "sim_ivf_incremental_deleted",
+    "sim_ivf_posting_stats_base",
     # r8: cluster balance crossJoins the broadcast 1-row (n_total,
     # n_clusters) aggregate — the declared-broadcast totals class
     "corpus_cluster_balance_sample",
@@ -305,6 +311,14 @@ EXCHANGE_BUDGET = {
     # the broadcast centroid table; only the k-row sizes agg and its
     # barrier exchange remain (measured 2 at sf0.01)
     "sim_ivf_posting_stats": 2,
+    # r12: same stats core over the base-index artifact (the build is
+    # behind its localCheckpoint barriers — measured 2 at sf0.01)
+    "sim_ivf_posting_stats_base": 2,
+    # r12: sim_ivf_incremental (10) + the two remove_ids anti-joins
+    # on vec_id (posting + base_norm, 2 exchanges each at fixture
+    # size; a takedown-sized tombstone set broadcasts under AQE at
+    # deployment). Measured 14 at sf0.01.
+    "sim_ivf_incremental_deleted": 14,
     "events_session_30m": 1,
     "events_multi_rollup": 1,
     "events_gaps_islands": 1,

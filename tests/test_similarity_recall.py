@@ -720,3 +720,116 @@ def test_ivf_posting_stats_laws(spark):
     want = (k * sq * 1_000_000) // (n_total * n_total)
     assert {r.imbalance_ppm for r in rows} == {want}
     assert want >= 1_000_000
+
+
+def test_ivf_remove_ids_equals_rebuild_under_same_codebook(spark):
+    """r12 deletion path (VERDICT r11 item 4): remove_from_ivf_index's
+    anti-join produces EXACTLY the posting lists a rebuild over
+    corpus-minus-deleted yields under the SAME codebook (deletion
+    never re-trains or re-buckets — the faiss remove_ids contract),
+    and the match over the tombstoned index equals matching against
+    that rebuilt index."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        IVF_DELETE_MOD,
+        IVF_DELETE_REMAINDER,
+        _argmin_cid,
+        _cached_micro_arr,
+        _dists_to_centroids,
+        _is_new_col,
+        build_ivf_base_index,
+        remove_from_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    index = build_ivf_base_index(spark, sf)
+    cents, posting, base_norm = index
+    deleted = (F.col("vec_id") % IVF_DELETE_MOD) == IVF_DELETE_REMAINDER
+    tomb = posting.where(deleted)
+    n_tomb = tomb.count()
+    assert n_tomb > 0  # the fixture slice genuinely deletes something
+
+    _, posting_t, base_norm_t = remove_from_ivf_index(index, tomb)
+
+    # rebuild the assignment from the surviving base vectors with the
+    # SAME centroids: must equal the anti-join, row for row
+    vec = _cached_micro_arr(spark, sf)
+    base_minus = vec.where(~_is_new_col()).where(~deleted)
+    rebuilt = _argmin_cid(_dists_to_centroids(base_minus, cents))
+    assert posting_t.count() == posting.count() - n_tomb
+    assert posting_t.subtract(rebuilt).count() == 0
+    assert rebuilt.subtract(posting_t).count() == 0
+    assert base_norm_t.where(deleted).count() == 0
+
+
+def test_ivf_deleted_row_divergence_and_no_deleted_neighbors(spark):
+    """The registered tombstoned probe (sim_ivf_incremental_deleted):
+    (a) no deleted vec_id is ever returned as a neighbor; (b) the
+    verdicts genuinely diverge from the undeleted row exactly where a
+    deleted vector held a top-5 slot; (c) queries whose candidate sets
+    never contained a deleted vector are untouched."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        IVF_DELETE_MOD,
+        IVF_DELETE_REMAINDER,
+        sim_ivf_incremental,
+        sim_ivf_incremental_deleted,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    deleted_pred = (
+        F.col("neighbor_id") % IVF_DELETE_MOD == IVF_DELETE_REMAINDER
+    )
+    base = sim_ivf_incremental(spark, sf).localCheckpoint()
+    got = sim_ivf_incremental_deleted(spark, sf).localCheckpoint()
+
+    assert got.where(deleted_pred).count() == 0
+    had_deleted = base.where(deleted_pred).select("query_id").distinct()
+    n_affected = had_deleted.count()
+    assert n_affected > 0  # the fixture exercises the divergence
+    # untouched queries keep identical top-5 rows
+    clean_base = base.join(had_deleted, "query_id", "left_anti")
+    clean_got = got.join(had_deleted, "query_id", "left_anti")
+    assert clean_base.subtract(clean_got).count() == 0
+    assert clean_got.subtract(clean_base).count() == 0
+    # affected queries lost their deleted neighbors and back-filled
+    assert base.subtract(got).where(deleted_pred).count() > 0
+
+
+def test_posting_stats_frame_reads_tombstoned_index(spark):
+    """The audit completes the deletion story: posting_stats_frame
+    pointed at a tombstoned index reports the post-delete balance —
+    totals shrink by exactly the tombstone count, and the frame obeys
+    the same partition/ppm laws as the registered rows."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        IVF_DELETE_MOD,
+        IVF_DELETE_REMAINDER,
+        build_ivf_base_index,
+        posting_stats_frame,
+        remove_from_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    index = build_ivf_base_index(spark, sf)
+    posting = index[1]
+    tomb = posting.where(
+        F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_REMAINDER
+    )
+    n_before = posting.count()
+    n_tomb = tomb.count()
+    _, posting_t, _ = remove_from_ivf_index(index, tomb)
+
+    rows = posting_stats_frame(posting_t).collect()
+    assert sum(r.n_vecs for r in rows) == n_before - n_tomb
+    n_total = n_before - n_tomb
+    for r in rows:
+        assert r.share_ppm == (r.n_vecs * 1_000_000) // n_total
+    k = len(rows)
+    sq = sum(r.n_vecs ** 2 for r in rows)
+    assert {r.imbalance_ppm for r in rows} == {
+        (k * sq * 1_000_000) // (n_total * n_total)
+    }

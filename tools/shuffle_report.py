@@ -154,6 +154,10 @@ QUERIES = [
     "corpus_ccnet_select_guessed",
     # r11 third wave: the index-health audit (Lloyd folds + k-row agg)
     "sim_ivf_posting_stats",
+    # r12: the remove_ids probe (anti-join streams on top of the
+    # incremental row) + the base-artifact health audit
+    "sim_ivf_incremental_deleted",
+    "sim_ivf_posting_stats_base",
 ]
 
 
