@@ -82,6 +82,11 @@ EXTENDED = [
     # bench series (headline stays the r1 21-query list, r6 convention)
     "corpus_ccnet_select",
     "text_trigram_backoff_score_pruned",
+    # r12 (VERDICT r11 item 7): the guessed-key variants next to their
+    # metadata twin — the guessed-vs-metadata wall delta gets a
+    # tracked trend, and the multi-class row starts its series
+    "corpus_ccnet_select_guessed",
+    "corpus_ccnet_select_guessed_multi",
 ]
 
 

@@ -149,6 +149,41 @@ def ccnet_key_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_key_diff_report_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flip audit at FULL key granularity (r12, VERDICT r11
+    item 2): metadata-key vs MULTI-CLASS guessed-key verdicts per
+    (lang, lang_guess) cell — with a 5-class guesser the cell grid is
+    the actual confusion matrix, so the audit shows not just HOW MANY
+    verdicts flip but along which misclassification edges (e.g. docs
+    whose metadata says 'fr' but score 'de' sit in the fr→de cell
+    with their flip count). Same 1:1 anchored join, same salt, so
+    every flip is attributable to the key."""
+    from projetbigdata_spark.operators.selection import (
+        corpus_ccnet_select,
+        corpus_ccnet_select_guessed_multi,
+    )
+
+    meta = corpus_ccnet_select(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("kept_meta")
+    )
+    guessed = corpus_ccnet_select_guessed_multi(spark, sf_dir)
+    return (
+        guessed.join(meta, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept_meta").cast("int")).alias("n_kept_meta"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept_guessed"),
+            F.sum(
+                (F.col("kept") != F.col("kept_meta")).cast("int")
+            ).alias("n_flipped"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
 def main() -> int:
     from projetbigdata_spark.operators.packing import corpus_temperature_mix
     from projetbigdata_spark.session import get_spark
@@ -164,6 +199,7 @@ def main() -> int:
     report.show(truncate=False)
     ccnet_report(spark, sf_dir).show(truncate=False)
     ccnet_key_diff_report(spark, sf_dir).show(truncate=False)
+    ccnet_key_diff_report_multi(spark, sf_dir).show(30, truncate=False)
     mix = corpus_temperature_mix(spark, sf_dir)
     mix.show(truncate=False)
 

@@ -2041,6 +2041,9 @@ def load_bloom_bits(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     returned m into bloom_apply (bloom_membership_stream(bits_path=)
     does). Pre-meta artifacts (r11) were always built at BLOOM_M, the
     documented fallback when the meta table is absent."""
+    from projetbigdata_spark.operators.epochs import resolve_artifact_path
+
+    path = resolve_artifact_path(spark, path)
     bits = spark.read.parquet(f"{path}/bits")
     try:
         m = int(spark.read.parquet(f"{path}/meta").head()["m"])

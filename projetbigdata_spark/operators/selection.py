@@ -900,7 +900,11 @@ def save_dsir_profile(profile: tuple, path: str) -> None:
 def load_dsir_profile(spark: SparkSession, path: str) -> tuple:
     """Load a persisted DSIR profile — the (ratios, totals) pair
     dsir_apply_profile consumes. load-then-apply ≡ build-then-apply ≡
-    the registered incremental row, pinned in test_selection_ops.py."""
+    the registered incremental row, pinned in test_selection_ops.py.
+    `path` may be a direct artifact dir or an epoch root (r12)."""
+    from projetbigdata_spark.operators.epochs import resolve_artifact_path
+
+    path = resolve_artifact_path(spark, path)
     return (
         spark.read.parquet(f"{path}/ratios"),
         spark.read.parquet(f"{path}/totals"),
@@ -1543,11 +1547,25 @@ def corpus_ccnet_select_guessed(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept-whole branch is exercised there; here the oracle still
     value-checks every accept_ppm)."""
     tune(spark)
-    from projetbigdata_spark.operators.curation import _key_cap_frame
-    from projetbigdata_spark.operators.textstats import (
-        lang_guess_frame,
-        lang_lines_frame,
+    from projetbigdata_spark.operators.textstats import lang_guess_frame
+
+    return _ccnet_guessed_verdicts(
+        spark, sf_dir, lang_guess_frame, "(lang <=> 'en') = (lang_guess <=> 'en')"
     )
+
+
+def _ccnet_guessed_verdicts(
+    spark: SparkSession, sf_dir: str, guesser, agree_expr: str
+) -> DataFrame:
+    """The guessed-key CCNet funnel, parameterized on the per-doc
+    guesser frame ((doc_id, ..., lang_guess) — lang_guess_frame for
+    the r11 binary row, lang_guess_multi_frame for the r12 multi-class
+    row) and the agreement audit expression (granularity-matched to
+    the guesser). Factored r12 so both registered rows share one
+    spelling — plan-identical to the r11 inline body for the binary
+    row (delegation only)."""
+    from projetbigdata_spark.operators.curation import _key_cap_frame
+    from projetbigdata_spark.operators.textstats import lang_lines_frame
 
     docs = load_table(spark, sf_dir, "documents")
     ll = lang_lines_frame(docs)
@@ -1561,9 +1579,7 @@ def corpus_ccnet_select_guessed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & ~F.col("mixed")
             ).alias("lang_ok"),
         )
-        .join(
-            lang_guess_frame(docs).select("doc_id", "lang_guess"), "doc_id"
-        )
+        .join(guesser(docs).select("doc_id", "lang_guess"), "doc_id")
         .localCheckpoint(eager=False)
     )
     cap = _key_cap_frame(
@@ -1591,9 +1607,7 @@ def corpus_ccnet_select_guessed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "lang_guess",
-            F.expr("(lang <=> 'en') = (lang_guess <=> 'en')").alias(
-                "guess_agrees"
-            ),
+            F.expr(agree_expr).alias("guess_agrees"),
             "mixed",
             "lang_ok",
             "accept_ppm",
@@ -1608,18 +1622,33 @@ def corpus_ccnet_select_guessed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ccnet_select_guessed_sql() -> str:
+def _ccnet_select_guessed_sql(
+    lang_sql: str | None = None, agree_sql: str | None = None
+) -> str:
     from projetbigdata_spark.operators.textstats import (
         LANG_LINES_SQL,
         LANG_SQL,
     )
 
+    # parameterized r12 (the Spark-side _ccnet_guessed_verdicts twin):
+    # `lang_sql` is the guesser query nested verbatim (LANG_SQL for the
+    # binary row — the r11 text, byte-identical by default — and
+    # LANG_MULTI_SQL for the multi-class row); `agree_sql` matches the
+    # audit to the guesser's granularity
+    if lang_sql is None:
+        lang_sql = LANG_SQL
+    if agree_sql is None:
+        agree_sql = (
+            "((g.lang IS NOT DISTINCT FROM 'en')\n"
+            "        = (g.lang_guess IS NOT DISTINCT FROM 'en'))"
+        )
+
     # the guessed-key tercile bucket query, nested whole as bk below —
     # PPL_BUCKETS_SQL with the partition key swapped to the per-doc
-    # guess (the guess CTE nests LANG_SQL verbatim, the oracle-
+    # guess (the guess CTE nests the guesser verbatim, the oracle-
     # composition convention)
     buckets_guessed = _sb_sql_core() + f""",
-lg AS (SELECT doc_id, lang_guess FROM ({LANG_SQL})),
+lg AS (SELECT doc_id, lang_guess FROM ({lang_sql})),
 base AS (
     SELECT d.doc_id, g.lang_guess, s.sb_score_ppm
     FROM documents d
@@ -1648,7 +1677,7 @@ FROM base b LEFT JOIN th t ON b.lang_guess IS NOT DISTINCT FROM t.lang_guess
 """
     return f"""
 WITH bk AS ({buckets_guessed}),
-lg AS (SELECT doc_id, lang_guess FROM ({LANG_SQL})),
+lg AS (SELECT doc_id, lang_guess FROM ({lang_sql})),
 ll AS ({LANG_LINES_SQL}),
 gate AS (
     SELECT l.doc_id, l.lang, g.lang_guess, l.mixed,
@@ -1678,8 +1707,7 @@ cap AS (
     SELECT doc_id, accept_ppm, bucket < accept_ppm AS cap_ok FROM capx
 )
 SELECT g.doc_id, g.lang, g.lang_guess,
-       ((g.lang IS NOT DISTINCT FROM 'en')
-        = (g.lang_guess IS NOT DISTINCT FROM 'en')) AS guess_agrees,
+       {agree_sql} AS guess_agrees,
        g.mixed, g.lang_ok,
        c.accept_ppm,
        coalesce(c.cap_ok, FALSE) AS cap_ok,
@@ -1694,6 +1722,58 @@ JOIN bk ON g.doc_id = bk.doc_id
 
 QUERIES["corpus_ccnet_select_guessed"] = corpus_ccnet_select_guessed
 ORACLE_SQL["corpus_ccnet_select_guessed"] = _ccnet_select_guessed_sql()
+
+
+def corpus_ccnet_select_guessed_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_ccnet_select_guessed keyed on the MULTI-CLASS language
+    guess (VERDICT r11 item 2: the r11 guessed row was
+    deployment-faithful in shape but 2-cardinality in key — its
+    per-language caps and terciles operated over {'en','other'}).
+    Here the share cap AND the LM tercile partition key on
+    text_lang_guess_multi's profile-argmax guess — at the fixture all
+    5 language classes are LIVE (124/77/88/123/88 at sf0.01), so
+    every per-class cap and tercile genuinely exercises, and
+    `guess_agrees` audits at FULL granularity (lang <=> lang_guess —
+    meaningful now that the guesser speaks the same label set;
+    167/500 agree at sf0.01, the profile diagonal). Docs the guesser
+    cannot score key as 'und' — a real deployment's
+    fastText-can't-decide lane flowing through cap and terciles as
+    its own class. Everything else — stage-1 line gate
+    (key-orthogonal), out-of-band LM training slice, the 'ccnetcap'
+    salt making verdict flips attributable to the KEY — is the
+    r11 row's contract verbatim via the shared
+    _ccnet_guessed_verdicts core.
+
+    Plan: the guess subtree swaps the marker-ratio projection for the
+    profile scorer (explode → hash-agg → broadcast profile join →
+    per-doc |langs|-row argmax window); the funnel's own exchanges are
+    unchanged, and the cap/tercile broadcast sides stay ≤ 6 rows (5
+    classes + 'und')."""
+    tune(spark)
+    from projetbigdata_spark.operators.textstats import (
+        lang_guess_multi_frame,
+    )
+
+    return _ccnet_guessed_verdicts(
+        spark, sf_dir, lang_guess_multi_frame, "lang <=> lang_guess"
+    )
+
+
+def _ccnet_select_guessed_multi_sql() -> str:
+    from projetbigdata_spark.operators.textstats import LANG_MULTI_SQL
+
+    return _ccnet_select_guessed_sql(
+        lang_sql=LANG_MULTI_SQL,
+        agree_sql="(g.lang IS NOT DISTINCT FROM g.lang_guess)",
+    )
+
+
+QUERIES["corpus_ccnet_select_guessed_multi"] = corpus_ccnet_select_guessed_multi
+ORACLE_SQL["corpus_ccnet_select_guessed_multi"] = (
+    _ccnet_select_guessed_multi_sql()
+)
 
 
 # --- approx-percentile tercile relief tier (r10, VERDICT r9 item 3) --
@@ -2136,7 +2216,12 @@ def load_sb_model(spark: SparkSession, path: str) -> tuple:
     """Load a persisted Stupid-Backoff model — the exact tuple shape
     _sb_score_with_model consumes. load-then-score ≡ build-then-score
     is pinned in test_selection_ops.py and at the streaming surface
-    (trigram_scores_stream(model_path=...), test_streaming.py)."""
+    (trigram_scores_stream(model_path=...), test_streaming.py).
+    `path` may be a direct artifact dir or an epoch root (r12:
+    resolve_artifact_path picks the latest manifest-complete epoch)."""
+    from projetbigdata_spark.operators.epochs import resolve_artifact_path
+
+    path = resolve_artifact_path(spark, path)
     return tuple(
         spark.read.parquet(f"{path}/{part}") for part in _SB_MODEL_PARTS
     )
@@ -2204,7 +2289,13 @@ def load_ccnet_policy(spark: SparkSession, path: str) -> tuple:
     the ingest and streaming twins) consume it unchanged.
     load-then-apply ≡ build-then-apply is pinned in
     test_selection_ops.py; the streaming twin reading a persisted
-    policy is pinned in test_streaming.py."""
+    policy is pinned in test_streaming.py. `path` may be a direct
+    artifact dir or an epoch root (r12: resolve_artifact_path picks
+    the latest manifest-complete epoch — the twins' policy_path
+    therefore accepts an epoch root with no signature change)."""
+    from projetbigdata_spark.operators.epochs import resolve_artifact_path
+
+    path = resolve_artifact_path(spark, path)
     frames = {
         part: spark.read.parquet(f"{path}/{part}")
         for part in _CCNET_POLICY_PARTS

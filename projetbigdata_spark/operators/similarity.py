@@ -803,7 +803,12 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple:
     consume. load-then-match ≡ build-then-match ≡ the registered
     sim_ivf_incremental row is pinned in test_similarity_recall.py;
     the streaming twin probing a loaded index is pinned in
-    test_streaming.py."""
+    test_streaming.py. `path` may be a direct artifact dir or an
+    epoch root (r12: resolve_artifact_path picks the latest
+    manifest-complete epoch)."""
+    from projetbigdata_spark.operators.epochs import resolve_artifact_path
+
+    path = resolve_artifact_path(spark, path)
     return tuple(
         spark.read.parquet(f"{path}/{part}") for part in _IVF_INDEX_PARTS
     )

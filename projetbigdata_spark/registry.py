@@ -70,10 +70,15 @@ _PRIORITY = (
     "table_stats",
     "text_feature_hashing",
     "text_search_phrase",
-    # --- tier A: new r12 rows enter here (rule a) ---
+    # --- tier A: new r12 rows (rule a) + factoring-touched re-checks ---
     "sim_ivf_incremental_deleted",  # NEW: tombstoned-index probe
     "sim_ivf_posting_stats_base",  # NEW: persisted-artifact audit
-    # --- tier C (13): oldest r8-latest rows, alpha prefix of 45 ---
+    "text_lang_guess_multi",  # NEW: multi-class profile-argmax langid
+    "corpus_ccnet_select_guessed_multi",  # NEW: CCNet on the 5-class key
+    "corpus_ccnet_select_guessed",  # core factored (_ccnet_guessed_
+    # verdicts / parameterized oracle — byte-identical, re-checked out
+    # of caution, the r11 convention for factoring-touched rows)
+    # --- tier C (10): oldest r8-latest rows, alpha prefix of 45 ---
     "agg_grouping_sets",
     "agg_salted_user_totals",
     "bow_vectorize",
@@ -84,9 +89,6 @@ _PRIORITY = (
     "corpus_quality_classifier_scores",
     "corpus_quality_quantiles",
     "corpus_softdedup_sample",
-    "corpus_softdedup_weights",
-    "dedup_component_sizes",
-    "dedup_components_verified_prefiltered",
 )
 
 

@@ -128,6 +128,8 @@ REPRESENTATIVES = [
     # r10
     "corpus_ccnet_select",               # 3-stage funnel over 0 docs
     "corpus_ccnet_select_guessed",       # r11: guessed-key funnel, 0 docs
+    "corpus_ccnet_select_guessed_multi",  # r12: multi-class key, 0 docs
+    "text_lang_guess_multi",             # r12: profile argmax over 0 docs
     "corpus_perplexity_buckets_approx",  # sketch terciles over 0 docs
     "corpus_quality_quantiles_approx",   # sketch p10/50/90 over 0 docs
     "corpus_ccnet_select_incremental",   # frozen policy over 0 docs

@@ -123,6 +123,10 @@ PER_DOC_KEEPERS = [
     # r11: the guessed-key variant anchors identically (null text ->
     # NULL marker ratio -> lang_guess 'other'; gate still fails)
     "corpus_ccnet_select_guessed",
+    # r12: multi-class key — null text has no scorable token, so the
+    # doc keys 'und' (NULL guess_score) and still anchors its row
+    "corpus_ccnet_select_guessed_multi",
+    "text_lang_guess_multi",
     # r10: sketch-tercile twin anchors like the exact tier (null text
     # -> 'unscored')
     "corpus_perplexity_buckets_approx",

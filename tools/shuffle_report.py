@@ -158,6 +158,9 @@ QUERIES = [
     # incremental row) + the base-artifact health audit
     "sim_ivf_incremental_deleted",
     "sim_ivf_posting_stats_base",
+    # r12: multi-class langid + the CCNet composition keyed on it
+    "text_lang_guess_multi",
+    "corpus_ccnet_select_guessed_multi",
 ]
 
 
