@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import ngrams, tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel
 
 DSIR_TARGET_LANG = "en"  # static so the oracle is static; a pipeline
 # parameterizes the target slice (any boolean doc predicate works)
@@ -80,7 +80,7 @@ def corpus_dsir_weights(
     accumulates in DECIMAL(38,0) to keep the engines divergence-free
     at extreme skew (ADVICE r5)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     tok = docs.select(
         "doc_id", "lang", F.explode(tokenize("text")).alias("token")
     )
@@ -217,7 +217,7 @@ def text_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens anchor through the left join with n_bigrams = 0 and a NULL
     score."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     grams = docs.select(
         "doc_id", F.explode(ngrams(tokenize("text"), 2)).alias("bg")
     )
@@ -474,7 +474,7 @@ def corpus_dsir_weights_hashed(
     on an empty target slice. Docs with < 2 tokens anchor through the
     left join with n_bigrams = 0 and a NULL weight."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     nb = DSIR_HASH_BUCKETS
     # ROOT at the per-(doc, bucket) pre-aggregated frame, not the raw
     # bigram stream: the plan barrier then materializes ≤ |docs|·V
@@ -622,7 +622,7 @@ def corpus_dsir_weights_hashed_incremental(
     tune(spark)
     from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     nb = DSIR_HASH_BUCKETS
     per_db = (
         docs.select(
@@ -1080,7 +1080,7 @@ def text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs with < 3 tokens keep a row with n_trigrams = 0 and a NULL
     score). See _sb_score_frame for the model and the scale posture."""
     tune(spark)
-    return _sb_score_frame(load_table(spark, sf_dir, "documents"))
+    return _sb_score_frame(load_documents_parallel(spark, sf_dir))
 
 
 def _sb_sql_core(
@@ -1215,7 +1215,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrator spelling (and the same approx_percentile relief valve
     at extreme per-lang cardinality) as corpus_quality_quantiles."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     # two consumers read the scored frame (the tercile ranking and the
     # final bucket projection) and they diverge BEFORE any shared
     # shuffle -> plan barrier, or the whole scorer subtree (5 model
@@ -1337,7 +1337,7 @@ def text_trigram_backoff_score_incremental(
     tune(spark)
     from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
     batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
     return _sb_score_frame(batch, model_docs=standing)
@@ -1567,7 +1567,7 @@ def _ccnet_guessed_verdicts(
     from projetbigdata_spark.operators.curation import _key_cap_frame
     from projetbigdata_spark.operators.textstats import lang_lines_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     ll = lang_lines_frame(docs)
     gate = (
         ll.select(
@@ -1823,7 +1823,7 @@ def corpus_perplexity_buckets_approx(
     sketch; the fixture cardinalities sit far inside the exact
     regime)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     # same two-consumer barrier as the exact tier: the threshold agg
     # and the final projection both read the 13-exchange scorer
     base = docs.select("doc_id", "lang").join(
@@ -1934,7 +1934,7 @@ def text_trigram_backoff_score_pruned(
     scorer's (pruning can only push positions DOWN the backoff
     ladder)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
     return _sb_score_with_model(
         docs, prune_sb_model(_sb_model(target), min_count)
@@ -2019,7 +2019,7 @@ def corpus_ccnet_select_incremental(
     tune(spark)
     from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
     batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
     return ccnet_apply_policy(batch, ccnet_frozen_policy(standing))

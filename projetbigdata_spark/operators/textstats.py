@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import STOPWORDS, tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_documents_parallel, load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel
 
 _SW_ARRAY = "array({})".format(", ".join(f"'{w}'" for w in STOPWORDS))
 
@@ -39,7 +39,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, mean token length — the standard cheap filters a
     pretraining pipeline applies before anything expensive."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     toks = tokenize("text")
     d = docs.select(
         "doc_id",
@@ -97,7 +97,7 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     point. Compared against the `lang` column for an accuracy-style
     breakdown."""
     tune(spark)
-    return lang_guess_frame(load_table(spark, sf_dir, "documents"))
+    return lang_guess_frame(load_documents_parallel(spark, sf_dir))
 
 
 def lang_guess_frame(docs: DataFrame) -> DataFrame:
@@ -152,7 +152,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (letter runs / digits / single punctuation) — the cheap proxy for
     'how many tokens will the tokenizer emit', used for corpus sizing."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     bpe_pattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
     return docs.select(
         "doc_id",
@@ -180,7 +180,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-dup key) + a 32-bit polynomial rolling hash over tokens
     (order-sensitive, cheap to compare) — both engine-portable."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     toks = tokenize("text")
     # rolling hash: h = (h*31 + len(token)*7 + first_char_code) mod 2^31
     # over tokens in order; integer-exact in both engines.
@@ -223,7 +223,7 @@ def text_clean_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetbigdata_spark.functions.text import clean_lower
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     cleaned = clean_lower(F.col("text"))
     return docs.select(
         "doc_id",
@@ -330,7 +330,7 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers reuse dedup_exact's md5-group semantics (n_docs minus
     distinct texts = docs that would drop in exact dedup)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     base = docs.select(
         "doc_id",
         "lang",
@@ -415,7 +415,7 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table weighted by word count, one final pair hash-agg,
     TakeOrderedAndProject for the top-30."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     words = (
         docs.select(F.explode(tokenize("text")).alias("w"))
         .groupBy("w")
@@ -522,7 +522,7 @@ def _bpe_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. The word key `w` rides along untouched so the encode
     path (corpus_bpe_encode) can map words to their final symbol
     count."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)),
@@ -784,7 +784,7 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = _bpe_top_pair(state, step).localCheckpoint(eager=False)
         state = _bpe_apply_merge(state, top)
     lex = state.select("w", F.size("syms").alias("n_subwords_w"))
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     dw = docs.select(
         "doc_id", F.explode(tokenize("text")).alias("w")
     ).where(~F.col("w").contains(_BPE_SEP))
@@ -1000,7 +1000,7 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|-row hash-agg — nothing at any scale."""
     tune(spark)
     enc = corpus_bpe_encode(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     return (
         enc.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
@@ -1062,7 +1062,7 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetbigdata_spark.functions.text import ngrams
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     toks = tokenize("text")
     bgs = ngrams(tokenize("text"), 2)
     return docs.select(
@@ -1151,7 +1151,7 @@ def text_lang_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single-line, so `mixed` is constructively FALSE there and the
     mixed-path laws are pinned on constructed multi-line corpora."""
     tune(spark)
-    return lang_lines_frame(load_table(spark, sf_dir, "documents"))
+    return lang_lines_frame(load_documents_parallel(spark, sf_dir))
 
 
 def lang_lines_frame(docs: DataFrame) -> DataFrame:
@@ -1340,7 +1340,7 @@ def text_lang_guess_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference has no language ID; this implements the CCNet
     fastText slot (Wenzek et al. 2020 §3) as unigram profile argmax."""
     tune(spark)
-    return lang_guess_multi_frame(load_table(spark, sf_dir, "documents"))
+    return lang_guess_multi_frame(load_documents_parallel(spark, sf_dir))
 
 
 _TOK_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"

@@ -139,18 +139,48 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Widen an under-partitioned scan before compute-heavy work
+    (tokenize/ngram/hash explodes, per-vector distance folds).
+
+    A single parquet file with one row group scans as ONE task — Spark
+    can only split parquet at row-group boundaries — which serializes
+    the whole JVM-side-but-CPU-heavy pipeline onto one core (measured
+    r12: corpus_ccnet_select spent 4.5 s in a 1-task stage on
+    local[32]; guide §2.5 "input skew: one huge unsplittable file …
+    otherwise repartition immediately after the read"). Round-robin
+    repartition to defaultParallelism fixes that locally for the price
+    of one skinny exchange.
+
+    SCALE-ADAPTIVE (guide §2 — never a constant tuned for one mode):
+    when the scan already yields at least defaultParallelism splits
+    (any real multi-file / multi-row-group table, i.e. every 100 TB
+    deployment), the frame is returned UNCHANGED — no shuffle is ever
+    added to a scan that is already parallel. The check reads the
+    planned partition count (driver-side file listing, no job).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan `documents` and spread rows across all cores before a
-    compute-heavy explode (tokenize/ngram/hash pipelines).
+    compute-heavy explode (tokenize/ngram/hash pipelines) — see
+    parallel_scan for the width rule and the 100 TB posture (r12: the
+    repartition is now CONDITIONAL; an already-parallel scan passes
+    through shuffle-free instead of paying a corpus-wide round-robin
+    exchange)."""
+    return parallel_scan(spark, load_table(spark, sf_dir, "documents"))
 
-    A single parquet file scans as one task, serializing the whole
-    Python-free-but-CPU-heavy text pipeline onto one core locally; at
-    100 TB the same explicit repartition bounds per-task explode width
-    and evens out document-size skew. Round-robin (no key) — token
-    pipelines need no co-location, so this is a pure width exchange.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+def load_embeddings_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan `embeddings` widened like load_documents_parallel — the
+    distance/codebook folds (IVF Lloyd steps, PQ ADC scans) are the
+    vector twin of the token explodes: tiny input bytes, heavy per-row
+    arithmetic, so scan width, not I/O, bounds the stage."""
+    return parallel_scan(spark, load_table(spark, sf_dir, "embeddings"))
 
 
 def load_labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
