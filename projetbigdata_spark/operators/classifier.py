@@ -156,6 +156,7 @@ def corpus_quality_classifier_scores(
     pass + a broadcast join against the ≤HASH_BUCKETS-row coefficient
     table; full-corpus anchor (no-token docs score the intercept)."""
     tune(spark)
+    # bare scan: quality_scores_of repartitions its hash branch itself
     return quality_scores_of(spark, load_table(spark, sf_dir, "documents"))
 
 
@@ -364,7 +365,7 @@ def corpus_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql.window import Window
 
-    scores = quality_scores_of(
+    scores = quality_scores_of(  # bare scan: see scores note above
         spark, load_table(spark, sf_dir, "documents")
     ).localCheckpoint(eager=False)  # consumed by the histogram AND
     # the verdict projection — one scoring pass, not two
@@ -454,6 +455,8 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
+    # doc_id-only anchor scan: no per-row compute, so the bare scan
+    # (no width repartition) is right
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     scores = (
         corpus_quality_classifier_scores(spark, sf_dir)

@@ -34,7 +34,7 @@ from projetbigdata_spark.operators.similarity import (
     SEMDEDUP_SQL as _SEMDEDUP_SQL,
 )
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_documents_parallel, load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel
 
 # Shingles occurring in more than this many documents are dropped from
 # candidate generation (they pair everything with everything). Mirrored
@@ -164,7 +164,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the smallest doc_id —
     the deterministic spelling of dropDuplicates(['text'])."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     return (
         docs.select("doc_id", F.md5(F.lower("text")).alias("content_md5"))
         .groupBy("content_md5")
@@ -971,7 +971,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces with NULL match / is_dup=FALSE instead of vanishing (the
     oracle anchors on documents WHERE source='src0')."""
     tune(spark)
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = load_documents_parallel(spark, sf_dir).select("doc_id", "source")
     sigs = _signatures(spark, sf_dir).localCheckpoint()
     sigs_src = sigs.join(src, "doc_id")
     new_sigs = sigs_src.where(F.col("source") == INCR_NEW_SOURCE).drop("source")
@@ -1103,7 +1103,7 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetbigdata_spark.operators.sampling import split_col
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     membership = docs.select("doc_id", split_col().alias("split"))
     sigs = _signatures(spark, sf_dir).localCheckpoint()
     sigs_m = sigs.join(membership, "doc_id")
@@ -1364,7 +1364,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     pairs = sim_neardup_pairs(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "lang")
     da = docs.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a"))
     db = docs.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b"))
     # no broadcast hints: docs is the CORPUS side (the r3 review
@@ -1443,7 +1443,7 @@ def dedup_components_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~k^2-fold; on the near-dup-free sf fixtures it costs one extra
     hash-agg (measured in SCALE.md)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_documents_parallel(spark, sf_dir).select(
         "doc_id", F.md5("text").alias("text_h")
     )
     sigs = _signatures(spark, sf_dir).localCheckpoint()
@@ -1492,7 +1492,7 @@ def dedup_components_verified_prefiltered(
     runs. Verification cost drops with the square of the mean clone
     count (clique edges never reach the posting-expansion join)."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_documents_parallel(spark, sf_dir).select(
         "doc_id", F.md5("text").alias("text_h")
     )
     buckets = dedup_minhash_buckets(spark, sf_dir).localCheckpoint()
@@ -1591,7 +1591,7 @@ def dedup_levenshtein_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # -> ~3s). Explicit width keeps the expensive map parallel.
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     return (
@@ -1721,7 +1721,7 @@ def dedup_tier_overlap_report(
     if k is None:
         k = K_CENTROIDS
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     key = docs.select(
         "doc_id", F.md5(F.lower("text")).alias("content_md5")
     )
@@ -1934,7 +1934,7 @@ def dedup_incremental_bloom(
     tiny filters); the registered row keeps the static dial so the
     oracle is static."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_documents_parallel(spark, sf_dir).select(
         "doc_id", "source", F.md5(F.lower("text")).alias("content_md5")
     )
     bit_exprs = _bloom_bit_exprs(m=m if m is not None else BLOOM_M)
@@ -2110,7 +2110,7 @@ def dedup_bloom_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row rollup — the report is strictly cheaper than the filter
     build it audits."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_documents_parallel(spark, sf_dir).select(
         "doc_id", "source", F.md5(F.lower("text")).alias("content_md5")
     )
     standing_keys = (

@@ -41,10 +41,7 @@ from projetbigdata_spark.functions.text import (
     tokenize,
 )
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import (
-    load_documents_parallel,
-    load_table,
-)
+from projetbigdata_spark.sources.catalog import load_documents_parallel, load_embeddings_parallel
 
 VOCAB_SIZE = 1000
 
@@ -131,7 +128,7 @@ def label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index by descending frequency, alphabetical tiebreak. The index map
     is |distinct labels| rows — broadcast back onto the corpus."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     counts = docs.groupBy("lang").agg(F.count("*").alias("freq"))
     # asc_nulls_last: a NULL-lang group tying on freq would rank first
     # in Spark (NULLS FIRST default) but last in DuckDB
@@ -253,7 +250,7 @@ def embed_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     row inside the same generator output (posexplode of the scaled
     array), all within codegen. Zero-vector guard: norm 0 -> 0s."""
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     # norm as a named column so the zero-vector guard references it
     # once (an all-zero vector must yield 0s, not 0/0 = NaN — review
     # finding r3); still one generator feeding posexplode.

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel
 
 PACK_BUDGET = 2048  # tokens per training sequence
 N_SHARDS = 8
@@ -73,7 +73,7 @@ def docs_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing within md5-hash shards, deterministic order by doc_id
     inside each shard. pack_id is globally unique (shard-prefixed)."""
     tune(spark)
-    return pack_assign(load_table(spark, sf_dir, "documents"))
+    return pack_assign(load_documents_parallel(spark, sf_dir))
 
 
 PACK_SQL = f"""
@@ -110,7 +110,7 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat factor a weighted sampler applies; >1 upsamples, <1
     downsamples). One corpus agg; the mixture table is 5 rows."""
     tune(spark)
-    return mix_plan_of(load_table(spark, sf_dir, "documents"))
+    return mix_plan_of(load_documents_parallel(spark, sf_dir))
 
 
 def mix_plan_of(docs: DataFrame) -> DataFrame:
@@ -198,7 +198,7 @@ def corpus_sample_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     per_doc = docs.select(
         "doc_id",
         "lang",
@@ -315,7 +315,7 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     per_doc = docs.select(
         "doc_id",
         "lang",
@@ -471,7 +471,7 @@ def docs_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     tune(spark)
-    toks = load_table(spark, sf_dir, "documents").select(
+    toks = load_documents_parallel(spark, sf_dir).select(
         "doc_id",
         F.size(tokenize(F.coalesce(F.col("text"), F.lit("")))).alias(
             "n_tokens"

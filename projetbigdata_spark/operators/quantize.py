@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_embeddings_parallel
 
 QBITS_MAX = 127  # symmetric int8 range
 
@@ -30,7 +30,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantized codes (sum of q_i * (i+1)), so the oracle verifies
     every code without shipping arrays through the hash."""
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings_parallel(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_events, load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel, load_events, load_table
 
 ORDER_STATUSES = ("F", "O", "P")
 
@@ -196,7 +196,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetbigdata_spark.functions.text import tokenize
 
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select("doc_id", tokenize("text").alias("w"))
     return toks.select(
         "doc_id",

@@ -23,10 +23,7 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import ngrams, tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import (
-    load_documents_parallel,
-    load_table,
-)
+from projetbigdata_spark.sources.catalog import load_documents_parallel
 
 
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +213,7 @@ def corpus_gopher_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned on constructed corpora in tests/test_repetition_ops.py
     including a written-table Spark<->DuckDB parity run."""
     tune(spark)
-    return gopher_clean_of(load_table(spark, sf_dir, "documents"))
+    return gopher_clean_of(load_documents_parallel(spark, sf_dir))
 
 
 def gopher_clean_of(docs: DataFrame) -> DataFrame:

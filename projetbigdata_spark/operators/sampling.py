@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import load_documents_parallel
 
 
 def _hash_bucket(key: Column, buckets: int = 100) -> Column:
@@ -42,7 +42,7 @@ def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no RNG state — re-running (anywhere) returns the exact
     same rows, so downstream eval sets are stable."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     return (
         docs.withColumn("bucket", _hash_bucket(F.col("doc_id")).cast("int"))
         .where(F.col("bucket") < SAMPLE_PCT)
@@ -77,7 +77,7 @@ def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups. Buckets, not rand(): adding documents later never moves an
     existing document between splits."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     split = split_col()
     return (
         docs.withColumn("split", split)
@@ -120,7 +120,7 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bernoulli). One conditional-aggregation pass reports population vs
     kept per stratum — no join, no second scan."""
     tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     bucket = _hash_bucket(F.col("doc_id"))
     threshold = F.coalesce(
         *[
@@ -208,7 +208,7 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projetbigdata_spark.functions.text import tokenize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     per_doc = docs.select(
         "doc_id",
         F.coalesce(F.col("lang"), F.lit("")).alias("lang"),

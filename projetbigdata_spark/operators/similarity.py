@@ -27,7 +27,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import (
+    load_documents_parallel,
+    load_embeddings_parallel,
+    load_table,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixtures
 TOP_K = 5
@@ -63,7 +67,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     tune(spark)
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(load_embeddings_parallel(spark, sf_dir))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -2964,7 +2968,7 @@ def corpus_cluster_top_terms(
         ).localCheckpoint()
     assign = _argmin_cid(_dists_to_centroids(vec, cents))
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(
         F.col("doc_id").alias("vec_id"),
         F.explode(tokenize("text")).alias("term"),

@@ -60,6 +60,8 @@ def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact integer counts so both engines take ln of the same
     double."""
     tune(spark)
+    # n_docs is a 1-row count over the doc_id column only — no heavy
+    # per-row compute, so the bare scan (no width repartition) is right
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     df_tbl = (
@@ -107,6 +109,7 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and token-aggregated 2x. The window shuffles the same tf rows by
     # token that the df agg did — equal shuffle volume, one tf
     # computation, no join. 2.5s -> 1.6s warm at sf0.1.
+    # bare scan: n_docs is a 1-row doc_id count (see text_idf note)
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     wdf = Window.partitionBy("token")

@@ -240,12 +240,18 @@ def test_mapside_ops_have_zero_exchanges(spark):
 
 
 def test_pack_is_single_shard_shuffle(spark):
-    """Sequence packing must shuffle exactly once (the per-shard window
-    cumsum) — a global-order spelling would show an extra single-
-    partition Exchange, the 100 TB bottleneck the shard design avoids."""
+    """Sequence packing must shuffle exactly once on a KEY (the
+    per-shard window cumsum) — a global-order spelling would show an
+    extra single-partition Exchange, the 100 TB bottleneck the shard
+    design avoids. The round-robin scan-width exchange (r12,
+    parallel_scan) is excluded from the count: it is keyless and
+    disappears at deployment scale."""
     df = QUERIES["docs_pack_greedy"](spark, SF_CHECK)
     plan = pi.physical_plan(df)
-    assert plan.count("Exchange") == 1, plan
+    keyed = plan.count("Exchange") - plan.count(
+        "Exchange RoundRobinPartitioning"
+    )
+    assert keyed == 1, plan
     assert "SinglePartition" not in plan, plan
 
 
@@ -321,7 +327,7 @@ EXCHANGE_BUDGET = {
     # same plan-string artifact as explain("formatted")'s known
     # double-count. 2 real exchanges on a cold build, as before.
     "dedup_minhash_buckets": 4,
-    "sim_topk_bruteforce": 2,
+    "sim_topk_bruteforce": 4,
     "sim_ann_lsh_topk": 5,
     "sim_ivf_topk": 8,
     # r11: the posting-stats audit — the Lloyd folds are in-row over
@@ -353,12 +359,12 @@ EXCHANGE_BUDGET = {
     "corpus_source_divergence": 6,
     "sim_pq_topk": 10,
     "sim_ivfpq_topk": 15,
-    "ann_recall_report": 12,
+    "ann_recall_report": 16,
     # r6: smoothing only swaps the ratio projection (same 5); the
     # IVF-PQ recall frame = brute (nested-loop, few exchanges) +
     # the composed IVF-PQ tier (15) + the hits join/agg
     "corpus_dsir_weights_smoothed": 7,
-    "ann_recall_report_ivfpq": 22,
+    "ann_recall_report_ivfpq": 26,
     # span explode -> groupBy(k) -> dup-start fold -> anchor join;
     # the cut itself is an in-row higher-order filter (no exchange)
     "dedup_span_removal": 4,
@@ -388,7 +394,7 @@ EXCHANGE_BUDGET = {
     "join_key_skew_report": 6,
     # r7: next-fit packing — ONE exchange (the shard groupBy feeding
     # the Arrow applyInPandas fold)
-    "docs_pack_nextfit": 1,
+    "docs_pack_nextfit": 2,
     # r7: cross-tier audit — inherits the three drop subtrees' stages;
     # the seven report aggregates join barriered skinny frames
     "dedup_tier_overlap_report": 24,
@@ -419,7 +425,7 @@ EXCHANGE_BUDGET = {
     "corpus_quality_classifier_report": 6,
     # r8: verified-component subtree (not barriered in the final plan)
     # + the barriered scorer + per-cluster window + anchor joins
-    "dedup_keep_best_quality": 24,
+    "dedup_keep_best_quality": 28,
     # r8: cluster balance — post-barrier: the k-row size rollup, its
     # 1-row total, and the verdict projection's probe-back join
     "corpus_cluster_balance_sample": 5,
@@ -461,8 +467,8 @@ EXCHANGE_BUDGET = {
     "corpus_cluster_top_terms": 8,
     # Bloom ingest: one distinct over the standing bit rows + the
     # probe join + the anchor; the FP report adds the exact semi-join
-    "dedup_incremental_bloom": 4,
-    "dedup_bloom_fp_report": 8,
+    "dedup_incremental_bloom": 7,
+    "dedup_bloom_fp_report": 13,
     # the one-pass scorer plan + a <=|bins|-row rollup
     "corpus_quality_calibration_report": 6,
     # r9 third wave: the full Gopher repetition profile — the
