@@ -1003,11 +1003,39 @@ def _sb_model(target: DataFrame) -> tuple:
 
 def _sb_score_with_model(docs: DataFrame, model: tuple) -> DataFrame:
     """Score `docs` against an already-built model tuple — the frame
-    every registered/streaming surface shares."""
+    every registered/streaming surface shares.
+
+    Partitioning (r12, guide §2.4 "two operations keyed the same way
+    can share one exchange"): every corpus-side operation here keys on
+    doc_id — the (doc_id, tg) pre-aggregation, the per-doc score
+    aggregation, and the full-corpus anchor join — so ONE explicit
+    hash repartition on doc_id before the explode establishes a
+    partitioning all three reuse (HashPartitioning(doc_id) satisfies
+    ClusteredDistribution(doc_id, tg)). Before this the plan shuffled
+    the corpus three more times: exploded (doc, tg) rows into the
+    pre-agg, scored rows into the per-doc agg, and both anchor-join
+    sides. At 100 TB the single shuffle moves raw doc text ONCE
+    (~corpus bytes) instead of exploded trigram strings (~3x corpus
+    bytes) plus two doc-row passes — fewer bytes AND fewer exchanges.
+    The explode fan-out lands post-shuffle, so per-task width matches
+    the old round-robin path."""
     cnt2, ctx2, tot2, cnt3, ctx3 = model
+    # explicit partition count: a column-only repartition is an AQE-
+    # coalescible shuffle, and at 1.5 MB input AQE collapses it to ONE
+    # partition — re-serializing the explode it exists to widen
+    # (measured: pruned scorer 3.1 s -> 7.9 s). N keeps the caller's
+    # scan width when the input is already wide (deployment) and the
+    # core count otherwise (local single-file fixtures).
+    n_parts = max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        docs.rdd.getNumPartitions(),
+    )
+    docs_p = docs.select("doc_id", "text").repartition(
+        n_parts, F.col("doc_id")
+    )
     # scoring: one corpus explode, pre-aggregated per (doc, trigram)
     doc_grams = (
-        docs.select(
+        docs_p.select(
             "doc_id", F.explode(ngrams(tokenize("text"), 3)).alias("tg")
         )
         .groupBy("doc_id", "tg")
@@ -1067,7 +1095,10 @@ def _sb_score_with_model(docs: DataFrame, model: tuple) -> DataFrame:
             "sum(k * CAST(s_ppm AS DECIMAL(38,0))) div sum(k)"
         ).alias("sb_score_ppm"),
     )
-    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+    # anchor reads docs_p so both join sides are already doc_id-
+    # partitioned — no exchange on either side (the exchange subtree
+    # is shared with the scoring branch via ReusedExchange)
+    return docs_p.select("doc_id").join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
         F.coalesce("n_backoff", F.lit(0)).cast("bigint").alias("n_backoff"),

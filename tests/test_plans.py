@@ -456,11 +456,11 @@ EXCHANGE_BUDGET = {
     # joins + the scoring/anchor aggs (13); the bucket composition
     # counts its post-barrier plan (the scored frame is checkpointed
     # for its two consumers — a new exchange still trips)
-    "text_trigram_backoff_score": 15,
-    "text_trigram_backoff_score_incremental": 15,
+    "text_trigram_backoff_score": 12,
+    "text_trigram_backoff_score_incremental": 12,
     # r10: the pruned-model tier — same scorer plan, two extra
     # filters on the vocabulary-sized count tables (no new shuffle)
-    "text_trigram_backoff_score_pruned": 15,
+    "text_trigram_backoff_score_pruned": 12,
     "corpus_perplexity_buckets": 2,
     # one corpus token explode + vocab-sized rollups + the top-k
     # window (counts the post-barrier plan of the (cid, term) table)
@@ -504,7 +504,7 @@ EXCHANGE_BUDGET = {
     # honest full-plan figure (each subtree executes once: gate and
     # the model count tables are checkpointed, every other frame has
     # one consumer)
-    "corpus_ccnet_select_incremental": 44,
+    "corpus_ccnet_select_incremental": 39,
 }
 
 
