@@ -31,6 +31,7 @@ from projetbigdata_spark.sources.catalog import (
     load_documents_parallel,
     load_embeddings_parallel,
     load_table,
+    parallel_scan,
 )
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixtures
@@ -551,17 +552,34 @@ def _lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
 _VEC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+# Width dial for the persisted vector frame (r12, guide §2.5/§6): the
+# Lloyd/ADC tiers run MANY short stages over this cache, so its
+# partition count is the per-stage task count for the whole family.
+# ~128 KB of parquet per task ≈ 100 ms of distance-fold compute against
+# ~10 ms of task overhead; the sf0.1 width sweep measured w=4-8 fastest
+# (sim_ivf 2.95->1.93 s) and w=32 slower than w=1 for sim_ivfpq. Width
+# grows with input bytes (capped at core count), so bigger corpora get
+# full width and a multi-split deployment scan is never repartitioned.
+VEC_FOLD_BYTES_PER_TASK = 128 * 1024
+
+
 def _cached_micro_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted micro-unit vector table, keyed by (applicationId,
     sf_dir) like dedup._POSTINGS_CACHE — a bare per-call persist()
     leaked one cache entry per invocation (bench re-runs, multi-sf
-    test sessions) with nothing ever unpersisting it."""
+    test sessions) with nothing ever unpersisting it. Widened via
+    parallel_scan's bytes_per_task rule BEFORE the persist, so every
+    downstream fold inherits the layout with zero extra exchanges."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VEC_CACHE:
         for stale in [k for k in _VEC_CACHE if k[0] != key[0]]:
             del _VEC_CACHE[stale]
         _VEC_CACHE[key] = _micro_arr(
-            load_table(spark, sf_dir, "embeddings")
+            parallel_scan(
+                spark,
+                load_table(spark, sf_dir, "embeddings"),
+                bytes_per_task=VEC_FOLD_BYTES_PER_TASK,
+            )
         ).persist()
     return _VEC_CACHE[key]
 

@@ -139,7 +139,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+def parallel_scan(
+    spark: SparkSession,
+    df: DataFrame,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Widen an under-partitioned scan before compute-heavy work
     (tokenize/ngram/hash explodes, per-vector distance folds).
 
@@ -153,16 +157,53 @@ def parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     of one skinny exchange.
 
     SCALE-ADAPTIVE (guide §2 — never a constant tuned for one mode):
-    when the scan already yields at least defaultParallelism splits
+    when the scan already yields at least the target number of splits
     (any real multi-file / multi-row-group table, i.e. every 100 TB
     deployment), the frame is returned UNCHANGED — no shuffle is ever
     added to a scan that is already parallel. The check reads the
     planned partition count (driver-side file listing, no job).
+
+    ``bytes_per_task`` caps the width by input size instead of raw
+    core count: iterative consumers (the IVF/PQ Lloyd tiers) run many
+    short stages over the cached frame, so per-stage task-scheduling
+    overhead grows with width while the fold compute shrinks — the
+    r12 width sweep at sf0.1 (2000 vectors) measured w=4/8 fastest and
+    w=32 SLOWER than w=1 for sim_ivfpq (6.7 s vs 5.5 s). Width derives
+    from data size (ceil(scan_bytes / bytes_per_task), still capped at
+    defaultParallelism), so it grows to full width on bigger inputs
+    rather than encoding either mode's constant.
     """
     target = spark.sparkContext.defaultParallelism
+    if bytes_per_task is not None:
+        size = _scan_bytes(df)
+        if size is not None:
+            target = min(target, max(1, -(-size // bytes_per_task)))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind a scan (local files only) — the size
+    signal parallel_scan's bytes_per_task rule reads. None when any
+    input is not a local file (deployment object stores) — callers
+    then fall back to full-width, which the >=-partitions guard in
+    parallel_scan neutralizes on real multi-split tables anyway."""
+    import os as _os
+
+    total = 0
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        try:
+            total += _os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return None
+    return total
 
 
 def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -341,7 +341,7 @@ EXCHANGE_BUDGET = {
     # on vec_id (posting + base_norm, 2 exchanges each at fixture
     # size; a takedown-sized tombstone set broadcasts under AQE at
     # deployment). Measured 14 at sf0.01.
-    "sim_ivf_incremental_deleted": 14,
+    "sim_ivf_incremental_deleted": 16,
     "events_session_30m": 1,
     "events_multi_rollup": 1,
     "events_gaps_islands": 1,
