@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 from projetbigdata_spark.functions.text import ngrams, tokenize
 from projetbigdata_spark.operators.sampling import _hash_bucket
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_table
+from projetbigdata_spark.sources.catalog import (
+    load_documents_parallel,
+    load_table,
+)
 
 NGRAM_N = 5  # production decontamination uses 8-13; fixture docs are
 # ~50 tokens from a ~40-word vocabulary, so 5-grams already make chance
@@ -61,26 +64,19 @@ def _split_col() -> Column:
 
 
 def _spread_input(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Rebalance a scan whose partition count is below the cluster's
-    parallelism. Scan parallelism is bounded by input splits; when the
-    downstream projection costs ~10× the scan (tokenize → n-gram →
-    md5 per gram), a corpus in a handful of files serializes the
-    expensive part no matter how many cores exist — measured 11.8s →
-    task-parallel on sf0.1's single ~1.5 MB documents file, and a
-    1000-executor cluster reading a few consolidated files hits the
-    identical wall. The repartition shuffles only the raw ~300 B/doc
-    text, far cheaper than the projection it unlocks; when the input
-    already has enough splits (the 100 TB case) it's skipped
-    entirely.
+    """Rebalance a scan whose partition count is below the target
+    parallelism before a compute-heavy gram projection — now a thin
+    delegate to catalog.parallel_scan with the measured text-tier
+    width dial (r13): one conditional round-robin widen, skipped on
+    any already-multi-split scan (the 100 TB case), width derived
+    from input bytes instead of raw core count (the r12 scaling block
+    measured full-core fan-out SLOWER than 8-way at sf0.1)."""
+    from projetbigdata_spark.sources.catalog import (
+        DOC_BYTES_PER_TASK,
+        parallel_scan,
+    )
 
-    Conditional variant of sources/catalog.load_documents_parallel
-    (which always repartitions, trading one exchange for document-size
-    skew evening); here the gram projection dominates so the exchange
-    is only paid when parallelism is actually missing."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return parallel_scan(spark, df, bytes_per_task=DOC_BYTES_PER_TASK)
 
 
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +104,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the cheap map-side part of the plan — the right trade at
     100 TB."""
     tune(spark)
-    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_documents_parallel(spark, sf_dir)
     gkeys = F.array_distinct(
         F.transform(
             ngrams(tokenize("text"), NGRAM_N), lambda g: _gram_key(g)
@@ -268,7 +264,7 @@ def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     core, r7) so a rewritten corpus can be re-profiled."""
     tune(spark)
     return span_profile_of(
-        _spread_input(spark, load_table(spark, sf_dir, "documents"))
+        load_documents_parallel(spark, sf_dir)
     )
 
 
@@ -342,7 +338,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null/empty text: coalesced to '' on BOTH sides (n_tokens = 0,
     text_deduped = '') — the tokenize-keeps-the-row contract."""
     tune(spark)
-    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         tokenize(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
@@ -465,7 +461,7 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     constructed-frame parity test in tests/test_curation_ops.py."""
     tune(spark)
     return line_dedup_frame(
-        _spread_input(spark, load_table(spark, sf_dir, "documents"))
+        load_documents_parallel(spark, sf_dir)
     )
 
 
@@ -795,7 +791,7 @@ def dedup_lines_incremental(
     tune(spark)
     from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
 
-    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_documents_parallel(spark, sf_dir)
     lines = docs.select(
         "doc_id",
         "source",
@@ -901,7 +897,7 @@ def dedup_span_removal_incremental(
     tune(spark)
     from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
 
-    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         "source",
@@ -1278,39 +1274,92 @@ def corpus_curate(
         raise ValueError(f"thresholds must be fixed|calibrated: {thresholds!r}")
     from projetbigdata_spark.operators.dedup import (
         dedup_components_prefiltered,
-        dedup_exact,
     )
-    from projetbigdata_spark.operators.repetition import (
-        text_repetition_scores,
-    )
-    from projetbigdata_spark.operators.textstats import text_quality_scores
+    from projetbigdata_spark.operators.textstats import _SW_ARRAY
 
     tune(spark)
-    # coalesce the content key: md5(NULL) is NULL and an inner join on
-    # a NULL key silently DROPS null-text docs from the audit in both
-    # engines — full-corpus means full-corpus, so null-text docs form
-    # one '<NULL>' exact group instead (keeper = min doc_id, matching
-    # dedup_exact's NULL-group keep_id)
-    docs = load_table(spark, sf_dir, "documents").select(
+    # ONE shared token-stats pass (r13, guide §2.4/§5): the quality
+    # gate, the repetition gate's scalar half, the exact-dedup groups,
+    # the docs anchor AND (calibrated) the per-lang quantiles all
+    # derive from the same per-doc counts — before this the audit
+    # tokenized the corpus 3× (quality, repetition, quantiles) and
+    # md5-hashed it twice (docs anchor, dedup_exact) in separate
+    # subtrees. The barriered stats frame computes tokenize +
+    # array_distinct + stopword-filter + md5 ONCE; every derived
+    # column keeps the subtree-identical expression (same ints, same
+    # single IEEE division), so the audit is row-identical and the
+    # oracle SQL is unchanged. Wide text never crosses the barrier —
+    # only counts and the 32-char md5.
+    #
+    # content key coalesce: md5(NULL) is NULL and an inner join on a
+    # NULL key silently DROPS null-text docs from the audit in both
+    # engines — null-text docs form one '<NULL>' exact group instead
+    # (keeper = min doc_id, matching dedup_exact's NULL-group keep_id)
+    toks = tokenize("text")
+    stats = (
+        load_documents_parallel(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.md5(F.lower("text")), F.lit("<NULL>")).alias(
+                "content_md5"
+            ),
+            _split_col().alias("split"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique"),
+            F.size(
+                F.filter(
+                    toks, lambda t: F.array_contains(F.expr(_SW_ARRAY), t)
+                )
+            ).alias("n_stop"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from projetbigdata_spark.operators.textstats import _ratio_micros
+
+    docs = stats.select("doc_id", "lang", "content_md5", "split")
+    qual = stats.select(
         "doc_id",
-        "lang",
-        F.coalesce(F.md5(F.lower("text")), F.lit("<NULL>")).alias(
-            "content_md5"
-        ),
-        _split_col().alias("split"),
+        "n_tokens",
+        "n_unique",
+        _ratio_micros(F.col("n_stop"), F.col("n_tokens")).alias("stop_ratio"),
     )
-    qual = text_quality_scores(spark, sf_dir).select(
-        "doc_id", "n_tokens", "n_unique", "stop_ratio"
+    # repetition scalar from the shared counts (identical expression to
+    # text_repetition_scores: int/int -> one double division, round 6);
+    # the bigram share keeps its own explode pass (different stream)
+    bi = load_documents_parallel(spark, sf_dir).select(
+        "doc_id", F.explode(ngrams(tokenize("text"), 2)).alias("bigram")
     )
-    rep = text_repetition_scores(spark, sf_dir).select(
-        "doc_id", "dup_word_frac", "top_bigram_share"
+    bigram_share = (
+        bi.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_share"))
     )
-    ex = dedup_exact(spark, sf_dir).select(
-        F.coalesce(F.col("content_md5"), F.lit("<NULL>")).alias(
-            "content_md5"
-        ),
-        "keep_id",
+    rep = (
+        stats.select(
+            "doc_id",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    1 - F.col("n_unique") / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("dup_word_frac"),
+        )
+        .join(bigram_share, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_word_frac",
+            F.coalesce("top_bigram_share", F.lit(0.0)).alias(
+                "top_bigram_share"
+            ),
+        )
     )
+    # exact-dedup keepers from the same pass: dedup_exact is
+    # groupBy(md5(lower(text))).agg(min(doc_id)) — the '<NULL>' key
+    # here IS its NULL group, same keeper
+    ex = stats.groupBy("content_md5").agg(F.min("doc_id").alias("keep_id"))
     # prefiltered tier, not plain dedup_components_minhash: row-
     # identical output (same oracle SQL registered for both), but
     # exact-clone cliques collapse BEFORE label propagation — 1.75x
@@ -1325,11 +1374,14 @@ def corpus_curate(
         # per-lang p90 ceilings on the SAME integer-ppm grids the
         # quantile query ranks on (stop_ratio is the floor-grid ratio,
         # so stop_ratio*1e6 recovers stop_ppm exactly; dup_ppm is
-        # re-derived from n_unique/n_tokens)
+        # re-derived from n_unique/n_tokens) — computed over the shared
+        # stats frame (one corpus pass), expressions unchanged
         qq = F.broadcast(
-            corpus_quality_quantiles(spark, sf_dir).select(
-                "lang", "stop_ppm_p90", "dup_ppm_p90"
-            )
+            _quality_quantiles_of(
+                stats.select(
+                    "doc_id", "lang", "n_tokens", "n_unique", "n_stop"
+                )
+            ).select("lang", "stop_ppm_p90", "dup_ppm_p90")
         )
         docs = docs.join(qq, "lang", "left")
         # round, not cast-truncate: stop_ratio is grid/1e6 through two
@@ -1670,12 +1722,10 @@ def corpus_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (t-digest, map-side mergeable) once thresholds
     only need ~1% accuracy — this exact spelling is the calibrator
     and the oracle anchor."""
-    from pyspark.sql.window import Window
+    from projetbigdata_spark.operators.textstats import _SW_ARRAY
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    from projetbigdata_spark.operators.textstats import _SW_ARRAY
-
     toks = tokenize("text")
     d = docs.select(
         "doc_id",
@@ -1685,8 +1735,20 @@ def corpus_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(toks, lambda t: F.array_contains(F.expr(_SW_ARRAY), t))
         ).alias("n_stop"),
-    ).where(F.col("n_tokens") > 0)
-    stats = d.select(
+    )
+    return _quality_quantiles_of(d)
+
+
+def _quality_quantiles_of(d: DataFrame) -> DataFrame:
+    """Frame-level quantile core over any per-doc (doc_id, lang,
+    n_tokens, n_unique, n_stop) counts frame — factored r13 (the
+    line_dedup_frame convention) so corpus_curate's calibrated branch
+    reuses the audit's ONE shared token-stats pass instead of
+    re-tokenizing the corpus; expressions are byte-identical to the
+    registered corpus_quality_quantiles."""
+    from pyspark.sql.window import Window
+
+    stats = d.where(F.col("n_tokens") > 0).select(
         "doc_id",
         "lang",
         F.expr("(n_stop * CAST(1000000 AS BIGINT)) div n_tokens").alias(
@@ -1996,7 +2058,7 @@ def dedup_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected doc, the cut is an in-row higher-order filter, and wide
     text rows never transit the span join."""
     tune(spark)
-    docs = _spread_input(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         _split_col().alias("split"),

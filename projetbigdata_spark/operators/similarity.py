@@ -549,7 +549,110 @@ def _lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+# --- In-row assignment tier (r13, VERDICT r12 item 5) ---------------
+#
+# The long-form spelling (_dists_to_centroids -> _argmin_cid ->
+# _lloyd_update) materializes an n×k distance table, shuffles it for
+# the per-vector argmin, and joins the assignment BACK to the vectors
+# for the mean update — per Lloyd iteration that is one n×k-row
+# exchange plus a self-join, repeated 2× per trainer plus once for the
+# final posting assignment, across every IVF/PQ/semantic-dedup tier.
+# But the argmin of a row's distances to a BROADCAST k-row table is a
+# per-row computation: fold the distances inside the row and take
+# array_min. The n×k table never exists, the argmin shuffle is gone,
+# and the assignment carries xs along so the mean update needs no
+# join. array_min uses the same lexicographic struct ordering as
+# F.min(F.struct("d", "cid")), so ties break identically (smallest
+# cid) and the assignment — and every downstream centroid mean, in
+# exact bigint arithmetic — is bit-identical to the long-form path
+# (pinned by test_inrow_assign_matches_longform). The long-form
+# helpers stay as the reference spelling the recall/dials tests model
+# against.
 _VEC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cents_row(cents: DataFrame) -> DataFrame:
+    """ONE row holding the whole centroid table as an array of
+    (cid, ms) structs sorted by cid — the broadcastable form that
+    lets assignment run in-row (k is small by design: ~sqrt(n)/2)."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ms"))).alias("cs")
+    )
+
+
+def _assign_inrow(
+    vecs: DataFrame, cents: DataFrame, crow: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, xs, cid): nearest centroid per vector via an in-row
+    fold over the broadcast centroid array — zero shuffles, no n×k
+    intermediate. The isNotNull guard reproduces the long form's
+    empty-centroids behavior (crossJoin with an empty table emits
+    nothing; array_min of an empty array is NULL). Callers with TWO
+    consumers of the same centroid table (_ivf_search: posting +
+    probes) pass a pre-materialized `crow` so the 1-row fold frame is
+    built once instead of once per consumer."""
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _sqdist(F.col("xs"), c["ms"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(_cents_row(cents) if crow is None else crow))
+        .select("vec_id", "xs", best["cid"].alias("cid"))
+        .where(F.col("cid").isNotNull())
+    )
+
+
+def _lloyd_step(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd iteration (assign + mean update) over the in-row
+    assignment: the only exchanges left are the two mean-update aggs
+    (k×64 output — tiny). Arithmetic identical to
+    _lloyd_update(vecs, _argmin_cid(_dists_to_centroids(vecs, cents)))
+    — same per-(cid, dim) bigint sums and counts, same round/cast."""
+    assigned = _assign_inrow(vecs, cents)
+    long = assigned.select("cid", F.posexplode("xs").alias("dim", "x"))
+    means = long.groupBy("cid", "dim").agg(
+        F.round(F.sum("x").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("ms")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "ms"))), lambda s: s.ms
+        ).alias("ms")
+    )
+
+
+def _probe_inrow(
+    vecs: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    crow: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, cid): the nprobe nearest centroids per vector —
+    in-row sort of the broadcast centroid distances (replaces the
+    row_number window over the long-form distance table; array_sort
+    on (d, cid) structs is the same ascending ordering, and slice
+    clamps like the rank filter when k < nprobe)."""
+    ds = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            _sqdist(F.col("xs"), c["ms"]).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return (
+        vecs.crossJoin(F.broadcast(_cents_row(cents) if crow is None else crow))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(ds), 1, nprobe)).alias("p"),
+        )
+        .select("query_id", F.col("p.cid").alias("cid"))
+    )
 
 
 # Width dial for the persisted vector frame (r12, guide §2.5/§6): the
@@ -579,6 +682,7 @@ def _cached_micro_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 load_table(spark, sf_dir, "embeddings"),
                 bytes_per_task=VEC_FOLD_BYTES_PER_TASK,
+                cache_key=f"{sf_dir}/embeddings",
             )
         ).persist()
     return _VEC_CACHE[key]
@@ -652,20 +756,20 @@ def _ivf_search(
     cents: DataFrame,
     nprobe: int = N_PROBE,
 ) -> DataFrame:
-    """Shared IVF search phase: final full-corpus assignment (one
-    distance table, checkpointed, feeding BOTH the posting-list argmin
-    and the query-probe ranking), nprobe probe, exact cosine rerank."""
+    """Shared IVF search phase: final full-corpus assignment (in-row
+    argmin — no n×k distance table, no shuffle; r13), nprobe probe
+    (in-row top-nprobe over the filtered query slice — the window
+    exchange is gone too), exact cosine rerank."""
     from pyspark.sql.window import Window
 
-    dists = _dists_to_centroids(vec, cents).localCheckpoint(eager=False)
-    posting = _argmin_cid(dists)  # final posting lists
-
-    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
-    probes = (
-        dists.where(F.col("vec_id") < N_QUERIES)
-        .withColumn("pr", F.row_number().over(wp))
-        .where(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cid")
+    # one materialized 1-row centroid frame for BOTH consumers (the
+    # posting assignment and the query probe): a trivial k-row job,
+    # and the final plan carries two plain broadcasts of it instead of
+    # two SinglePartition collect_list aggs
+    crow = _cents_row(cents).localCheckpoint()
+    posting = _assign_inrow(vec, cents, crow=crow).select("vec_id", "cid")
+    probes = _probe_inrow(
+        vec.where(F.col("vec_id") < N_QUERIES), cents, nprobe, crow=crow
     )
     cand = (
         probes.join(posting, "cid")
@@ -727,9 +831,7 @@ def sim_ivf_topk(
         # centroids are k rows; localCheckpoint materializes each
         # iteration so later assignments don't recompute the whole
         # previous-iteration lineage (measured 6.6s -> ~3s at sf1 soak)
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
+        cents = _lloyd_step(vec, cents).localCheckpoint()
     return _ivf_search(spark, sf_dir, vec, cents, nprobe)
 
 
@@ -756,9 +858,7 @@ def sim_ivf_sampled_topk(
 
     cents = _seed_centroids(vec, k)
     for _ in range(2):
-        cents = _lloyd_update(
-            train, _argmin_cid(_dists_to_centroids(train, cents))
-        ).localCheckpoint()
+        cents = _lloyd_step(train, cents).localCheckpoint()
     return _ivf_search(spark, sf_dir, vec, cents, nprobe)
 
 
@@ -789,10 +889,8 @@ def build_ivf_base_index(
     ).localCheckpoint()
     cents = _seed_centroids(vec, k)
     for _ in range(2):
-        cents = _lloyd_update(
-            train, _argmin_cid(_dists_to_centroids(train, cents))
-        ).localCheckpoint()
-    posting = _argmin_cid(_dists_to_centroids(base, cents)).localCheckpoint(
+        cents = _lloyd_step(train, cents).localCheckpoint()
+    posting = _assign_inrow(base, cents).select("vec_id", "cid").localCheckpoint(
         eager=False
     )
     base_norm = _with_norm(
@@ -881,13 +979,12 @@ def incremental_ann_match(
     dedup's signatures_of/incremental_match split."""
     from pyspark.sql.window import Window
 
-    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
-    probes = (
-        _dists_to_centroids(new_micro, cents)
-        .withColumn("pr", F.row_number().over(wp))
-        .where(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cid")
-    )
+    # in-row top-nprobe (r13): the arrivals×k distance table and its
+    # rank window are gone — same (d, cid) ordering, see _probe_inrow.
+    # A no-signature arrival (NULL embedding) ranks all k centroids on
+    # NULL distances in BOTH spellings (ties broken by cid alike); its
+    # verdict rows are dropped by the norm filter below either way.
+    probes = _probe_inrow(new_micro, cents, nprobe)
     cand = probes.join(posting, "cid").select("query_id", "vec_id")
     # drop zero/null-norm arrivals here, not in callers: a NULL qnorm
     # yields NULL cosines whose DESC ordering differs between engines
@@ -1096,10 +1193,8 @@ def dedup_semantic(
         k = _auto_k(load_table(spark, sf_dir, "embeddings").count())
     cents = _seed_centroids(vec, k)
     for _ in range(2):
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
-    assign = _argmin_cid(_dists_to_centroids(vec, cents))
+        cents = _lloyd_step(vec, cents).localCheckpoint()
+    assign = _assign_inrow(vec, cents).select("vec_id", "cid")
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     m = (
         assign.join(emb, "vec_id")
@@ -1299,10 +1394,10 @@ def sim_ivf_posting_stats(
     vec = _cached_micro_arr(spark, sf_dir)
     cents = _seed_centroids(vec, k)
     for _ in range(2):
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
-    return posting_stats_frame(_argmin_cid(_dists_to_centroids(vec, cents)))
+        cents = _lloyd_step(vec, cents).localCheckpoint()
+    return posting_stats_frame(
+        _assign_inrow(vec, cents).select("vec_id", "cid")
+    )
 
 
 # the stats fold as oracle tail text over an `a3` assignment CTE —
@@ -1605,6 +1700,61 @@ def _pq_update(subv: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+def _book_rows(book: DataFrame) -> DataFrame:
+    """(sub, bs): the codebook regrouped to one row PER SUBSPACE, each
+    carrying its K codewords as an array of (code, ms) structs sorted
+    by code — the broadcastable form for in-row PQ assignment (the
+    _cents_row idiom per subspace; M·K rows total, tiny)."""
+    return book.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "ms"))).alias("bs")
+    )
+
+
+def _pq_assign_inrow(subv: DataFrame, book: DataFrame) -> DataFrame:
+    """(vec_id, sub, sxs, code): nearest codeword per subvector via an
+    in-row fold over the broadcast per-subspace codeword array (r13):
+    the n·M·K distance rows and their groupBy argmin are gone — one
+    broadcast-hash join on sub, distances folded per row, array_min's
+    lexicographic (d, code) ordering identical to the long form's
+    F.min(F.struct("d", "code")) tiebreak. Carries sxs through so the
+    mean update needs no join back. A subspace absent from the book
+    drops its rows in both spellings (inner join on sub)."""
+    best = F.array_min(
+        F.transform(
+            F.col("bs"),
+            lambda b: F.struct(
+                _sqdist(F.col("sxs"), b["ms"]).alias("d"),
+                b["code"].alias("code"),
+            ),
+        )
+    )
+    return subv.join(F.broadcast(_book_rows(book)), "sub").select(
+        "vec_id", "sub", "sxs", best["code"].alias("code")
+    )
+
+
+def _pq_step(subv: DataFrame, book: DataFrame) -> DataFrame:
+    """One PQ Lloyd iteration (assign + per-subspace mean update) over
+    the in-row assignment — the _lloyd_step twin: only the two
+    mean-update aggs (M·K·sub_dim output) shuffle. Arithmetic
+    identical to _pq_update(subv, _pq_assign(subv, book))."""
+    assigned = _pq_assign_inrow(subv, book)
+    long = assigned.select(
+        "sub", "code", F.posexplode("sxs").alias("sdim", "x")
+    )
+    means = long.groupBy("sub", "code", "sdim").agg(
+        F.round(F.sum("x").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("ms")
+    )
+    return means.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sdim", "ms"))),
+            lambda s: s.ms,
+        ).alias("ms")
+    )
+
+
 def sim_pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1655,8 +1805,8 @@ def sim_pq_topk(
         F.col("sxs").alias("ms"),
     )
     for _ in range(2):  # unrolled in the oracle
-        book = _pq_update(subv, _pq_assign(subv, book)).localCheckpoint()
-    codes = _pq_assign(subv, book)
+        book = _pq_step(subv, book).localCheckpoint()
+    codes = _pq_assign_inrow(subv, book).select("vec_id", "sub", "code")
     lut = (
         subv.where(F.col("vec_id") < N_QUERIES)
         .withColumnRenamed("vec_id", "query_id")
@@ -1851,17 +2001,11 @@ def sim_ivfpq_topk(
     # coarse tier (sim_ivf_topk's trainer)
     cents = _seed_centroids(vec, k)
     for _ in range(2):
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
-    dists = _dists_to_centroids(vec, cents).localCheckpoint(eager=False)
-    posting = _argmin_cid(dists)
-    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
-    probes = (
-        dists.where(F.col("vec_id") < N_QUERIES)
-        .withColumn("pr", F.row_number().over(wp))
-        .where(F.col("pr") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cid")
+        cents = _lloyd_step(vec, cents).localCheckpoint()
+    crow = _cents_row(cents).localCheckpoint()  # shared: posting + probes
+    posting = _assign_inrow(vec, cents, crow=crow).select("vec_id", "cid")
+    probes = _probe_inrow(
+        vec.where(F.col("vec_id") < N_QUERIES), cents, nprobe, crow=crow
     )
     cand = (
         probes.join(posting, "cid")
@@ -1878,8 +2022,8 @@ def sim_ivfpq_topk(
         F.col("sxs").alias("ms"),
     )
     for _ in range(2):
-        book = _pq_update(subv, _pq_assign(subv, book)).localCheckpoint()
-    codes = _pq_assign(subv, book)
+        book = _pq_step(subv, book).localCheckpoint()
+    codes = _pq_assign_inrow(subv, book).select("vec_id", "sub", "code")
     lut = (
         subv.where(F.col("vec_id") < N_QUERIES)
         .withColumnRenamed("vec_id", "query_id")
@@ -2152,10 +2296,8 @@ def corpus_cluster_balance_sample(
         k = _auto_k(load_table(spark, sf_dir, "embeddings").count())
     cents = _seed_centroids(vec, k)
     for _ in range(2):
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
-    assign = _argmin_cid(_dists_to_centroids(vec, cents)).localCheckpoint(
+        cents = _lloyd_step(vec, cents).localCheckpoint()
+    assign = _assign_inrow(vec, cents).select("vec_id", "cid").localCheckpoint(
         eager=False
     )
     sizes = assign.groupBy("cid").agg(
@@ -2981,10 +3123,8 @@ def corpus_cluster_top_terms(
         k = _auto_k(load_table(spark, sf_dir, "embeddings").count())
     cents = _seed_centroids(vec, k)
     for _ in range(2):
-        cents = _lloyd_update(
-            vec, _argmin_cid(_dists_to_centroids(vec, cents))
-        ).localCheckpoint()
-    assign = _argmin_cid(_dists_to_centroids(vec, cents))
+        cents = _lloyd_step(vec, cents).localCheckpoint()
+    assign = _assign_inrow(vec, cents).select("vec_id", "cid")
 
     docs = load_documents_parallel(spark, sf_dir)
     toks = docs.select(

@@ -46,6 +46,24 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # r13 (guide §7.2 "duplicated subtrees"): InferFiltersFromGenerate
+    # infers `size(e) > 0 AND isnotnull(e)` below every Generate, and
+    # predicate pushdown substitutes the generator expression through
+    # its alias — so every explode over a COMPUTED array (this repo's
+    # universal shape: tokenize → ngrams → md5 chains) evaluates the
+    # full derivation TWICE per row, once in the pushed filter and
+    # once in the projection. Higher-order functions are interpreted
+    # (no whole-stage-codegen subexpression elimination), so the
+    # duplication is a genuine 2x of the dominant scan-stage CPU — at
+    # any scale, 100 TB included. Measured at sf0.1:
+    # contamination_ngram_overlap 6.4 -> 1.2 s, corpus_curate_calibrated
+    # 8.5 -> 4.7 s, trigram scorer 2.5 -> 1.7 s. The inferred filter
+    # only ever pays for itself when it prunes a STORED array column at
+    # the scan; no registered query explodes a stored array.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     _quiet_bounded_window_warning(spark)
     return spark
 

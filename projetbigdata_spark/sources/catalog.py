@@ -139,10 +139,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Planned width decisions memoized per (applicationId, table path):
+# parallel_scan's two driver-side probes — df.rdd.getNumPartitions()
+# (forces physical planning + an RDD conversion) and _scan_bytes (a
+# file listing + stat) — cost tens of ms per call, and operators load
+# documents/embeddings several times per query (ADVICE r12). The
+# decision is deterministic per (app, files): same conf, same files,
+# same planned split count — so the wrappers below pass a cache key
+# and later loads skip both probes entirely. Values: the repartition
+# width, or None for pass-through. Keyed on applicationId like
+# similarity._VEC_CACHE so a new session never reads stale widths.
+_WIDTH_CACHE: dict[tuple[str, str, int | None], int | None] = {}
+
+
 def parallel_scan(
     spark: SparkSession,
     df: DataFrame,
     bytes_per_task: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Widen an under-partitioned scan before compute-heavy work
     (tokenize/ngram/hash explodes, per-vector distance folds).
@@ -173,14 +187,23 @@ def parallel_scan(
     defaultParallelism), so it grows to full width on bigger inputs
     rather than encoding either mode's constant.
     """
+    key = None
+    if cache_key is not None:
+        key = (spark.sparkContext.applicationId, cache_key, bytes_per_task)
+        if key in _WIDTH_CACHE:
+            width = _WIDTH_CACHE[key]
+            return df if width is None else df.repartition(width)
     target = spark.sparkContext.defaultParallelism
     if bytes_per_task is not None:
         size = _scan_bytes(df)
         if size is not None:
             target = min(target, max(1, -(-size // bytes_per_task)))
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    width = None if df.rdd.getNumPartitions() >= target else target
+    if key is not None:
+        for stale in [k for k in _WIDTH_CACHE if k[0] != key[0]]:
+            del _WIDTH_CACHE[stale]
+        _WIDTH_CACHE[key] = width
+    return df if width is None else df.repartition(width)
 
 
 def _scan_bytes(df: DataFrame) -> int | None:
@@ -190,6 +213,7 @@ def _scan_bytes(df: DataFrame) -> int | None:
     then fall back to full-width, which the >=-partitions guard in
     parallel_scan neutralizes on real multi-split tables anyway."""
     import os as _os
+    from urllib.parse import unquote, urlparse
 
     total = 0
     try:
@@ -200,28 +224,66 @@ def _scan_bytes(df: DataFrame) -> int | None:
         if not f.startswith("file:"):
             return None
         try:
-            total += _os.path.getsize(f.removeprefix("file:"))
-        except OSError:
+            # inputFiles() returns URIs: %-decode the path component so
+            # a fixture dir with spaces/non-ASCII doesn't make getsize
+            # raise — which silently disabled the bytes_per_task cap
+            # (full-width fan-out, the configuration the r12 sweep
+            # measured as SLOWER for the iterative tiers). ADVICE r12.
+            total += _os.path.getsize(unquote(urlparse(f).path))
+        except (OSError, ValueError):
             return None
     return total
 
 
+# Width dial for the documents loader (r13, VERDICT r12 item 2): the
+# r12 full-core fan-out measurably over-parallelizes the text tier at
+# sf0.1 — the driver's own scaling block timed vocab_topk 2.7x and
+# dedup_jaccard 1.8x FASTER at 8 cores than 32, and the 8-core headline
+# total beat the 32-core one outright. Same rule as similarity's
+# VEC_FOLD_BYTES_PER_TASK: width = ceil(scan_bytes / bytes_per_task)
+# capped at core count, so small fixtures fan out to the measured sweet
+# spot while any real corpus still reaches full width (and an already-
+# multi-split deployment scan is never repartitioned at all). The
+# r13 sweep at sf0.1 (594 KB documents file, local[32], warm best-of-3,
+# tools/doc_width_sweep.py) measured the per-family optimum at width
+# 8-16 with w=32 consistently slower; 48 KB/task puts sf0.1 at width 13
+# inside that plateau and scales to 32 tasks by ~1.5 MB of input.
+DOC_BYTES_PER_TASK = 48 * 1024
+
+
 def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan `documents` and spread rows across all cores before a
+    """Scan `documents` and spread rows across cores before a
     compute-heavy explode (tokenize/ngram/hash pipelines) — see
     parallel_scan for the width rule and the 100 TB posture (r12: the
-    repartition is now CONDITIONAL; an already-parallel scan passes
-    through shuffle-free instead of paying a corpus-wide round-robin
-    exchange)."""
-    return parallel_scan(spark, load_table(spark, sf_dir, "documents"))
+    repartition is CONDITIONAL — an already-parallel scan passes
+    through shuffle-free; r13: width derives from input bytes, not raw
+    core count, per the DOC_BYTES_PER_TASK sweep)."""
+    return parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        bytes_per_task=DOC_BYTES_PER_TASK,
+        cache_key=f"{sf_dir}/documents",
+    )
 
 
 def load_embeddings_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan `embeddings` widened like load_documents_parallel — the
     distance/codebook folds (IVF Lloyd steps, PQ ADC scans) are the
     vector twin of the token explodes: tiny input bytes, heavy per-row
-    arithmetic, so scan width, not I/O, bounds the stage."""
-    return parallel_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    arithmetic, so scan width, not I/O, bounds the stage. Width is
+    capped by the measured vector-fold task size (the r12 sweep's
+    VEC_FOLD_BYTES_PER_TASK) — the raw-load twin of the persisted
+    micro-vector cache's dial."""
+    from projetbigdata_spark.operators.similarity import (
+        VEC_FOLD_BYTES_PER_TASK,
+    )
+
+    return parallel_scan(
+        spark,
+        load_table(spark, sf_dir, "embeddings"),
+        bytes_per_task=VEC_FOLD_BYTES_PER_TASK,
+        cache_key=f"{sf_dir}/embeddings",
+    )
 
 
 def load_labeled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

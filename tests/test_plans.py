@@ -73,6 +73,15 @@ CARTESIAN_OK = {
     # localCheckpoint that hides the siblings' folds from the final
     # plan. Candidate generation itself is the equi-join probe.
     "sim_ivf_incremental",
+    # r13: the in-row assignment tier folds each vector against the
+    # broadcast ONE-ROW centroid-array frame (crossJoin + array_min —
+    # replaces the n×k long-form distance table and its argmin
+    # shuffle), so the declared 1-row broadcast fold is now visible in
+    # the final plan of every IVF search instead of only the
+    # incremental tier's
+    "sim_ivf_topk",
+    "sim_ivf_sampled_topk",
+    "sim_ivfpq_topk",
     # r12: the tombstoned probe is sim_ivf_incremental + one anti-join
     # (no new folds); the base-artifact audit is the base-index build's
     # broadcast k-row centroid folds + the stats core's declared
@@ -232,11 +241,12 @@ def test_mapside_ops_have_zero_exchanges(spark):
         "text_normalize",
     ):
         plan = pi.physical_plan(QUERIES[name](spark, SF_CHECK))
-        keyed = (
-            plan.count("Exchange")
-            - plan.count("Exchange RoundRobinPartitioning")
-        )
+        rr = plan.count("Exchange RoundRobinPartitioning")
+        keyed = plan.count("Exchange") - rr
         assert keyed == 0, (name, plan)
+        # ADVICE r12: tolerate ONLY the single parallel_scan width
+        # exchange, not arbitrary accidental round-robin shuffles
+        assert rr <= 1, (name, rr, plan)
 
 
 def test_pack_is_single_shard_shuffle(spark):
@@ -248,10 +258,11 @@ def test_pack_is_single_shard_shuffle(spark):
     disappears at deployment scale."""
     df = QUERIES["docs_pack_greedy"](spark, SF_CHECK)
     plan = pi.physical_plan(df)
-    keyed = plan.count("Exchange") - plan.count(
-        "Exchange RoundRobinPartitioning"
-    )
+    rr = plan.count("Exchange RoundRobinPartitioning")
+    keyed = plan.count("Exchange") - rr
     assert keyed == 1, plan
+    # ADVICE r12: only the one parallel_scan width exchange is excluded
+    assert rr <= 1, (rr, plan)
     assert "SinglePartition" not in plan, plan
 
 
@@ -329,7 +340,13 @@ EXCHANGE_BUDGET = {
     "dedup_minhash_buckets": 4,
     "sim_topk_bruteforce": 4,
     "sim_ann_lsh_topk": 5,
-    "sim_ivf_topk": 8,
+    # r13 in-row assignment tier: the n×k argmin hash exchange and the
+    # probe rank-window exchange are GONE (the real shuffles); the TEXT
+    # count nets +2 from the two 1-row IdentityBroadcastMode exchanges
+    # of the shared centroid-array frame (posting + probe consumers)
+    # plus the persisted vec lineage printing per reference — measured
+    # 10 at sf0.01, runtime exchanges strictly fewer than before
+    "sim_ivf_topk": 10,
     # r11: the posting-stats audit — the Lloyd folds are in-row over
     # the broadcast centroid table; only the k-row sizes agg and its
     # barrier exchange remain (measured 2 at sf0.01)
@@ -337,11 +354,12 @@ EXCHANGE_BUDGET = {
     # r12: same stats core over the base-index artifact (the build is
     # behind its localCheckpoint barriers — measured 2 at sf0.01)
     "sim_ivf_posting_stats_base": 2,
-    # r12: sim_ivf_incremental (10) + the two remove_ids anti-joins
-    # on vec_id (posting + base_norm, 2 exchanges each at fixture
-    # size; a takedown-sized tombstone set broadcasts under AQE at
-    # deployment). Measured 14 at sf0.01.
-    "sim_ivf_incremental_deleted": 16,
+    # r12: sim_ivf_incremental + the two remove_ids anti-joins on
+    # vec_id (a takedown-sized tombstone set broadcasts under AQE at
+    # deployment). r13: the base-index build's argmin exchanges are
+    # behind its checkpoints and the probe window is in-row now —
+    # measured 10 at sf0.01.
+    "sim_ivf_incremental_deleted": 10,
     "events_session_30m": 1,
     "events_multi_rollup": 1,
     "events_gaps_islands": 1,
@@ -357,14 +375,20 @@ EXCHANGE_BUDGET = {
     "events_anomaly_mad": 6,
     "corpus_ngram_diversity": 1,  # in-row + the r12 scan-width exchange
     "corpus_source_divergence": 6,
-    "sim_pq_topk": 10,
-    "sim_ivfpq_topk": 15,
+    # r13 in-row PQ assignment: the n·M·K argmin agg exchanges are
+    # gone (measured 8 at sf0.01, was 10); the IVF-PQ composition nets
+    # +1 text from the coarse tier's 1-row crow broadcasts (see
+    # sim_ivf_topk) while losing its argmin/window exchanges
+    "sim_pq_topk": 8,
+    "sim_ivfpq_topk": 16,
     "ann_recall_report": 16,
     # r6: smoothing only swaps the ratio projection (same 5); the
     # IVF-PQ recall frame = brute (nested-loop, few exchanges) +
     # the composed IVF-PQ tier (15) + the hits join/agg
     "corpus_dsir_weights_smoothed": 7,
-    "ann_recall_report_ivfpq": 26,
+    # r13: inherits the IVF-PQ tier's net +1 (crow broadcasts in, argmin
+    # exchanges out) — measured 27 at sf0.01
+    "ann_recall_report_ivfpq": 27,
     # span explode -> groupBy(k) -> dup-start fold -> anchor join;
     # the cut itself is an in-row higher-order filter (no exchange)
     "dedup_span_removal": 4,
@@ -405,8 +429,9 @@ EXCHANGE_BUDGET = {
     # top-20 gather; the fusion join runs on two 20-row frames
     "search_hybrid_rrf": 10,
     # r7: the IVF-tier swap inherits BM25's 9 + the IVF search's
-    # post-barrier exchanges (probe windows + rerank)
-    "search_hybrid_rrf_ivf": 19,
+    # post-barrier exchanges; r13: +2 text from the crow broadcasts
+    # (probe window + argmin exchanges gone) — measured 21 at sf0.01
+    "search_hybrid_rrf_ivf": 21,
     # r8: frozen-coefficient quality scoring — the hashing-trick
     # per-(doc,bucket) agg + broadcast coef join + per-doc agg +
     # the full-corpus anchor join

@@ -833,3 +833,85 @@ def test_posting_stats_frame_reads_tombstoned_index(spark):
     assert {r.imbalance_ppm for r in rows} == {
         (k * sq * 1_000_000) // (n_total * n_total)
     }
+
+
+def test_inrow_assign_matches_longform(spark):
+    """r13 optimization pin: the in-row assignment tier (_assign_inrow /
+    _lloyd_step / _probe_inrow / _pq_assign_inrow) must be row-identical
+    to the long-form reference spelling (_dists_to_centroids ->
+    _argmin_cid -> _lloyd_update, and the rank-window probe) it
+    replaced in every IVF/PQ operator — the argmin fold, the struct
+    tiebreak, and the exact bigint mean arithmetic are the invariants.
+    Exercised across a full 2-step Lloyd train so any drift compounds
+    into a visible assignment change."""
+    from pyspark.sql import functions as F
+
+    from projetbigdata_spark.operators.similarity import (
+        N_PROBE,
+        _argmin_cid,
+        _assign_inrow,
+        _dists_to_centroids,
+        _lloyd_step,
+        _lloyd_update,
+        _micro_arr,
+        _pq_assign,
+        _pq_assign_inrow,
+        _pq_step,
+        _pq_subvectors,
+        _pq_update,
+        _seed_centroids,
+    )
+    from pyspark.sql.window import Window
+    from projetbigdata_spark.sources.catalog import load_table
+    from tests.conftest import SF_CHECK
+
+    vec = _micro_arr(load_table(spark, SF_CHECK, "embeddings"))
+    cents_ref = _seed_centroids(vec)
+    cents_new = cents_ref
+    for _ in range(2):
+        cents_ref = _lloyd_update(
+            vec, _argmin_cid(_dists_to_centroids(vec, cents_ref))
+        ).localCheckpoint()
+        cents_new = _lloyd_step(vec, cents_new).localCheckpoint()
+    # trained centroids identical (exact bigint means)
+    assert cents_ref.subtract(cents_new).count() == 0
+    assert cents_new.subtract(cents_ref).count() == 0
+    # final assignment identical, including the cid tiebreak
+    a_ref = _argmin_cid(_dists_to_centroids(vec, cents_ref))
+    a_new = _assign_inrow(vec, cents_new).select("vec_id", "cid")
+    assert a_ref.subtract(a_new).count() == 0
+    assert a_new.subtract(a_ref).count() == 0
+    # probe ranking identical to the rank-window spelling
+    wp = Window.partitionBy("vec_id").orderBy("d", "cid")
+    p_ref = (
+        _dists_to_centroids(vec, cents_ref)
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    from projetbigdata_spark.operators.similarity import _probe_inrow
+
+    p_new = _probe_inrow(vec, cents_new, N_PROBE)
+    assert p_ref.subtract(p_new).count() == 0
+    assert p_new.subtract(p_ref).count() == 0
+    # PQ twin: trained codebook + final codes identical
+    subv = _pq_subvectors(vec).localCheckpoint(eager=False)
+    from projetbigdata_spark.operators.similarity import PQ_K, SEED_LO
+
+    book0 = subv.where(
+        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_LO + PQ_K)
+    ).select(
+        "sub",
+        (F.col("vec_id") - SEED_LO).cast("int").alias("code"),
+        F.col("sxs").alias("ms"),
+    )
+    book_ref, book_new = book0, book0
+    for _ in range(2):
+        book_ref = _pq_update(subv, _pq_assign(subv, book_ref)).localCheckpoint()
+        book_new = _pq_step(subv, book_new).localCheckpoint()
+    assert book_ref.subtract(book_new).count() == 0
+    assert book_new.subtract(book_ref).count() == 0
+    c_ref = _pq_assign(subv, book_ref)
+    c_new = _pq_assign_inrow(subv, book_new).select("vec_id", "sub", "code")
+    assert c_ref.subtract(c_new).count() == 0
+    assert c_new.subtract(c_ref).count() == 0
