@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from projetbigdata_spark.functions.text import ngrams, tokenize
 from projetbigdata_spark.session import tune
-from projetbigdata_spark.sources.catalog import load_documents_parallel
+from projetbigdata_spark.sources.catalog import (
+    load_documents_parallel,
+    load_table,
+)
 
 DSIR_TARGET_LANG = "en"  # static so the oracle is static; a pipeline
 # parameterizes the target slice (any boolean doc predicate works)
@@ -962,9 +965,27 @@ def _sb_score_frame(
 
     `model_docs` (default: `docs` itself) is the corpus the LM trains
     on — the ingest twin passes the STANDING corpus here while scoring
-    only the new batch, freezing the model against self-influence."""
+    only the new batch, freezing the model against self-influence.
+
+    Width note (ADVICE r12 / r13): only the MODEL side is widened
+    here — its two n-gram explodes feed aggregations at scan width.
+    The scored side needs no widen because _sb_score_with_model's
+    explicit doc_id hash-repartition already establishes full width;
+    callers that used to pass load_documents_parallel paid a second
+    back-to-back full-text exchange (round-robin widen THEN the hash
+    repartition) for nothing. parallel_scan passes an already-wide
+    model slice through unchanged, so widened callers don't double-
+    shuffle either."""
+    from projetbigdata_spark.sources.catalog import (
+        DOC_BYTES_PER_TASK,
+        parallel_scan,
+    )
+
     target = (model_docs if model_docs is not None else docs).where(
         F.col("lang") == DSIR_TARGET_LANG
+    )
+    target = parallel_scan(
+        target.sparkSession, target, bytes_per_task=DOC_BYTES_PER_TASK
     )
     return _sb_score_with_model(docs, _sb_model(target))
 
@@ -1111,7 +1132,9 @@ def text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs with < 3 tokens keep a row with n_trigrams = 0 and a NULL
     score). See _sb_score_frame for the model and the scale posture."""
     tune(spark)
-    return _sb_score_frame(load_documents_parallel(spark, sf_dir))
+    # bare scan: the scorer hash-repartitions the scored side itself
+    # (ADVICE r12 — the loader widen was a wasted second text shuffle)
+    return _sb_score_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _sb_sql_core(
@@ -1246,7 +1269,10 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrator spelling (and the same approx_percentile relief valve
     at extreme per-lang cardinality) as corpus_quality_quantiles."""
     tune(spark)
-    docs = load_documents_parallel(spark, sf_dir)
+    # bare scan (ADVICE r12): the anchor is a 2-column select and the
+    # scorer establishes its own doc_id width; the model slice is
+    # widened inside _sb_score_frame
+    docs = load_table(spark, sf_dir, "documents")
     # two consumers read the scored frame (the tercile ranking and the
     # final bucket projection) and they diverge BEFORE any shared
     # shuffle -> plan barrier, or the whole scorer subtree (5 model
@@ -1368,7 +1394,9 @@ def text_trigram_backoff_score_incremental(
     tune(spark)
     from projetbigdata_spark.operators.dedup import INCR_NEW_SOURCE
 
-    docs = load_documents_parallel(spark, sf_dir)
+    # bare scan (ADVICE r12): the scored batch hash-repartitions inside
+    # the scorer; the standing model slice is widened in _sb_score_frame
+    docs = load_table(spark, sf_dir, "documents")
     standing = docs.where(F.col("source") != INCR_NEW_SOURCE)
     batch = docs.where(F.col("source") == INCR_NEW_SOURCE)
     return _sb_score_frame(batch, model_docs=standing)
@@ -1854,7 +1882,8 @@ def corpus_perplexity_buckets_approx(
     sketch; the fixture cardinalities sit far inside the exact
     regime)."""
     tune(spark)
-    docs = load_documents_parallel(spark, sf_dir)
+    # bare scan (ADVICE r12): see corpus_perplexity_buckets
+    docs = load_table(spark, sf_dir, "documents")
     # same two-consumer barrier as the exact tier: the threshold agg
     # and the final projection both read the 13-exchange scorer
     base = docs.select("doc_id", "lang").join(
@@ -1965,8 +1994,19 @@ def text_trigram_backoff_score_pruned(
     scorer's (pruning can only push positions DOWN the backoff
     ladder)."""
     tune(spark)
-    docs = load_documents_parallel(spark, sf_dir)
-    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    from projetbigdata_spark.sources.catalog import (
+        DOC_BYTES_PER_TASK,
+        parallel_scan,
+    )
+
+    # bare scored side + widened model slice (ADVICE r12; see
+    # _sb_score_frame's width note)
+    docs = load_table(spark, sf_dir, "documents")
+    target = parallel_scan(
+        spark,
+        docs.where(F.col("lang") == DSIR_TARGET_LANG),
+        bytes_per_task=DOC_BYTES_PER_TASK,
+    )
     return _sb_score_with_model(
         docs, prune_sb_model(_sb_model(target), min_count)
     )

@@ -245,10 +245,13 @@ def _scan_bytes(df: DataFrame) -> int | None:
 # spot while any real corpus still reaches full width (and an already-
 # multi-split deployment scan is never repartitioned at all). The
 # r13 sweep at sf0.1 (594 KB documents file, local[32], warm best-of-3,
-# tools/doc_width_sweep.py) measured the per-family optimum at width
-# 8-16 with w=32 consistently slower; 48 KB/task puts sf0.1 at width 13
-# inside that plateau and scales to 32 tasks by ~1.5 MB of input.
-DOC_BYTES_PER_TASK = 48 * 1024
+# tools/doc_width_sweep.py, widths 2/4/8/13/16/32): width 16 is the
+# plateau optimum — w=2 is 1.5-2x slower everywhere, w=32 loses on the
+# heavy rows (corpus_perplexity_buckets 2.47 vs 1.95 s, corpus_curate_
+# calibrated 5.21 vs 4.17 s, corpus_ccnet_select 2.84 vs 2.67 s) while
+# winning nothing outside noise. 38 KB/task puts sf0.1 at width 16 and
+# scales to full core count by ~1.2 MB of input.
+DOC_BYTES_PER_TASK = 38 * 1024
 
 
 def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
