@@ -454,12 +454,26 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per group). Gram text never shuffles in any spelling; ~34 MB
     # for 11 profile columns over 9 gram sizes is ~3 MB per signal —
     # the dedup_span_profile class.
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.concat(*[gram_structs(n) for n in GOPHER_TOP_NS + GOPHER_DUP_NS])
-        ).alias("g"),
-    ).select("doc_id", "g.n", "g.i0", "g.k", "g.clen")
+    # plan barrier (r13): TWO consumers read the exploded gram stream
+    # (the (doc,n,k) count agg and the dup-position probe's left side)
+    # — unbarriered, the 9-size generate with its per-gram md5 (the
+    # family's dominant CPU) executes once PER consumer (measured
+    # 4.3 -> 3.6 s at sf0.1 from this one line). The materialized rows
+    # are the same skinny (doc, n, i0, k, clen) quintuples the two
+    # shuffle streams already carry — ~24 B/gram to local disk buys
+    # back a full corpus-side gram generation.
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    *[gram_structs(n) for n in GOPHER_TOP_NS + GOPHER_DUP_NS]
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.n", "g.i0", "g.k", "g.clen")
+        .localCheckpoint(eager=False)
+    )
     stats = grams.select("doc_id", "n", "k", "clen").groupBy(
         "doc_id", "n", "k"
     ).agg(F.count("*").alias("c"), F.max("clen").alias("clen"))

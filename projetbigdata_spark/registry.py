@@ -16,79 +16,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks the first ~50 queries per round in dict order, so
 # _PRIORITY pins the names that most need a green CORRECTNESS row this
-# round (r12, VERDICT r11 item 1: ALL 35 r7-latest rows MUST lead —
-# they hit the 5-round freshness floor at r12; the floor is machine-
-# enforced by tools/freshness_report.py + tests/test_freshness_floor.py,
-# and the rotation below was pre-flighted with --simulate-next).
-#   tier B (35, leading) = EVERY r7-latest row from the merged ledger
-#     (tools/freshness_report.py counts 35, the authoritative number —
-#     the r11 NEXT.md hand-count of 34 was off by one);
-#   tier A = new r12 queries (rule a) — inserted here as they land,
-#     displacing tier-C fills to keep the block at 50;
-#   tier C (fills to 50) = the oldest r8-latest rows, alphabetical
-#     head of the 45-row r8 set (all tie on age; the deterministic
-#     prefix keeps the remaining 30-odd nameable as next-in-line for
-#     r13, where the whole r8 set hits the floor).
-# Rule b/c compositions (corpus_curate, corpus_curate_calibrated,
-# sim_ivf_incremental) are r11-green — shielded, no re-entry due.
+# round (r13, VERDICT r12 item 9: the r8-latest rows hit the 5-round
+# freshness floor at r13 — 35 remain after r12's tier C re-checked the
+# alpha prefix of the original 45; the floor is machine-enforced by
+# tools/freshness_report.py + tests/test_freshness_floor.py, and this
+# rotation was pre-flighted with --simulate-next).
+#   tier B (35, leading) = every remaining r8-latest row;
+#   tier A (15, fills to 50) = operators materially RESTRUCTURED by
+#     this optimization round (in-row IVF/PQ assignment, the shared
+#     curate token-stats pass, the scorer-side width change, the
+#     gopher grams barrier) — the r11/r12 "factoring-touched rows
+#     re-checked out of caution" convention; 8 of the 15 are also the
+#     oldest (r9-latest) rows, so the slot does double duty. The 39
+#     r9-latest leftovers reach the floor at r14 and must fill ~all of
+#     that round's block.
 # collect() raises if a priority name is not registered.
 _PRIORITY = (
-    # --- tier B (35): every r7-latest row — the 5-round floor hits
+    # --- tier B (35): every r8-latest row — the 5-round floor hits
     # them this round; freshness_report --simulate-next verified ---
-    "corpus_dsir_weights_hashed_incremental",
-    "agg_distinct",
-    "agg_pivot",
-    "corpus_health_report",
-    "corpus_token_budget_sample",
-    "corpus_vocab_growth",
-    "dedup_span_decontaminate",
-    "dedup_span_removal_incremental",
-    "events_click_attribution",
-    "events_dedup_keyed",
-    "events_multi_rollup",
-    "events_session_30m",
-    "events_sliding_15m_5m",
-    "events_tumbling_1h",
-    "join_key_skew_report",
-    "json_extract",
-    "map_functions",
-    "multimodal_content_dedup",
-    "multimodal_fake_decode",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q15_top_supplier",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "quality_constraints",
-    "scd2_history",
-    "sim_neardup_allpairs_exact",
-    "table_stats",
-    "text_feature_hashing",
-    "text_search_phrase",
-    # --- tier A: new r12 rows (rule a) + factoring-touched re-checks ---
-    "sim_ivf_incremental_deleted",  # NEW: tombstoned-index probe
-    "sim_ivf_posting_stats_base",  # NEW: persisted-artifact audit
-    "text_lang_guess_multi",  # NEW: multi-class profile-argmax langid
-    "corpus_ccnet_select_guessed_multi",  # NEW: CCNet on the 5-class key
-    "corpus_ccnet_select_guessed",  # core factored (_ccnet_guessed_
-    # verdicts / parameterized oracle — byte-identical, re-checked out
-    # of caution, the r11 convention for factoring-touched rows)
-    # --- tier C (10): oldest r8-latest rows, alpha prefix of 45 ---
-    "agg_grouping_sets",
-    "agg_salted_user_totals",
-    "bow_vectorize",
-    "chunk_documents_udtf",
-    "corpus_bpe_pair_counts",
-    "corpus_cluster_balance_sample",
-    "corpus_quality_classifier_report",
-    "corpus_quality_classifier_scores",
-    "corpus_quality_quantiles",
-    "corpus_softdedup_sample",
+    "corpus_softdedup_weights",
+    "dedup_component_sizes",
+    "dedup_components_verified_prefiltered",
+    "dedup_embedding_cosine",
+    "dedup_keep_best_quality",
+    "dedup_keep_canonical",
+    "join_asof_purchase_click",
+    "join_bucketed_priority_counts",
+    "join_interval_binned",
+    "join_range_late",
+    "pos_trigrams",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q16_supplier_breadth",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q22_sales_opportunity",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "search_hybrid_rrf_pq",
+    "sql_frontend_yearly_revenue",
+    "subquery_above_nation_avg",
+    "text_search_phrase3",
+    "text_search_phrase_kslop",
+    "text_search_phrase_slop",
+    "text_search_topk",
+    "text_unigram_freq_score",
+    "unpivot_nation_metrics",
+    # --- tier A (15): this round's restructured operators, oldest
+    # (r9-latest) first so the slots also serve the freshness floor ---
+    "sim_pq_topk",  # in-row PQ assignment
+    "sim_ivfpq_topk",  # in-row coarse + PQ tiers
+    "text_gopher_repetition",  # grams plan barrier
+    "corpus_gopher_repetition_clean",  # shares the barriered plan
+    "text_trigram_backoff_score",  # model-slice-only widen
+    "text_trigram_backoff_score_incremental",  # bare-scan scored side
+    "contamination_ngram_overlap",  # loader width + generate-filter fix
+    "dedup_components_minhash",  # loader width dial
+    "corpus_curate",  # shared token-stats pass
+    "corpus_curate_calibrated",  # shared pass + quantile core reuse
+    "sim_ivf_topk",  # in-row Lloyd + probe
+    "dedup_semantic",  # in-row Lloyd tier
+    "corpus_perplexity_buckets",  # bare-scan anchor + scorer width
+    "text_trigram_backoff_score_pruned",  # explicit model-slice widen
+    "corpus_ccnet_select",  # inherits the scorer-path changes
 )
 
 

@@ -52,10 +52,23 @@ _CALIBRATED = {
 
 CEILINGS = {k: max(1.5 * v, 1.5) for k, v in _CALIBRATED.items()}
 
+# r13 load-awareness (VERDICT r12 item 1): these are CALIBRATED
+# wall-clock ceilings, measured on an otherwise-idle box (loadavg ~1).
+# On a contended box the gate measures the neighbors, not the plans —
+# the r11 verdict documented exactly this flake class, and the r12
+# driver battery ran at loadavg 8.35. Skip when the 1-minute load
+# already exceeds a quarter of the cores before we start; structural
+# regressions (2-10x) are still caught on every idle run, and the
+# exchange-count + shuffle-byte gates (test_plans/test_shuffle_budget)
+# remain load-independent backstops.
+_LOAD_CAP = max(4.0, 0.25 * (os.cpu_count() or 8))
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_BENCH)
-    or os.environ.get("SPARK_GRAFT_SKIP_BENCH_BUDGET") == "1",
-    reason="sf0.1 fixtures absent or budget gate disabled",
+    or os.environ.get("SPARK_GRAFT_SKIP_BENCH_BUDGET") == "1"
+    or os.getloadavg()[0] > _LOAD_CAP,
+    reason="sf0.1 fixtures absent, budget gate disabled, or box too "
+    "loaded for calibrated wall-clock ceilings",
 )
 
 

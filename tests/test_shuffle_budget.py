@@ -26,20 +26,26 @@ import sys
 
 import pytest
 
-SF_BENCH = "/root/testdata/sf0.1"
+# r13: the gate runs at sf0.01 (budgets re-pinned in
+# tools/shuffle_report.py BYTE_BUDGET_MB_SF001) — a shuffle that gets
+# fatter breaches proportionally at any SF, and the dedicated-JVM
+# subprocess drops from 200+s to ~60s, which is what let the r12
+# driver battery run out of its wall-clock window mid-suite. The
+# sf0.1 table stays in the tool for manual full-scale checks.
+SF_GATE = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF_BENCH)
+    not os.path.isdir(SF_GATE)
     or os.environ.get("SPARK_GRAFT_SKIP_BENCH_BUDGET") == "1",
-    reason="sf0.1 fixtures absent or budget gates disabled",
+    reason="sf0.01 fixtures absent or budget gates disabled",
 )
 
 
 def test_shuffle_byte_budgets():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "shuffle_report.py"),
-         "--check", "--sf", SF_BENCH],
+         "--check", "--sf", SF_GATE],
         capture_output=True,
         text=True,
         timeout=600,

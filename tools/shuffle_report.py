@@ -250,6 +250,62 @@ BYTE_BUDGET_MB = {
     "corpus_gopher_repetition_clean": 69.2,
 }
 
+# sf0.01 twin of the table above (r13): the CI gate moved to sf0.01 so
+# the pytest battery's dedicated-JVM subprocess costs ~60s instead of
+# 200+s (the r12 driver battery timed out mid-run with the sf0.1 gate
+# under box load). Same invariant — a shuffle that gets FATTER (lost
+# pruning / partial agg, strings where hashed keys traveled) breaches
+# at any SF proportionally. Ceilings are 2x the r13 sf0.01 measurement
+# with a 0.3 MB floor absorbing absolute framing noise; the sf0.1
+# table above stays for manual full-scale runs
+# (`python tools/shuffle_report.py --check` with the default --sf).
+BYTE_BUDGET_MB_SF001 = {
+    "bow_vectorize": 0.4,
+    "contamination_ngram_overlap": 0.6,
+    "corpus_ccnet_select": 1.0,
+    "corpus_ccnet_select_guessed": 1.4,
+    "corpus_ccnet_select_incremental": 1.0,
+    "corpus_curate": 2.8,
+    "corpus_curate_calibrated": 2.6,
+    "corpus_dsir_weights_hashed": 0.8,
+    "corpus_dsir_weights_hashed_incremental": 0.8,
+    "corpus_gopher_repetition_clean": 6.8,
+    "corpus_perplexity_buckets": 0.8,
+    "corpus_perplexity_buckets_approx": 0.8,
+    "corpus_quality_classifier_report": 0.4,
+    "corpus_quality_classifier_scores": 0.4,
+    "corpus_quality_select": 0.4,
+    "corpus_softdedup_weights": 1.7,
+    "dedup_bucket_cap_report": 0.3,
+    "dedup_component_sizes": 0.3,
+    "dedup_components_minhash": 0.3,
+    "dedup_jaccard_pairs": 2.7,
+    "dedup_keep_best_quality": 1.2,
+    "dedup_minhash_buckets": 0.3,
+    "dedup_semantic": 1.7,
+    "dedup_span_decontaminate": 0.3,
+    "dedup_span_profile": 1.0,
+    "dedup_span_removal": 0.7,
+    "dedup_span_removal_incremental": 0.6,
+    "events_gaps_islands": 0.4,
+    "events_session_30m": 0.6,
+    "join_asof_purchase_click": 0.3,
+    "q18_large_orders": 0.3,
+    "scd2_history": 0.7,
+    "search_hybrid_rrf": 0.4,
+    "search_hybrid_rrf_pq": 0.7,
+    "sim_ivfpq_topk": 0.6,
+    "sim_pq_topk": 0.4,
+    "text_feature_hashing": 0.4,
+    "text_gopher_repetition": 6.8,
+    "text_search_bm25": 0.4,
+    "text_tfidf_top": 0.9,
+    "text_trigram_backoff_score": 0.8,
+    "text_trigram_backoff_score_pruned": 0.8,
+    "vocab_topk": 0.3,
+    "window_rank_orders": 0.3,
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -291,7 +347,12 @@ def main() -> int:
     def stages():
         return json.load(urllib.request.urlopen(url))
 
-    run_list = sorted(BYTE_BUDGET_MB) if args.check else QUERIES
+    budget = (
+        BYTE_BUDGET_MB_SF001
+        if args.sf.rstrip("/").endswith("sf0.01")
+        else BYTE_BUDGET_MB
+    )
+    run_list = sorted(budget) if args.check else QUERIES
     rows = []
     for name in run_list:
         before = {s["stageId"] for s in stages()}
@@ -328,14 +389,14 @@ def main() -> int:
             r
             for r in rows
             if r["shuffle_mb"]
-            > BYTE_BUDGET_MB[r["name"]] * args.budget_scale
+            > budget[r["name"]] * args.budget_scale
         ]
         spark.stop()
         if breaches:
             for r in breaches:
                 print(
                     f"BREACH {r['name']}: {r['shuffle_mb']:.2f} MB > "
-                    f"{BYTE_BUDGET_MB[r['name']] * args.budget_scale:.2f}"
+                    f"{budget[r['name']] * args.budget_scale:.2f}"
                     " MB budget — same-shuffle fattening?"
                 )
             return 1
