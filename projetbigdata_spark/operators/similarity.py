@@ -1998,11 +1998,43 @@ def sim_ivfpq_topk(
 
     tune(spark)
     vec = _cached_micro_arr(spark, sf_dir)
-    # coarse tier (sim_ivf_topk's trainer)
-    cents = _seed_centroids(vec, k)
-    for _ in range(2):
-        cents = _lloyd_step(vec, cents).localCheckpoint()
-    crow = _cents_row(cents).localCheckpoint()  # shared: posting + probes
+    subv = _pq_subvectors(vec, m).localCheckpoint(eager=False)
+
+    # The coarse-IVF and PQ trainers are INDEPENDENT eager-checkpoint
+    # chains (3 + 2 small jobs) that used to run strictly one after
+    # the other only because this function built them sequentially —
+    # guide §2.6 "overlap independent jobs": two driver threads let
+    # the scheduler back-fill each chain's per-job tail with the
+    # other's tasks. Results are untouched (the chains share only the
+    # persisted vec/subv frames, which are read-only here).
+    def _train_coarse() -> tuple[DataFrame, DataFrame]:
+        cents = _seed_centroids(vec, k)
+        for _ in range(2):
+            cents = _lloyd_step(vec, cents).localCheckpoint()
+        # shared 1-row centroid frame: posting + probes
+        return cents, _cents_row(cents).localCheckpoint()
+
+    def _train_pq() -> DataFrame:
+        book = subv.where(
+            (F.col("vec_id") >= SEED_LO)
+            & (F.col("vec_id") < SEED_LO + k_codes)
+        ).select(
+            "sub",
+            (F.col("vec_id") - SEED_LO).cast("int").alias("code"),
+            F.col("sxs").alias("ms"),
+        )
+        for _ in range(2):
+            book = _pq_step(subv, book).localCheckpoint()
+        return book
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        coarse_f = pool.submit(_train_coarse)
+        book_f = pool.submit(_train_pq)
+        cents, crow = coarse_f.result()
+        book = book_f.result()
+
     posting = _assign_inrow(vec, cents, crow=crow).select("vec_id", "cid")
     probes = _probe_inrow(
         vec.where(F.col("vec_id") < N_QUERIES), cents, nprobe, crow=crow
@@ -2012,17 +2044,6 @@ def sim_ivfpq_topk(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    # PQ tier (sim_pq_topk's trainer)
-    subv = _pq_subvectors(vec, m).localCheckpoint(eager=False)
-    book = subv.where(
-        (F.col("vec_id") >= SEED_LO) & (F.col("vec_id") < SEED_LO + k_codes)
-    ).select(
-        "sub",
-        (F.col("vec_id") - SEED_LO).cast("int").alias("code"),
-        F.col("sxs").alias("ms"),
-    )
-    for _ in range(2):
-        book = _pq_step(subv, book).localCheckpoint()
     codes = _pq_assign_inrow(subv, book).select("vec_id", "sub", "code")
     lut = (
         subv.where(F.col("vec_id") < N_QUERIES)

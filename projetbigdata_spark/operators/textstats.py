@@ -1286,11 +1286,13 @@ def lang_guess_multi_frame(
 
     Plan: one explode → (doc, tok) hash-agg (map-side combined), a
     BROADCAST join against the vocabulary-sized profile, one
-    (doc, cand_lang) hash-agg, and a per-doc |langs|-row argmax
-    window — nothing corpus-sorted, no UDFs; the profile broadcast is
-    the deployment shape (the model rides to the data)."""
-    from pyspark.sql.window import Window
-
+    (doc, cand_lang) hash-agg, and a per-doc struct-min ARGMAX AGG
+    (r13 — replaces the rank window: min over (-score, cand_lang)
+    structs is the identical argmax with the identical
+    smallest-code tiebreak, but it partial-aggregates map-side
+    instead of shuffling every (doc, lang) row into a per-doc sort) —
+    nothing corpus-sorted, no UDFs; the profile broadcast is the
+    deployment shape (the model rides to the data)."""
     prof = lang_profile_frame(
         docs if profile_docs is None else profile_docs
     )
@@ -1308,16 +1310,21 @@ def lang_guess_multi_frame(
             .alias("score_ppm")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score_ppm"), "cand_lang"
-    )
     best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
+        scores.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_ppm")).alias("ns"),
+                    F.col("cand_lang").alias("lg"),
+                    F.col("score_ppm").alias("sp"),
+                )
+            ).alias("b")
+        )
         .select(
             "doc_id",
-            F.col("cand_lang").alias("lang_guess"),
-            F.col("score_ppm").alias("guess_score"),
+            F.col("b.lg").alias("lang_guess"),
+            F.col("b.sp").alias("guess_score"),
         )
     )
     return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
