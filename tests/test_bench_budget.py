@@ -91,14 +91,42 @@ def warm_queries(spark):
     return queries
 
 
+@pytest.fixture(scope="module")
+def host_factor(spark, warm_queries):
+    """Self-calibration against the host's CURRENT throughput (r13):
+    the ceilings are wall-clock numbers calibrated on one box at one
+    point in time, but sandbox/CI hosts measurably halve in effective
+    speed between sessions with loadavg staying low (hypervisor
+    contention — q1 warm best-of-3 observed 0.36s and 0.98s on
+    IDENTICAL code the same day; SCALE.md §r13). Timing the cheapest
+    pinned-plan query in the same session and scaling every ceiling by
+    its ratio keeps the gate sharp on a fast box and meaningful — not
+    red — on a slow one. Clamped to [1, 4]: never tighter than
+    calibration, and a >=4x q1 means the box is unusable for any
+    wall-clock verdict (the structural regressions this gate exists
+    for are 2-10x and survive the scaling). q1's own plan cannot
+    regress silently through this: its shape is pinned load-
+    independently (exchange budget + pushdown in test_plans)."""
+    import time as _time
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        warm_queries["q1_pricing_summary"](spark, SF_BENCH).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, _time.perf_counter() - t0)
+    return min(4.0, max(1.0, best / _CALIBRATED["q1_pricing_summary"]))
+
+
 @pytest.mark.parametrize("name", sorted(CEILINGS))
-def test_bench_budget(spark, warm_queries, name):
+def test_bench_budget(spark, warm_queries, host_factor, name):
     # best-of-3: a structural regression (lost broadcast, new shuffle)
     # is typically 2-10x and fails all three runs; a load transient on
     # a busy container (observed once in r3: bow_vectorize tripped its
     # 1.5s floor in a full-suite run, passed in isolation) rarely hits
     # the same query three times in a row.
-    ceiling = CEILINGS[name]
+    ceiling = CEILINGS[name] * host_factor
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
